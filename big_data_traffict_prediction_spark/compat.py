@@ -1,0 +1,92 @@
+"""Semantics shims: SQLite/Python reference quirks ↔ Spark, plus the
+cross-engine determinism helpers the DuckDB oracle comparison relies
+on (SURVEY.md §4 "custom rules: none required" — these are expression
+helpers, not Catalyst rules).
+
+Cross-engine reproducibility rules used throughout the operators:
+
+- **dow0**: SQLite ``strftime('%w')`` is 0=Sunday (reference
+  ``app/database.py:126-127``); Spark ``dayofweek`` is 1=Sunday;
+  DuckDB ``dayofweek`` is 0=Sunday. ``dow0 = dayofweek(ts) - 1``
+  everywhere on the Spark side.
+- **exact-integer aggregation**: summing doubles is
+  partition-order-dependent, so any aggregated metric derived from a
+  double column goes through ``FLOOR(x * 10^k)`` → BIGINT first
+  ("fixed-point cents"); sums/averages over exact integers are
+  bit-identical across engines and partitionings. This also matches
+  the reference's ``int()`` truncation semantics
+  (``app/services/camera.py:264-278``) — truncation, never rounding.
+- **epoch seconds as BIGINT**: bucket arithmetic uses integer epoch
+  seconds (``unix_micros // 1_000_000``), never a double epoch, so
+  ``floor(epoch/interval)`` can't flip at bucket boundaries from a
+  1-ULP error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def dow0(ts: Column | str) -> Column:
+    """Day-of-week, 0=Sunday..6=Saturday (SQLite ``%w`` semantics)."""
+    return (F.dayofweek(ts) - F.lit(1)).cast("int")
+
+
+def epoch_s(ts: Column | str) -> Column:
+    """Integer unix epoch seconds (truncated, exact)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return F.floor(F.unix_micros(col) / MICROS).cast("long")
+
+
+def bucket_epoch(ts: Column | str, interval_s: int) -> Column:
+    """Tumbling-bucket start as integer epoch seconds:
+    ``int(ts // interval) * interval`` (reference ``app/routes.py:112``)."""
+    return (F.floor(epoch_s(ts) / interval_s) * interval_s).cast("long")
+
+
+def bucket_ts(ts: Column | str, interval_s: int) -> Column:
+    """Tumbling-bucket start as a timestamp."""
+    return F.timestamp_seconds(bucket_epoch(ts, interval_s))
+
+
+def fixed_point(x: Column | str, scale: int = 10_000) -> Column:
+    """Exact-integer image of a double: ``FLOOR(x * scale)`` as BIGINT.
+
+    Aggregate these, then divide the final sum by ``scale`` — never sum
+    raw doubles that must hash-match another engine.
+    """
+    col = F.col(x) if isinstance(x, str) else x
+    return F.floor(col * scale).cast("long")
+
+
+def trunc_long(x: Column | str) -> Column:
+    """Python ``int()`` truncation of a non-negative double → BIGINT
+    (reference scales counts with ``int()``, never ``round``)."""
+    col = F.col(x) if isinstance(x, str) else x
+    return F.floor(col).cast("long")
+
+
+def iou(b1: tuple[Column, Column, Column, Column], b2: tuple[Column, Column, Column, Column]) -> Column:
+    """Intersection-over-union of two [x1,y1,x2,y2] boxes as pure
+    column arithmetic — no UDF (reference hand-codes this in Python,
+    ``app/services/camera.py:88-104``)."""
+    x1a, y1a, x2a, y2a = b1
+    x1b, y1b, x2b, y2b = b2
+    ix = F.greatest(F.lit(0), F.least(x2a, x2b) - F.greatest(x1a, x1b))
+    iy = F.greatest(F.lit(0), F.least(y2a, y2b) - F.greatest(y1a, y1b))
+    inter = (ix * iy).cast("long")
+    area_a = ((x2a - x1a) * (y2a - y1a)).cast("long")
+    area_b = ((x2b - x1b) * (y2b - y1b)).cast("long")
+    union = area_a + area_b - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+# Deterministic "now" for trailing-window queries: the testdata events
+# span 2024-01-01 .. 2024-01-30 (all SFs); queries take `now` as a
+# parameter (the reference hardwires wall-clock time.time(); we make it
+# explicit so results are reproducible — SURVEY.md §2.4 A2).
+NOW_TS = "2024-01-31 00:00:00"
+NOW_EPOCH = 1706659200  # 2024-01-31T00:00:00Z

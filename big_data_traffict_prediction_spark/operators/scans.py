@@ -1,0 +1,85 @@
+"""Scans with predicates — reference app/database.py:74-107 (S1) and
+:197-242 (S2).
+
+The reference relies on a SQLite composite index (camera_id, timestamp)
+(``app/database.py:33-36``); at 100 TB the equivalent is a date-
+partitioned parquet layout + min/max row-group skipping, and the
+predicates below push down to the scan (verify with
+``plans.explain.audit`` — `PushedFilters` must show the range).
+
+Semantics preserved deliberately: the reference treats a missing bound
+as "unbounded" (``if start_ts:`` — note its 0-is-falsy quirk, which we
+document but do not copy: SURVEY.md §2.2 P3); we compose optional
+filters instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+SCAN_CAMERA = "7"
+SCAN_START = "2024-01-05 00:00:00"
+SCAN_END = "2024-01-20 00:00:00"
+RANGE_START = "2024-01-10 00:00:00"
+
+_COLS = ["id", "camera_id", "ts", "new_count", "new_cars", "new_motors"]
+
+
+def camera_history(
+    spark: SparkSession,
+    sf_dir: str,
+    camera_id: str | None = None,
+    start_ts: str | None = None,
+    end_ts: str | None = None,
+) -> DataFrame:
+    """Composable history scan: every predicate optional (the dynamic
+    WHERE build of app/database.py:205-216 becomes optional filters —
+    Catalyst folds them into one pushed conjunction)."""
+    df = traffic_history(spark, sf_dir).select(*_COLS)
+    if camera_id is not None:
+        df = df.filter(F.col("camera_id") == camera_id)
+    if start_ts is not None:
+        df = df.filter(F.col("ts") >= F.lit(start_ts).cast("timestamp"))
+    if end_ts is not None:
+        df = df.filter(F.col("ts") <= F.lit(end_ts).cast("timestamp"))
+    return df
+
+
+@register(
+    "q_camera_history_scan",
+    oracle=with_traffic(f"""
+SELECT id, camera_id, ts, new_count, new_cars, new_motors
+FROM traffic
+WHERE camera_id = '{SCAN_CAMERA}'
+  AND ts >= TIMESTAMP '{SCAN_START}'
+  AND ts <= TIMESTAMP '{SCAN_END}'
+ORDER BY ts, id
+"""),
+)
+def q_camera_history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: single-camera time-range scan, ordered by time
+    (reference app/database.py:74-107)."""
+    return camera_history(
+        spark, sf_dir, camera_id=SCAN_CAMERA, start_ts=SCAN_START, end_ts=SCAN_END
+    ).orderBy("ts", "id")
+
+
+@register(
+    "q_history_range_scan",
+    oracle=with_traffic(f"""
+SELECT id, camera_id, ts, new_count, new_cars, new_motors
+FROM traffic
+WHERE ts >= TIMESTAMP '{RANGE_START}'
+ORDER BY camera_id, ts, id
+"""),
+)
+def q_history_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: all-camera range scan ordered (camera, time)
+    (reference app/database.py:197-242)."""
+    return camera_history(spark, sf_dir, start_ts=RANGE_START).orderBy(
+        "camera_id", "ts", "id"
+    )
