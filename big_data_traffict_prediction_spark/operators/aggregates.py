@@ -1,1 +1,253 @@
-"""Stub — populated in this round."""
+"""Aggregations (SURVEY.md §2.4).
+
+Every aggregate here is a single declarative plan: Catalyst executes
+partial (map-side) + final hash aggregation, so at 100 TB the shuffle
+carries one row per group per task, not the raw data. The trailing-
+window stats (A8) are ONE conditional-aggregation scan instead of the
+reference's five passes over a pooled in-memory list
+(``app/utils.py:523-565``).
+
+"now" is a pinned parameter (compat.NOW_TS) — the reference hardwires
+wall-clock ``time.time()``, which is unreproducible by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import NOW_TS
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+_SUMS = """
+CAST(COALESCE(SUM(new_count), 0) AS BIGINT) AS total_new_count,
+CAST(COALESCE(SUM(new_cars), 0) AS BIGINT) AS total_new_cars,
+CAST(COALESCE(SUM(new_motors), 0) AS BIGINT) AS total_new_motors,
+COUNT(*) AS n_samples
+""".strip()
+
+
+def _sum_aggs():
+    return [
+        F.coalesce(F.sum("new_count"), F.lit(0)).cast("long").alias("total_new_count"),
+        F.coalesce(F.sum("new_cars"), F.lit(0)).cast("long").alias("total_new_cars"),
+        F.coalesce(F.sum("new_motors"), F.lit(0)).cast("long").alias("total_new_motors"),
+        F.count(F.lit(1)).alias("n_samples"),
+    ]
+
+
+@register(
+    "q_lifetime_totals",
+    oracle=with_traffic(f"SELECT {_SUMS} FROM traffic"),
+)
+def q_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global lifetime totals with COALESCE-0 defaults
+    (reference app/database.py:147-167)."""
+    return traffic_history(spark, sf_dir).agg(*_sum_aggs())
+
+
+TRAILING_DAYS = 7
+
+
+@register(
+    "q_trailing_totals",
+    oracle=with_traffic(f"""
+SELECT {_SUMS}
+FROM traffic
+WHERE ts >= TIMESTAMP '{NOW_TS}' - INTERVAL {TRAILING_DAYS} DAY
+"""),
+)
+def q_trailing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: trailing-N-day totals at pinned `now`
+    (reference app/database.py:169-195)."""
+    cutoff = F.lit(NOW_TS).cast("timestamp") - F.expr(f"INTERVAL {TRAILING_DAYS} DAYS")
+    return traffic_history(spark, sf_dir).filter(F.col("ts") >= cutoff).agg(*_sum_aggs())
+
+
+@register(
+    "q_per_camera_totals",
+    oracle=with_traffic(f"""
+SELECT camera_id, {_SUMS}
+FROM traffic GROUP BY camera_id ORDER BY camera_id
+"""),
+)
+def q_per_camera_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-camera grouped totals (reference scripts/sync_stats_db.py:41-49).
+    Invariant: these roll up exactly to q_lifetime_totals — the
+    consistency the reference needs a repair script for."""
+    return (
+        traffic_history(spark, sf_dir).groupBy("camera_id").agg(*_sum_aggs()).orderBy("camera_id")
+    )
+
+
+@register(
+    "q_rollup_totals",
+    oracle=with_traffic(f"""
+SELECT camera_id, CAST(GROUPING(camera_id) AS INT) AS is_total_row, {_SUMS}
+FROM traffic GROUP BY ROLLUP(camera_id) ORDER BY is_total_row, camera_id
+"""),
+)
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A4 fused with ROLLUP: per-camera and global totals from one
+    scan (SURVEY.md §2.4 note) — the reference computes these as two
+    separate queries plus a reconciliation script."""
+    return (
+        traffic_history(spark, sf_dir)
+        .rollup("camera_id")
+        .agg(F.grouping("camera_id").cast("int").alias("is_total_row"), *_sum_aggs())
+        .select(
+            "camera_id",
+            "is_total_row",
+            "total_new_count",
+            "total_new_cars",
+            "total_new_motors",
+            "n_samples",
+        )
+        .orderBy("is_total_row", "camera_id")
+    )
+
+
+@register(
+    "q_distinct_cameras",
+    oracle=with_traffic("SELECT DISTINCT camera_id FROM traffic ORDER BY camera_id"),
+)
+def q_distinct_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: DISTINCT camera ids (reference scripts/analyze_thresholds.py:25).
+    Partial-aggregate dedup per partition before the shuffle."""
+    return traffic_history(spark, sf_dir).select("camera_id").distinct().orderBy("camera_id")
+
+
+@register(
+    "q_hourly_sums",
+    oracle=with_traffic("""
+SELECT camera_id, date_trunc('hour', ts) AS hour_ts,
+       CAST(SUM(new_count) AS BIGINT) AS hourly_total,
+       COUNT(*) AS n_samples
+FROM traffic GROUP BY 1, 2 ORDER BY camera_id, hour_ts
+"""),
+)
+def q_hourly_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-camera hourly sums (reference scripts/analyze_thresholds.py:33-44)."""
+    return (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.sum("new_count").alias("hourly_total"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .orderBy("camera_id", "hour_ts")
+    )
+
+
+# Trailing windows of the reference's save_stats (app/utils.py:523-565):
+# {10s, 30m, 1h, 5h, 24h} there; wider set here because the testdata is
+# 60 s-grained: {1h, 6h, 24h, 7d, 30d}.
+WINDOWS_S = {"1h": 3600, "6h": 21600, "24h": 86400, "7d": 604800, "30d": 2592000}
+
+
+@register(
+    "q_window_stats",
+    oracle=with_traffic(
+        "SELECT\n"
+        + ",\n".join(
+            f"""  CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{NOW_TS}' - INTERVAL {s} SECOND THEN new_count END), 0) AS BIGINT) AS w{label}_new_count,
+  CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{NOW_TS}' - INTERVAL {s} SECOND THEN 1 END), 0) AS BIGINT) AS w{label}_samples"""
+            for label, s in WINDOWS_S.items()
+        )
+        + "\nFROM traffic"
+    ),
+)
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: multi-window trailing stats as ONE conditional-aggregation
+    scan — the idiomatic replacement for the reference's five passes
+    over pooled history (app/utils.py:523-565)."""
+    now = F.lit(NOW_TS).cast("timestamp")
+    aggs = []
+    for label, s in WINDOWS_S.items():
+        in_w = F.col("ts") >= now - F.expr(f"INTERVAL {s} SECONDS")
+        aggs.append(
+            F.coalesce(F.sum(F.when(in_w, F.col("new_count"))), F.lit(0))
+            .cast("long")
+            .alias(f"w{label}_new_count")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(in_w, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"w{label}_samples")
+        )
+    return traffic_history(spark, sf_dir).agg(*aggs)
+
+
+# Data-lake daily aggregate (S6+A11): one "partition day" of event-level
+# rows counted per camera × class. The reference lists a YYYY/MM/DD
+# directory and loops over CSVs (app/utils.py:329-384); here the date
+# predicate partition-prunes and the pivot is a grouped conditional count.
+LAKE_DAY = "2024-01-15"
+
+
+@register(
+    "q_datalake_daily_agg",
+    oracle=with_traffic(f"""
+SELECT camera_id AS source_name,
+       CAST(COALESCE(SUM(CASE WHEN new_cars > 0 THEN 1 END), 0) AS BIGINT) AS car,
+       CAST(COALESCE(SUM(CASE WHEN new_cars = 0 THEN 1 END), 0) AS BIGINT) AS motorcycle,
+       COUNT(*) AS total
+FROM traffic
+WHERE CAST(ts AS DATE) = DATE '{LAKE_DAY}'
+GROUP BY camera_id
+ORDER BY source_name
+"""),
+)
+def q_datalake_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A11: per-camera × class counts for one lake partition day
+    (reference app/utils.py:361-380), via groupBy().pivot()."""
+    h = traffic_history(spark, sf_dir)
+    cls = F.when(F.col("new_cars") > 0, F.lit("car")).otherwise(F.lit("motorcycle"))
+    return (
+        h.filter(F.to_date("ts") == F.lit(LAKE_DAY).cast("date"))
+        .withColumn("cls", cls)
+        .groupBy(F.col("camera_id").alias("source_name"))
+        .pivot("cls", ["car", "motorcycle"])
+        .count()
+        .select(
+            "source_name",
+            F.coalesce("car", F.lit(0)).alias("car"),
+            F.coalesce("motorcycle", F.lit(0)).alias("motorcycle"),
+            (F.coalesce("car", F.lit(0)) + F.coalesce("motorcycle", F.lit(0))).alias("total"),
+        )
+        .orderBy("source_name")
+    )
+
+
+@register(
+    "q_bucket_share",
+    oracle=with_traffic("""
+SELECT event_type,
+       CAST(SUM(new_count) AS BIGINT) AS type_total,
+       CAST(SUM(new_count) AS DOUBLE)
+         / CAST(SUM(CAST(SUM(new_count) AS BIGINT)) OVER () AS DOUBLE) AS share
+FROM traffic
+GROUP BY event_type
+ORDER BY event_type
+"""),
+)
+def q_bucket_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: percent-of-total shares via an analytic window over an
+    aggregate (reference computes this client-side,
+    index.html:1045-1060)."""
+    from pyspark.sql import Window
+
+    totals = (
+        traffic_history(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum("new_count").alias("type_total"))
+    )
+    return (
+        totals.withColumn(
+            "share",
+            F.col("type_total").cast("double")
+            / F.sum("type_total").over(Window.partitionBy()).cast("double"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,1 +1,109 @@
-"""Stub — populated in this round."""
+"""IoU-based stationary-vehicle suppression, batch form (SURVEY.md §2.8
+F12, §2.9 St3).
+
+The reference suppresses a detection if its bbox overlaps (IoU > 0.5)
+any bbox from the previous frame of the same camera
+(``app/services/camera.py:88-104`` hand-coded IoU, applied
+``:239-256``). Batch form: consecutive observations per camera are
+paired with a ranking window and the IoU is pure column arithmetic —
+greatest/least/multiply — entirely inside whole-stage codegen; no UDF.
+
+Testdata has no bboxes, so deterministic synthetic boxes are derived
+from each event's (value, props.k, id) — the same formula on both
+engines, integer-only so cross-engine exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import iou
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+IOU_THRESHOLD = 0.5
+
+_BBOX_SQL = """
+SELECT camera_id, ts, id,
+       CAST(FLOOR(value) AS BIGINT) % 80 AS x1,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 80 AS y1,
+       CAST(FLOOR(value) AS BIGINT) % 80 + 15 + id % 10 AS x2,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 80 + 15 + id % 7 AS y2
+FROM traffic
+""".strip()
+
+
+def _bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = traffic_history(spark, sf_dir)
+    x1 = F.col("new_count") % 80
+    y1 = F.get_json_object("props", "$.k").cast("long") % 80
+    return h.select(
+        "camera_id",
+        "ts",
+        "id",
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 15 + F.col("id") % 10).alias("x2"),
+        (y1 + 15 + F.col("id") % 7).alias("y2"),
+    )
+
+
+@register(
+    "q_iou_dedup",
+    oracle=with_traffic(f"""
+, boxes AS (
+  {_BBOX_SQL}
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY ts, id) AS rn
+  FROM boxes
+)
+SELECT c.camera_id, c.id AS event_id, p.id AS prev_event_id,
+       ROUND(
+         CAST(GREATEST(0, LEAST(c.x2, p.x2) - GREATEST(c.x1, p.x1))
+            * GREATEST(0, LEAST(c.y2, p.y2) - GREATEST(c.y1, p.y1)) AS DOUBLE)
+         / CAST((c.x2 - c.x1) * (c.y2 - c.y1) + (p.x2 - p.x1) * (p.y2 - p.y1)
+            - GREATEST(0, LEAST(c.x2, p.x2) - GREATEST(c.x1, p.x1))
+            * GREATEST(0, LEAST(c.y2, p.y2) - GREATEST(c.y1, p.y1)) AS DOUBLE),
+         6) AS iou,
+       (CAST(GREATEST(0, LEAST(c.x2, p.x2) - GREATEST(c.x1, p.x1))
+           * GREATEST(0, LEAST(c.y2, p.y2) - GREATEST(c.y1, p.y1)) AS DOUBLE)
+        / CAST((c.x2 - c.x1) * (c.y2 - c.y1) + (p.x2 - p.x1) * (p.y2 - p.y1)
+           - GREATEST(0, LEAST(c.x2, p.x2) - GREATEST(c.x1, p.x1))
+           * GREATEST(0, LEAST(c.y2, p.y2) - GREATEST(c.y1, p.y1)) AS DOUBLE))
+        > {IOU_THRESHOLD} AS suppressed
+FROM seq c
+JOIN seq p ON p.camera_id = c.camera_id AND p.rn = c.rn - 1
+ORDER BY c.camera_id, event_id
+"""),
+)
+def q_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-vehicle suppression: IoU of each observation's box vs the
+    previous frame's box of the same camera; suppressed when
+    IoU > 0.5. Self-join on (camera, rn-1) — at scale both sides share
+    the same camera_id hash partitioning, so the join reuses one
+    shuffle; the IoU itself never leaves codegen."""
+    boxes = _bboxes(spark, sf_dir)
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    seq = boxes.withColumn("rn", F.row_number().over(w))
+    c, p = seq.alias("c"), seq.alias("p")
+    pair_iou = iou(
+        (F.col("c.x1"), F.col("c.y1"), F.col("c.x2"), F.col("c.y2")),
+        (F.col("p.x1"), F.col("p.y1"), F.col("p.x2"), F.col("p.y2")),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("p.camera_id") == F.col("c.camera_id"))
+            & (F.col("p.rn") == F.col("c.rn") - 1),
+        )
+        .select(
+            F.col("c.camera_id").alias("camera_id"),
+            F.col("c.id").alias("event_id"),
+            F.col("p.id").alias("prev_event_id"),
+            F.round(pair_iou, 6).alias("iou"),
+            (pair_iou > IOU_THRESHOLD).alias("suppressed"),
+        )
+        .orderBy("camera_id", "event_id")
+    )

@@ -1,1 +1,204 @@
-"""Stub — populated in this round."""
+"""Time-series bucketing (SURVEY.md §2.4 A9/A10, §3.2).
+
+The reference materializes a full range scan into Python dicts and
+re-aggregates with ``int(ts // interval) * interval`` loops
+(``app/routes.py:105-137``; in-memory variant with pre-allocated empty
+buckets ``app/utils.py:567-689``). Here each chart is one grouped
+aggregation; the dense variant left-joins a generated bucket spine
+(``sequence()`` + ``explode``) so empty buckets appear zero-filled —
+no driver-side loop, no collect.
+
+Bucket arithmetic uses integer epoch seconds exclusively (compat
+notes): a double epoch can flip a boundary row into the wrong bucket
+by one ULP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import NOW_EPOCH, NOW_TS, bucket_epoch
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+# Period table (reference app/routes.py:76-103): period → (span, interval).
+PERIODS = {
+    "24h": (86400, 3600),
+    "7d": (604800, 21600),
+    "30d": (2592000, 86400),
+}
+
+SERIES_PERIOD = "24h"
+DENSE_PERIOD = "7d"
+
+
+def bucket_series(
+    spark: SparkSession, sf_dir: str, span_s: int, interval_s: int
+) -> DataFrame:
+    """Tumbling-bucket sums over the trailing span ending at NOW."""
+    h = traffic_history(spark, sf_dir)
+    start = NOW_EPOCH - span_s
+    return (
+        h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+        .groupBy(bucket_epoch("ts", interval_s).alias("bucket_epoch"))
+        .agg(
+            F.sum("new_count").alias("total_new_count"),
+            F.sum("new_cars").alias("total_new_cars"),
+            F.sum("new_motors").alias("total_new_motors"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumn("bucket_ts", F.timestamp_seconds("bucket_epoch"))
+        .withColumn("label", F.date_format("bucket_ts", "HH:mm"))
+        .orderBy("bucket_epoch")
+    )
+
+
+def _series_oracle(span_s: int, interval_s: int, label_fmt: str) -> str:
+    return with_traffic(f"""
+SELECT
+  CAST(FLOOR(epoch_us(ts) // 1000000 / {interval_s}) * {interval_s} AS BIGINT) AS bucket_epoch,
+  CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+  CAST(SUM(new_cars) AS BIGINT) AS total_new_cars,
+  CAST(SUM(new_motors) AS BIGINT) AS total_new_motors,
+  COUNT(*) AS n_samples,
+  make_timestamp(CAST(FLOOR(epoch_us(ts) // 1000000 / {interval_s}) * {interval_s} AS BIGINT) * 1000000) AS bucket_ts,
+  strftime(make_timestamp(CAST(FLOOR(epoch_us(ts) // 1000000 / {interval_s}) * {interval_s} AS BIGINT) * 1000000), '{label_fmt}') AS label
+FROM traffic
+WHERE ts >= make_timestamp(CAST({NOW_EPOCH - span_s} AS BIGINT) * 1000000)
+GROUP BY 1
+ORDER BY bucket_epoch
+""")
+
+
+@register(
+    "q_bucket_series",
+    oracle=_series_oracle(*PERIODS[SERIES_PERIOD], "%H:%M"),
+)
+def q_bucket_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: trailing-24h hourly buckets with HH:mm labels
+    (reference app/routes.py:74-137)."""
+    return bucket_series(spark, sf_dir, *PERIODS[SERIES_PERIOD])
+
+
+@register(
+    "q_bucket_series_dense",
+    oracle=with_traffic(f"""
+, spine AS (
+  SELECT CAST(g AS BIGINT) AS bucket_epoch
+  FROM (SELECT unnest(generate_series(
+    {NOW_EPOCH - PERIODS[DENSE_PERIOD][0]}, {NOW_EPOCH - 1}, {PERIODS[DENSE_PERIOD][1]})) AS g)
+),
+agg AS (
+  SELECT CAST(FLOOR(epoch_us(ts) // 1000000 / {PERIODS[DENSE_PERIOD][1]}) * {PERIODS[DENSE_PERIOD][1]} AS BIGINT) AS bucket_epoch,
+         CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+         COUNT(*) AS n_samples
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - PERIODS[DENSE_PERIOD][0]} AS BIGINT) * 1000000)
+  GROUP BY 1
+)
+SELECT s.bucket_epoch,
+       make_timestamp(s.bucket_epoch * 1000000) AS bucket_ts,
+       strftime(make_timestamp(s.bucket_epoch * 1000000), '%d/%m') AS label,
+       COALESCE(a.total_new_count, 0) AS total_new_count,
+       COALESCE(a.n_samples, 0) AS n_samples
+FROM spine s LEFT JOIN agg a ON a.bucket_epoch = s.bucket_epoch
+ORDER BY s.bucket_epoch
+"""),
+)
+def q_bucket_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: trailing-7d 6h buckets with ZERO-FILLED empties — the
+    reference pre-allocates empty buckets in a Python dict
+    (app/utils.py:675-689); here a sequence() spine left-joins the
+    aggregate. The spine is tiny → broadcast."""
+    span_s, interval_s = PERIODS[DENSE_PERIOD]
+    start = NOW_EPOCH - span_s
+    spine = spark.range(0, span_s // interval_s).select(
+        (F.lit(start) + F.col("id") * interval_s).cast("long").alias("bucket_epoch")
+    )
+    agg = (
+        traffic_history(spark, sf_dir)
+        .filter(F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+        .groupBy(bucket_epoch("ts", interval_s).alias("bucket_epoch"))
+        .agg(
+            F.sum("new_count").alias("total_new_count"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(agg, "bucket_epoch", "left")
+        .select(
+            "bucket_epoch",
+            F.timestamp_seconds("bucket_epoch").alias("bucket_ts"),
+            F.date_format(F.timestamp_seconds("bucket_epoch"), "dd/MM").alias("label"),
+            F.coalesce("total_new_count", F.lit(0)).alias("total_new_count"),
+            F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+        )
+        .orderBy("bucket_epoch")
+    )
+
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "q_session_windows",
+    oracle=with_traffic(f"""
+, seq AS (
+  SELECT camera_id, ts, id, new_count,
+         CASE WHEN epoch_us(ts) // 1000000
+                   - epoch_us(LAG(ts) OVER (PARTITION BY camera_id ORDER BY ts, id)) // 1000000
+                   > {SESSION_GAP_S}
+              OR LAG(ts) OVER (PARTITION BY camera_id ORDER BY ts, id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM traffic
+),
+sess AS (
+  SELECT camera_id, ts, id, new_count,
+         CAST(SUM(is_new_session) OVER (PARTITION BY camera_id ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM seq
+)
+SELECT camera_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(new_count) AS BIGINT) AS session_total
+FROM sess
+GROUP BY camera_id, session_id
+ORDER BY camera_id, session_id
+"""),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session (lag +
+    running count). The reference has no session concept (SURVEY.md
+    §2.9 St6) — included to round out the window surface; the
+    streaming twin is streaming/windows.py session_window()."""
+    from pyspark.sql import Window
+
+    from ..compat import epoch_s
+
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    h = traffic_history(spark, sf_dir)
+    seq = h.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((epoch_s("ts") - epoch_s(F.lag("ts").over(w))) > SESSION_GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("camera_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_count").alias("session_total"),
+        )
+        .orderBy("camera_id", "session_id")
+    )

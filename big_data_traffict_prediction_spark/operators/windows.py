@@ -1,1 +1,132 @@
-"""Stub — populated in this round."""
+"""SQL window functions (SURVEY.md §2.5).
+
+The reference has none — its "latest row per camera" is a dict field
+overwritten in place (``app/services/camera.py:283-285``) and its
+cumulative counts are ``+=`` under the GIL (``:287-290``). Ranking and
+running-sum windows reproduce both semantics declaratively; at scale
+each window shuffles once on camera_id (bounded cardinality, evenly
+distributed in testdata; a hot camera is AQE-skew-split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+# Client-side congestion ladder (reference dashboard.html:820-835) —
+# deliberately DIFFERENT cutoffs from the prediction ladder
+# (app/routes.py:288-307); both rule sets ship, as in the reference.
+CONGESTION_SQL = """
+CASE WHEN new_count <= 10 THEN 'LANCAR'
+     WHEN new_count <= 25 THEN 'PADAT LANCAR'
+     WHEN new_count <= 45 THEN 'MACET'
+     ELSE 'MACET TOTAL' END
+""".strip()
+
+
+def congestion_col(count_col: str = "new_count") -> F.Column:
+    c = F.col(count_col)
+    return (
+        F.when(c <= 10, F.lit("LANCAR"))
+        .when(c <= 25, F.lit("PADAT LANCAR"))
+        .when(c <= 45, F.lit("MACET"))
+        .otherwise(F.lit("MACET TOTAL"))
+    )
+
+
+@register(
+    "q_latest_per_camera",
+    oracle=with_traffic(f"""
+SELECT camera_id, ts, new_count, new_cars, new_motors,
+       {CONGESTION_SQL} AS congestion
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY ts DESC, id DESC) AS rn
+  FROM traffic
+)
+WHERE rn = 1
+ORDER BY camera_id
+"""),
+)
+def q_latest_per_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest observation per camera + client congestion ladder
+    (reference current_count semantics, app/services/camera.py:283-285;
+    ladder dashboard.html:820-835). row_number window, rn=1."""
+    w = Window.partitionBy("camera_id").orderBy(F.desc("ts"), F.desc("id"))
+    return (
+        traffic_history(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "camera_id",
+            "ts",
+            "new_count",
+            "new_cars",
+            "new_motors",
+            congestion_col().alias("congestion"),
+        )
+        .orderBy("camera_id")
+    )
+
+
+@register(
+    "q_running_totals",
+    oracle=with_traffic("""
+SELECT camera_id, ts, id, new_count,
+       CAST(SUM(new_count) OVER (PARTITION BY camera_id ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS accumulated_count
+FROM traffic
+ORDER BY camera_id, ts, id
+"""),
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-camera cumulative counts as a plotted series — the
+    reference's `accumulated_count += new_count` (app/services/
+    camera.py:287-290) as a running-sum window."""
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        traffic_history(spark, sf_dir)
+        .select(
+            "camera_id",
+            "ts",
+            "id",
+            "new_count",
+            F.sum("new_count").over(w).cast("long").alias("accumulated_count"),
+        )
+        .orderBy("camera_id", "ts", "id")
+    )
+
+
+TOPK_PER_CAMERA = 3
+
+
+@register(
+    "q_topk_per_camera",
+    oracle=with_traffic(f"""
+SELECT camera_id, ts, id, new_count, CAST(rn AS BIGINT) AS rank_in_camera
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY new_count DESC, id ASC) AS rn
+  FROM traffic
+)
+WHERE rn <= {TOPK_PER_CAMERA}
+ORDER BY camera_id, rank_in_camera
+"""),
+)
+def q_topk_per_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K busiest observations per camera (ranking window; the
+    bounded-retention analog of the reference's 50k-deque eviction,
+    SURVEY.md §2.6 O5). Deterministic tie-break on id."""
+    w = Window.partitionBy("camera_id").orderBy(F.desc("new_count"), F.asc("id"))
+    return (
+        traffic_history(spark, sf_dir)
+        .withColumn("rank_in_camera", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_camera") <= TOPK_PER_CAMERA)
+        .select("camera_id", "ts", "id", "new_count", "rank_in_camera")
+        .orderBy("camera_id", "rank_in_camera")
+    )
