@@ -1,1 +1,406 @@
-"""Stub — populated in this round."""
+"""Deduplication operators over ``documents`` (north-star LLM-data
+pipeline; BASELINE.json).
+
+Four tiers, each the standard shape for its scale:
+
+- **exact**: hash-groupBy on normalized text — one shuffle on the
+  fingerprint, trivially 100 TB-safe.
+- **n-gram Jaccard**: shingle explode + equi-join on shingle — exact
+  pairwise similarity, but candidate generation is the quadratic
+  bottleneck at scale; kept as the verification oracle.
+- **MinHash + LSH**: 16 minhashes → 4 bands × 4 rows → candidates are
+  only pairs sharing a band signature; THE scale path (candidates
+  ∝ near-dups, not n²). Fully oracle-checked because both engines
+  share the same 60-bit md5-derived hash (functions/text.hash60).
+- **SimHash**: 32-bit signatures + top-16-bit banding + hamming≤k —
+  the other classic near-dup family.
+
+MLlib's MinHashLSH variant lives in similarity.py (Spark-only,
+model-based). Everything here is pure DataFrame ops — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .text import NORM_SQL, hash60, hash60_sql, norm_col
+
+JACCARD_THRESHOLD = 0.5
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SIMHASH_BITS = 32
+SIMHASH_BUCKET_SHIFT = 16  # band on the top 16 bits
+HAMMING_MAX = 3
+
+# ---------------------------------------------------------------- shared
+
+_SHINGLE_CTE = f"""
+tok AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(toks) - 2),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tok
+  WHERE len(toks) >= 3
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+)
+""".strip()
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams of normalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(norm_col(), " ")
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """All pairs sharing ≥1 shingle with exact jaccard (d1 < d2)."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+SELECT fingerprint, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) > 1 AS has_duplicates
+FROM (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents)
+GROUP BY fingerprint
+ORDER BY fingerprint
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy(md5(norm)) keeping the smallest doc_id —
+    one hash shuffle; partial aggregation dedups map-side first."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_col()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            (F.count(F.lit(1)) > 1).alias("has_duplicates"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2, p.n_common, c1.n AS n1, c2.n AS n2,
+       ROUND(CAST(p.n_common AS DOUBLE) / CAST(c1.n + c2.n - p.n_common AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN cnt c1 ON c1.doc_id = p.d1
+JOIN cnt c2 ON c2.doc_id = p.d2
+WHERE CAST(p.n_common AS DOUBLE) / CAST(c1.n + c2.n - p.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with exact 3-gram Jaccard ≥ 0.5 via shingle
+    equi-join. The shingle join IS the shuffle; skewed common shingles
+    are handled by AQE skew-split. Quadratic in the worst case — the
+    LSH variant below is the 100 TB path."""
+    pj = _pair_jaccard(shingles(spark, sf_dir))
+    return (
+        pj.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------- minhash + lsh
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, mh): min over shingles of hash60(seed|shingle)."""
+    sh = shingles(spark, sf_dir)
+    seeds = spark.range(NUM_HASHES).select(F.col("id").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            hash60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_keys(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): concat the band's row minhashes."""
+    parts = [
+        F.max(
+            F.when(F.col("seed") % ROWS_PER_BAND == r, F.col("mh"))
+        ).cast("string").alias(f"m{r}")
+        for r in range(ROWS_PER_BAND)
+    ]
+    banded = mh.groupBy(
+        "doc_id", (F.col("seed") / ROWS_PER_BAND).cast("long").alias("band")
+    ).agg(*parts)
+    return banded.select(
+        "doc_id",
+        "band",
+        F.concat_ws("-", *[F.col(f"m{r}") for r in range(ROWS_PER_BAND)]).alias("band_key"),
+    )
+
+
+_MINHASH_CTE = f"""
+seeds AS (
+  SELECT CAST(unnest(generate_series(0, {NUM_HASHES - 1})) AS BIGINT) AS seed
+),
+mh AS (
+  SELECT doc_id, seed,
+         MIN({hash60_sql("CAST(seed AS VARCHAR) || '|' || shingle")}) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+         {" || '-' || ".join(f"CAST(MAX(CASE WHEN seed % {ROWS_PER_BAND} = {r} THEN mh END) AS VARCHAR)" for r in range(ROWS_PER_BAND))} AS band_key
+  FROM mh
+  GROUP BY doc_id, seed // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+""".strip()
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+{_MINHASH_CTE},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.d1, c.d2,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(c1.n + c2.n - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(c1.n + c2.n - COALESCE(i.n_common, 0) AS DOUBLE) >= {JACCARD_THRESHOLD} AS is_duplicate
+FROM cand c
+LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+JOIN cnt c1 ON c1.doc_id = c.d1
+JOIN cnt c2 ON c2.doc_id = c.d2
+ORDER BY c.d1, c.d2
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100 TB dedup path:
+    shingle→16 minhashes→4 bands; only band-collision pairs are
+    candidates, then exact Jaccard verifies each candidate. Candidate
+    volume scales with true near-dups, not n². Same hash on both
+    engines → fully oracle-checked (rare for LSH)."""
+    sh = shingles(spark, sf_dir)
+    bands = lsh_band_keys(minhash_signatures(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    pj = _pair_jaccard(sh).select("d1", "d2", "jaccard")
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    # left join: a band collision without common shingles gets jaccard 0
+    return (
+        cand.join(pj, ["d1", "d2"], "left")
+        .join(c1, "d1")
+        .join(c2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+            (F.coalesce("jaccard", F.lit(0.0)) >= JACCARD_THRESHOLD).alias("is_duplicate"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+_SIMHASH_CTE = f"""
+tok2 AS (
+  SELECT doc_id, unnest(list_distinct(string_split({NORM_SQL}, ' '))) AS w
+  FROM documents
+),
+hw AS (
+  SELECT doc_id, {hash60_sql("w")} AS h FROM tok2
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hw CROSS JOIN (
+    SELECT CAST(unnest(generate_series(0, {SIMHASH_BITS - 1})) AS BIGINT) AS bit
+  ) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+  GROUP BY doc_id
+)
+""".strip()
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(norm_col(), " "))).alias("w")
+    )
+    hw = tok.select("doc_id", hash60(F.col("w")).alias("h"))
+    bits_dim = spark.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
+    bits = (
+        hw.crossJoin(F.broadcast(bits_dim))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("v")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+@register(
+    "q_simhash_signatures",
+    oracle=f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash, simhash >> {SIMHASH_BUCKET_SHIFT} AS bucket
+FROM sig ORDER BY doc_id
+""",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash signature (32-bit, bit-vote construction)
+    + its top-16-bit LSH bucket."""
+    return (
+        simhash_signatures(spark, sf_dir)
+        .select(
+            "doc_id",
+            "simhash",
+            F.expr(f"simhash >> {SIMHASH_BUCKET_SHIFT}").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       a.simhash AS simhash1, b.simhash AS simhash2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a
+JOIN sig b ON a.simhash >> {SIMHASH_BUCKET_SHIFT} = b.simhash >> {SIMHASH_BUCKET_SHIFT}
+          AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY d1, d2
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: equi-join on the top-8-bit bucket (the
+    scale move — no all-pairs), then hamming ≤ 3 filter via
+    bit_count(xor)."""
+    sig = simhash_signatures(spark, sf_dir).withColumn(
+        "bucket", F.expr(f"simhash >> {SIMHASH_BUCKET_SHIFT}")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("simhash1"),
+            F.col("b.simhash").alias("simhash2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("d1", "d2")
+    )

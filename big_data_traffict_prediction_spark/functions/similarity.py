@@ -1,1 +1,287 @@
-"""Stub — populated in this round."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d)
+— north-star LLM-data-pipeline surface.
+
+- **brute-force cosine top-k**: the correctness baseline. Dot products
+  are computed in *fixed-point* (FLOOR(x·y·10^12) summed as BIGINT via
+  zip_with + aggregate) so Spark and DuckDB produce bit-identical
+  cosines — float summation order never matters.
+- **embedding near-dup**: all-pairs cosine ≥ threshold (quadratic;
+  the oracle-checked reference semantics).
+- **IVF (inverted-file) ANN**: the 100 TB path — KMeans coarse
+  quantizer over a sample, search only the query's nearest cells.
+  Model-based → Spark-only (rows-only driver check).
+- **MLlib MinHashLSH**: library twin of functions/dedup's hand-rolled
+  LSH; Spark-only.
+
+At scale the brute-force variant is a broadcast of the (small) query
+set against a partitioned candidate table — no shuffle of candidates;
+the per-query top-k is a ranking window partitioned by query id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+DOT_SCALE = 1_000_000_000_000  # 1e12: products ≲ 1 → 64·1e12 ≪ int64 max
+TOP_K = 5
+QUERY_MOD = 40  # queries = vec_id % 40 == 0
+NEARDUP_COS = 0.45
+
+# dot_fp(a, b) = Σ floor(a_i · b_i · 1e12)  (exact integers)
+# cosine     = dot_fp / (sqrt(na_fp) · sqrt(nb_fp))   (scales cancel)
+
+
+def _dot_fp(a: Column, b: Column) -> Column:
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * DOT_SCALE).cast("long"),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _norm_fp(a: Column) -> Column:
+    return _dot_fp(a, a)
+
+
+def _dot_fp_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, 64), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {DOT_SCALE}.0) AS BIGINT))) AS BIGINT)"
+    )
+
+
+_VECS_CTE = f"""
+vecs AS (
+  SELECT vec_id, label, embedding,
+         {_dot_fp_sql("embedding", "embedding")} AS norm_fp
+  FROM embeddings
+)
+""".strip()
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", "embedding", _norm_fp(F.col("embedding")).alias("norm_fp")
+    )
+
+
+def _cosine(dot_fp: Column, na_fp: Column, nb_fp: Column) -> Column:
+    return dot_fp.cast("double") / (
+        F.sqrt(na_fp.cast("double")) * F.sqrt(nb_fp.cast("double"))
+    )
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle=f"""
+WITH {_VECS_CTE},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_dot_fp_sql("q.embedding", "c.embedding")} AS dot_fp,
+         q.norm_fp AS qn, c.norm_fp AS cn
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query subset against all
+    candidates, rank per query. Exact — the recall baseline every ANN
+    variant is judged against."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fp").alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_fp").alias("cn"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    cos = _cosine(_dot_fp(F.col("q_emb"), F.col("c_emb")), F.col("qn"), F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+WITH {_VECS_CTE},
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label1, b.label AS label2,
+         CAST({_dot_fp_sql("a.embedding", "b.embedding")} AS DOUBLE)
+           / (sqrt(CAST(a.norm_fp AS DOUBLE)) * sqrt(CAST(b.norm_fp AS DOUBLE))) AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+)
+SELECT v1, v2, label1, label2, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {NEARDUP_COS}
+ORDER BY v1, v2
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45): the exact
+    quadratic form. At 100 TB this is what the IVF/LSH variants
+    replace; kept as semantics oracle."""
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("v1"),
+        F.col("label").alias("label1"),
+        F.col("embedding").alias("e1"),
+        F.col("norm_fp").alias("n1"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("label2"),
+        F.col("embedding").alias("e2"),
+        F.col("norm_fp").alias("n2"),
+    )
+    cos = _cosine(_dot_fp(F.col("e1"), F.col("e2")), F.col("n1"), F.col("n2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "label1", "label2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("v1", "v2", "label1", "label2", F.round("cosine", 6).alias("cosine"))
+        .orderBy("v1", "v2")
+    )
+
+
+IVF_CELLS = 8
+IVF_PROBES = 2
+
+
+@register("q_ann_ivf", oracle=None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the scale path: KMeans coarse quantizer (MLlib, trained
+    on the candidate set), candidates assigned to their nearest cell,
+    each query searched only in its IVF_PROBES nearest cells — a
+    cell-id equi-join replaces the all-pairs cross join.
+
+    Model-based (KMeans) → no SQL oracle; the driver records a
+    rows-only check. tests/test_similarity.py asserts recall vs
+    q_ann_bruteforce instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs.select("features"))
+    assigned = model.transform(vecs)
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    # each query probes its IVF_PROBES nearest cells
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fp").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(centers)).withColumn(
+        "dist_fp",
+        -_dot_fp(F.col("q_emb"), F.col("center")),  # max dot ≈ min angular dist
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist_fp"), F.asc("cell"))
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= IVF_PROBES)
+        .select("query_id", "q_emb", "qn", "cell")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_fp").alias("cn"),
+        "cell",
+    )
+    pairs = F.broadcast(probes).join(cand, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _cosine(_dot_fp(F.col("q_emb"), F.col("c_emb")), F.col("qn"), F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("q_dedup_minhash_mllib", oracle=None)
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH twin of q_dedup_minhash_lsh: HashingTF over
+    shingles → MinHashLSH.approxSimilarityJoin at Jaccard ≥ 0.5.
+    Model-based hashes → Spark-only (rows-only driver check);
+    tests assert it finds the same planted pairs as the hand-rolled
+    LSH."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from .dedup import JACCARD_THRESHOLD, shingles
+
+    sh = (
+        shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingle_set"))
+    )
+    tf = HashingTF(
+        inputCol="shingle_set", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh).filter(F.col("doc_id").isNotNull())
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -1,1 +1,259 @@
-"""Stub — populated in this round."""
+"""Text analysis operators over the ``documents`` table — the
+LLM-data-pipeline surface (BASELINE.json north star; no analog in the
+reference, which the profile classifier F15/§2.10 gestures at).
+
+All string work stays JVM-side (built-in regexp/split/length) — no
+Python UDFs in any hot path. Ratios divide exact integers so results
+are reproducible across engines.
+
+Shared normalization (`NORM`): lower + collapse whitespace + trim —
+one definition, used by every text/dedup query on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- shared expressions (Spark + DuckDB twins side by side) -------------
+
+NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def norm_col(c: str = "text") -> Column:
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+# 60-bit hash available identically in both engines:
+# Spark  conv(substr(md5(x),1,15), 16, 10) :: long
+# DuckDB CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+def hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+EN_MARKERS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+DE_MARKERS = ("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+ES_MARKERS = ("el", "la", "los", "de", "y", "es", "un", "una")
+
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _in_list_sql(lst: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in lst) + "]"
+
+
+def _marker_count(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda w: w.isin(*markers))).cast("long")
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {NORM_SQL} AS norm FROM documents
+), m AS (
+  SELECT doc_id, lang, norm,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+         CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         CAST(length(regexp_replace(norm, '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
+         CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter(string_split(norm, ' '),
+              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words
+  FROM t
+)
+SELECT doc_id, lang, n_words, n_chars_norm,
+       CAST(alnum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+       CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE) AS punct_ratio,
+       CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+       0.4 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+         + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
+         + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE)) AS quality_score
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword
+    signals composed into one score — the standard pre-training
+    quality-filter shape, all in whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", norm_col().alias("norm"))
+    tokens = F.split("norm", " ")
+    m = t.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).cast("long").alias("n_words"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+        F.length(F.regexp_replace("norm", "[^a-z0-9]", "")).cast("long").alias("alnum_chars"),
+        F.size(F.regexp_extract_all("norm", F.lit(r"[^a-z0-9 ]"), 0)).cast("long").alias("punct_chars"),
+        _marker_count(tokens, EN_MARKERS).alias("stop_words"),
+    )
+    n_words = F.col("n_words").cast("double")
+    punct_ratio = F.col("punct_chars").cast("double") / F.col("n_chars_norm").cast("double")
+    stop_ratio = F.col("stop_words").cast("double") / n_words
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_chars_norm",
+        (F.col("alnum_chars").cast("double") / n_words).alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            0.4 * F.least(F.lit(1.0), n_words / 100.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.3 * stop_ratio
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split({NORM_SQL}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_filter(toks, w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(toks, w -> list_contains({_in_list_sql(DE_MARKERS)}, w))) AS BIGINT) AS de_hits,
+         CAST(len(list_filter(toks, w -> list_contains({_in_list_sql(ES_MARKERS)}, w))) AS BIGINT) AS es_hits
+  FROM t
+)
+SELECT doc_id, lang, n_words, en_hits, de_hits, es_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+            WHEN es_hits > 0 THEN 'es'
+            ELSE 'und' END AS guessed_lang,
+       (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN es_hits > 0 THEN 'es'
+             ELSE 'und' END) = lang AS matches_label
+FROM s
+ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via marker-word (n-gram) heuristic: per-language
+    hit counts → argmax ladder. Tiny marker dims live in the
+    expression itself — nothing shuffles but the final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(norm_col(), " ")
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        _marker_count(toks, EN_MARKERS).alias("en_hits"),
+        _marker_count(toks, DE_MARKERS).alias("de_hits"),
+        _marker_count(toks, ES_MARKERS).alias("es_hits"),
+    )
+    en, de, es = F.col("en_hits"), F.col("de_hits"), F.col("es_hits")
+    guessed = (
+        F.when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de > 0), F.lit("de"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "en_hits",
+        "de_hits",
+        "es_hits",
+        guessed.alias("guessed_lang"),
+        (guessed == F.col("lang")).alias("matches_label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {NORM_SQL} AS norm, n_chars FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(norm, '{TOKEN_RE}')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(norm) AS DOUBLE)
+         / CAST(len(regexp_extract_all(norm, '{TOKEN_RE}')) AS DOUBLE) AS chars_per_token
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / single punctuation), plus
+    chars-per-token — the budget metric of every corpus pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", norm_col().alias("norm"), "n_chars")
+    bpe = F.size(F.regexp_extract_all("norm", F.lit(TOKEN_RE), 0)).cast("long")
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("norm", " ")).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (F.length("norm").cast("double") / bpe.cast("double")).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({NORM_SQL}) AS fingerprint,
+       {hash60_sql(NORM_SQL)} AS fingerprint60
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint: md5 of the normalized
+    text, plus the 60-bit integer form used as a shuffle/dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(norm_col()).alias("fingerprint"),
+        hash60(norm_col()).alias("fingerprint60"),
+    ).orderBy("doc_id")
+
+
+# Camera-profile classifier analog (reference app/utils.py:16-30 maps
+# name keywords → EXTREME/HEAVY/ARTERIAL/RESIDENTIAL/DEFAULT); part
+# names carry the keyword vocabulary in testdata.
+@register(
+    "q_part_keyword_class",
+    oracle="""
+SELECT p_partkey,
+       p_name,
+       CASE WHEN contains(lower(p_name), 'red') THEN 'EXTREME'
+            WHEN contains(lower(p_name), 'hot') THEN 'HEAVY'
+            WHEN contains(lower(p_name), 'blue') THEN 'ARTERIAL'
+            WHEN contains(lower(p_name), 'small') THEN 'RESIDENTIAL'
+            ELSE 'DEFAULT' END AS profile
+FROM part
+ORDER BY p_partkey
+""",
+)
+def q_part_keyword_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/§2.10: keyword-ladder profile classifier (lower + contains
+    CASE ladder), the reference's camera-profile classing."""
+    p = load_table(spark, sf_dir, "part")
+    low = F.lower("p_name")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.when(low.contains("red"), F.lit("EXTREME"))
+        .when(low.contains("hot"), F.lit("HEAVY"))
+        .when(low.contains("blue"), F.lit("ARTERIAL"))
+        .when(low.contains("small"), F.lit("RESIDENTIAL"))
+        .otherwise(F.lit("DEFAULT"))
+        .alias("profile"),
+    ).orderBy("p_partkey")
