@@ -79,5 +79,6 @@ def _load_modules() -> None:
         text,
     )
     from .ml import forecast  # noqa: F401
+    from .streaming import queries  # noqa: F401
 
     _LOADED = True

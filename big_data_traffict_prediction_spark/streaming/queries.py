@@ -1,0 +1,55 @@
+"""Driver-visible streaming queries (rows-only checks).
+
+Each stages the deterministic detection stream into a scratch dir,
+drains a bounded Structured Streaming query (availableNow) and returns
+the result as a DataFrame — so the driver's correctness harness
+exercises the real streaming path, not a batch stand-in. Genuinely
+non-SQL-expressible (stateful / event-time streaming) → no DuckDB
+oracle by design; batch-equivalence is pinned in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from . import simulate, state, windows
+
+
+def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    base = tempfile.mkdtemp(prefix="traffic_stream_")
+    stage = simulate.stage_stream_dir(spark, sf_dir, f"{base}/stage", n_chunks=4)
+    return stage, base
+
+
+@register("q_stream_iou_dedup", oracle=None)
+def q_stream_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St2-St3: per-camera stateful IoU dedup + accumulators over the
+    simulated stream (applyInPandasWithState). Equals the batch
+    operator q_iou_dedup on the suppressed-set (tested)."""
+    stage, base = _staged(spark, sf_dir)
+    out = windows.run_to_memory(
+        spark,
+        state.stateful_dedup(simulate.read_stream(spark, stage)),
+        f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("camera_id", "id")
+
+
+@register("q_stream_tumbling_counts", oracle=None)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St5: tumbling event-time windows with watermark over the
+    simulated stream."""
+    stage, base = _staged(spark, sf_dir)
+    out = windows.run_to_memory(
+        spark,
+        windows.tumbling_counts(simulate.read_stream(spark, stage), "1 hour"),
+        f"q_stream_tumbling_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("window_start", "camera_id")

@@ -1,0 +1,125 @@
+"""Streaming windowed aggregations + dual sink (SURVEY.md §2.9
+St4-St8).
+
+- tumbling / sliding / session event-time windows with a watermark:
+  the engine-grade replacement for the reference's arrival-time bucket
+  dicts (``app/utils.py:567-689``). Late-data policy is explicit —
+  rows later than the watermark are dropped (the reference silently
+  mis-buckets them; SURVEY.md §2.9 St7).
+- ``foreachBatch`` dual sink: append the fact table AND overwrite the
+  latest-stats snapshot in one transaction-per-epoch — replacing the
+  reference's tmp-file+rename atomic write (``app/utils.py:493-508``)
+  and its 60 s flush thread (``app/services/camera.py:319-322``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK = "30 minutes"
+
+
+def tumbling_counts(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("camera_id"))
+        .agg(
+            F.sum("new_count").alias("total_new_count"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "camera_id",
+            "total_new_count",
+            "n_samples",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, duration: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.sum("new_count").alias("total_new_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total_new_count",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("camera_id"))
+        .agg(
+            F.sum("new_count").alias("session_total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "camera_id",
+            "session_total",
+            "n_events",
+        )
+    )
+
+
+def run_dual_sink(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """St8: one streaming query, two sinks per epoch — append-only fact
+    parquet + overwritten latest-stats snapshot. foreachBatch gives
+    both writes the same epoch id (exactly-once on retry)."""
+    fact_dir = os.path.join(out_dir, "fact")
+    snap_dir = os.path.join(out_dir, "latest_snapshot")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(fact_dir)
+            latest = (
+                batch.groupBy("camera_id")
+                .agg(
+                    F.max_by("new_count", "ts").alias("current_count"),
+                    F.max("ts").alias("last_update"),
+                    F.sum("new_count").alias("batch_total"),
+                )
+                .withColumn("epoch_id", F.lit(epoch_id))
+            )
+            latest.write.mode("overwrite").parquet(snap_dir)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append") -> DataFrame:
+    """Drain a bounded stream into an in-memory table and return it."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

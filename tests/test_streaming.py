@@ -1,0 +1,132 @@
+"""Streaming slice tests: stateful IoU dedup ≡ batch operator,
+windowed aggs ≡ batch groupBy, dual sink writes both stores.
+
+All streams are bounded (availableNow over staged chunks) so they
+drain synchronously inside the test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_traffict_prediction_spark.streaming import simulate, state, windows
+
+
+@pytest.fixture(scope="module")
+def stage_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_stage")
+    return simulate.stage_stream_dir(spark, sf_dir, str(d), n_chunks=5)
+
+
+def test_stateful_dedup_matches_batch_operator(spark, sf_dir, stage_dir, tmp_path):
+    from big_data_traffict_prediction_spark.operators.iou import q_iou_dedup
+
+    stream = simulate.read_stream(spark, stage_dir)
+    out = windows.run_to_memory(
+        spark,
+        state.stateful_dedup(stream),
+        "dedup_out",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    stream_suppressed = {
+        r.id for r in out.filter(F.col("suppressed")).select("id").collect()
+    }
+    batch_suppressed = {
+        r.event_id
+        for r in q_iou_dedup(spark, sf_dir).filter(F.col("suppressed")).collect()
+    }
+    assert stream_suppressed == batch_suppressed
+
+    # accumulator: final per-camera accumulated == sum of non-suppressed
+    final = (
+        out.groupBy("camera_id")
+        .agg(F.max("accumulated_count").alias("acc"))
+        .collect()
+    )
+    expected = (
+        out.filter(~F.col("suppressed"))
+        .groupBy("camera_id")
+        .agg(F.sum("new_count").alias("s"))
+        .collect()
+    )
+    assert {r.camera_id: r.acc for r in final} == {r.camera_id: r.s for r in expected}
+
+
+def test_tumbling_window_matches_batch(spark, sf_dir, stage_dir, tmp_path):
+    stream = simulate.read_stream(spark, stage_dir)
+    got = windows.run_to_memory(
+        spark,
+        windows.tumbling_counts(stream, "1 hour"),
+        "tumbling_out",
+        str(tmp_path / "ckpt_tumbling"),
+    )
+    batch = (
+        simulate.detections_frame(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "camera_id")
+        .agg(F.sum("new_count").alias("total_new_count"), F.count(F.lit(1)).alias("n_samples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "camera_id",
+            "total_new_count",
+            "n_samples",
+        )
+    )
+    got_set = {
+        (r.window_start, r.camera_id, r.total_new_count, r.n_samples)
+        for r in got.collect()
+    }
+    batch_set = {
+        (r.window_start, r.camera_id, r.total_new_count, r.n_samples)
+        for r in batch.collect()
+    }
+    # availableNow + watermark: windows not yet past the watermark at
+    # the final batch are withheld in append mode — got ⊆ batch, and
+    # every emitted window must match batch exactly
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) * 0.8, (
+        f"too few windows emitted: {len(got_set)}/{len(batch_set)}"
+    )
+
+
+def test_session_window_runs(spark, stage_dir, tmp_path):
+    stream = simulate.read_stream(spark, stage_dir)
+    got = windows.run_to_memory(
+        spark,
+        windows.session_counts(stream, "30 minutes"),
+        "session_out",
+        str(tmp_path / "ckpt_session"),
+    )
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_dual_sink_writes_fact_and_snapshot(spark, sf_dir, stage_dir, tmp_path):
+    out_dir = str(tmp_path / "dual")
+    stream = simulate.read_stream(spark, stage_dir)
+    windows.run_dual_sink(stream, out_dir, str(tmp_path / "ckpt_dual"))
+
+    fact = spark.read.parquet(f"{out_dir}/fact")
+    snap = spark.read.parquet(f"{out_dir}/latest_snapshot")
+    n_src = simulate.detections_frame(spark, sf_dir).count()
+    assert fact.count() == n_src
+    # snapshot holds exactly the cameras of the LAST epoch, with their
+    # true latest row
+    assert snap.count() >= 1
+    last = {r.camera_id: r.current_count for r in snap.collect()}
+    latest_rows = (
+        fact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("camera_id").orderBy(F.desc("ts"), F.desc("id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    latest = {r.camera_id: r.new_count for r in latest_rows}
+    for cam, cnt in last.items():
+        assert latest[cam] == cnt
