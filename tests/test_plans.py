@@ -1,0 +1,60 @@
+"""Structural plan assertions: the scale claims in operator docstrings,
+checked against the actual physical plans."""
+
+from __future__ import annotations
+
+from big_data_traffict_prediction_spark.plans import explain
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_camera_history_scan
+
+    df = q_camera_history_scan(spark, sf_dir)
+    assert explain.has_pushed_filters(df), "range predicates must reach the parquet scan"
+    cols = explain.read_schema_columns(df)
+    assert "props" not in cols and "value" in cols, (
+        f"column pruning failed; scan reads {cols}"
+    )
+
+
+def test_topn_export_is_take_ordered_with_broadcast(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.joins import q_topn_export
+
+    df = q_topn_export(spark, sf_dir)
+    assert explain.has_take_ordered(df), "orderBy+limit must plan as TakeOrderedAndProject"
+    assert explain.broadcast_join_count(df) >= 1, "dim join must broadcast"
+
+
+def test_tpch_q5_broadcasts_small_dims(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q5
+
+    df = q_tpch_q5(spark, sf_dir)
+    assert explain.broadcast_join_count(df) >= 3, "supplier/nation/region must broadcast"
+
+
+def test_predict_decision_broadcasts_thresholds(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.prediction import q_predict_decision
+
+    df = q_predict_decision(spark, sf_dir)
+    assert explain.broadcast_join_count(df) >= 1
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    from big_data_traffict_prediction_spark import registry
+
+    for name, fn in registry.all_queries().items():
+        if name.startswith("q_stream_"):
+            continue  # streaming queries materialize eagerly
+        df = fn(spark, sf_dir)
+        assert explain.python_eval_count(df) == 0, (
+            f"{name} has a row-at-a-time Python UDF in its plan"
+        )
+
+
+def test_flagship_is_two_aggregates_one_scan(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.prediction import q_predict_dow_hour
+
+    a = explain.audit(q_predict_dow_hour(spark, sf_dir))
+    assert a["pushed_filters"], "dow/hour predicates derive from ts — ts filter prunes"
+    # two-level agg + final order: shuffles stay bounded (no join, no extra exchange)
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
