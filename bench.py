@@ -1,0 +1,90 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with a ``noop`` datasource write
+so the measurement covers the full distributed plan (scan → shuffle →
+agg) without driver-side collect overhead skewing small results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_traffict_prediction_spark import registry
+from big_data_traffict_prediction_spark.session import get_spark
+
+# Representative spread of the operator surface: flagship prediction,
+# heavy aggregation, window functions, joins/top-k, time-series spine,
+# TPC-H analytics, LLM-data-pipeline ops (dedup / ANN / text).
+HEADLINE = [
+    "q_predict_dow_hour",
+    "q_pattern_matrix",
+    "q_predict_decision",
+    "q_camera_thresholds",
+    "q_window_stats",
+    "q_bucket_series_dense",
+    "q_latest_per_camera",
+    "q_running_totals",
+    "q_topn_export",
+    "q_datalake_daily_agg",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_bruteforce",
+    "q_token_count",
+    "q_text_quality",
+]
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark()
+
+    queries = registry.all_queries()
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # plan, not session startup.
+    queries["q_lifetime_totals"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, queries[name], sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
