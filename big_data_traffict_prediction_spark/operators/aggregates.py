@@ -251,3 +251,30 @@ def q_bucket_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_snapshot",
+    oracle=with_traffic("""
+SELECT CAST(COUNT(DISTINCT camera_id) AS BIGINT) AS n_sources,
+       CAST(COALESCE(SUM(new_count), 0) AS BIGINT) AS accumulated_count,
+       CAST(COALESCE(SUM(new_cars), 0) AS BIGINT) AS accumulated_cars,
+       CAST(COALESCE(SUM(new_motors), 0) AS BIGINT) AS accumulated_motors,
+       MAX(ts) AS last_update
+FROM traffic
+"""),
+)
+def q_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the global_total section of the reference's periodic stats
+    snapshot ({sources, global_total, last_update},
+    app/utils.py:443-511) as one single-row aggregate. The snapshot
+    file's atomic tmp+bak+rename dance is Spark's output-commit
+    protocol (sources/lake.write_snapshot); this query is the
+    content."""
+    return traffic_history(spark, sf_dir).agg(
+        F.countDistinct("camera_id").alias("n_sources"),
+        F.coalesce(F.sum("new_count"), F.lit(0)).cast("long").alias("accumulated_count"),
+        F.coalesce(F.sum("new_cars"), F.lit(0)).cast("long").alias("accumulated_cars"),
+        F.coalesce(F.sum("new_motors"), F.lit(0)).cast("long").alias("accumulated_motors"),
+        F.max("ts").alias("last_update"),
+    )

@@ -238,3 +238,55 @@ def q_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replay_ts")
     )
+
+
+# Camera profile classifier (reference app/utils.py:16-30): name
+# keywords → traffic profile with a synthetic-load multiplier
+# (EXTREME 'gedebage|soekarno hatta', HEAVY, ARTERIAL, RESIDENTIAL,
+# DEFAULT). Here the keyword source is the dimension's market
+# segment — the same string-match CASE ladder, fully JVM-side.
+_PROFILE_RULES = [
+    ("automobile|machinery", "EXTREME", 3.0),
+    ("building", "HEAVY", 2.0),
+    ("furniture", "ARTERIAL", 1.5),
+    ("household", "RESIDENTIAL", 0.8),
+]
+_PROFILE_DEFAULT = ("DEFAULT", 1.0)
+
+
+@register(
+    "q_camera_profile",
+    oracle=f"""
+SELECT CAST(c_custkey AS VARCHAR) AS camera_id,
+       c_name AS cam_name,
+       CASE {' '.join(f"WHEN regexp_matches(lower(c_mktsegment), '{pat}') THEN '{prof}'" for pat, prof, _ in _PROFILE_RULES)}
+            ELSE '{_PROFILE_DEFAULT[0]}' END AS profile,
+       CASE {' '.join(f"WHEN regexp_matches(lower(c_mktsegment), '{pat}') THEN {mult}" for pat, _, mult in _PROFILE_RULES)}
+            ELSE {_PROFILE_DEFAULT[1]} END AS multiplier
+FROM customer WHERE c_custkey % 4 <> 0
+ORDER BY c_custkey
+""",
+)
+def q_camera_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: keyword → profile classifier as a native when/rlike
+    ladder over the camera dimension (reference app/utils.py:16-30).
+    No UDF: lower+rlike stays inside whole-stage codegen."""
+    d = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 != 0)
+        .select("c_custkey", "c_name", F.lower("c_mktsegment").alias("seg"))
+    )
+    profile = F.lit(_PROFILE_DEFAULT[0])
+    multiplier = F.lit(_PROFILE_DEFAULT[1])
+    for pat, prof, mult in reversed(_PROFILE_RULES):
+        profile = F.when(F.col("seg").rlike(pat), F.lit(prof)).otherwise(profile)
+        multiplier = F.when(F.col("seg").rlike(pat), F.lit(mult)).otherwise(multiplier)
+    return (
+        d.select(
+            F.col("c_custkey").cast("string").alias("camera_id"),
+            F.col("c_name").alias("cam_name"),
+            profile.alias("profile"),
+            multiplier.alias("multiplier"),
+        )
+        .orderBy(F.col("camera_id").cast("long"))
+    )

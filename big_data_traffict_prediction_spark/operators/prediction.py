@@ -281,3 +281,58 @@ def q_predict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+@register(
+    "q_predict_all_cameras",
+    oracle=with_traffic(f"""
+, camera_dim AS (
+  SELECT c_custkey AS cam_key, c_name AS cam_name
+  FROM customer WHERE c_custkey % 4 <> 0
+),
+daily AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(new_count) AS BIGINT) AS hourly_total
+  FROM traffic
+  WHERE dayofweek(ts) = {FLAGSHIP_DOW} AND EXTRACT(hour FROM ts) = {FLAGSHIP_HOUR}
+  GROUP BY camera_id, CAST(ts AS DATE)
+),
+pred AS (
+  SELECT camera_id, AVG(hourly_total) AS v, COUNT(*) AS n
+  FROM daily GROUP BY camera_id
+)
+SELECT CAST(d.cam_key AS VARCHAR) AS camera_id,
+       d.cam_name,
+       ROUND(COALESCE(p.v, 0), 6) AS predicted_volume,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS days_observed,
+       (p.camera_id IS NOT NULL) AS has_history
+FROM camera_dim d
+LEFT JOIN pred p ON p.camera_id = CAST(d.cam_key AS VARCHAR)
+ORDER BY d.cam_key
+"""),
+)
+def q_predict_all_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: prediction fan-out over EVERY configured camera — including
+    cameras with no history, which predict 0 (the reference loops one
+    SQLite query per camera, app/routes.py:254-317, and maps empty
+    history to 0 not null, app/database.py:138). One plan: grouped agg
+    + broadcast left join from the dimension side."""
+    from .joins import camera_dim
+
+    pred = (
+        _daily_slot_sums(spark, sf_dir, FLAGSHIP_DOW, FLAGSHIP_HOUR)
+        .groupBy("camera_id")
+        .agg(F.avg("hourly_total").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    d = camera_dim(spark, sf_dir)
+    return (
+        d.join(F.broadcast(pred), pred.camera_id == d.cam_key.cast("string"), "left")
+        .select(
+            d.cam_key.cast("string").alias("camera_id"),
+            "cam_name",
+            F.round(F.coalesce("v", F.lit(0.0)), 6).alias("predicted_volume"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("days_observed"),
+            pred.camera_id.isNotNull().alias("has_history"),
+        )
+        .orderBy(F.col("camera_id").cast("long"))
+    )
