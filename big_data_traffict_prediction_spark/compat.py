@@ -90,3 +90,17 @@ def iou(b1: tuple[Column, Column, Column, Column], b2: tuple[Column, Column, Col
 # explicit so results are reproducible — SURVEY.md §2.4 A2).
 NOW_TS = "2024-01-31 00:00:00"
 NOW_EPOCH = 1706659200  # 2024-01-31T00:00:00Z
+
+
+def let(bound: Column, body) -> Column:
+    """Bind an expensive expression ONCE and use it many times.
+
+    Catalyst's CollapseProject inlines a projected expression into
+    every downstream reference; an expression referenced N times is
+    then *computed* N times (fatal for array signatures like minhash
+    vectors). A single-element-array ``transform`` introduces a real
+    lambda binding the optimizer cannot inline through::
+
+        let(mh_expr, lambda m: ...m...m...)   # mh_expr evaluated once
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)

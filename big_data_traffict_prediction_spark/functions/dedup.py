@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..compat import let
 from ..registry import register
 from ..tables import load_table
 from .text import NORM_SQL, hash60, hash60_sql, norm_col
@@ -55,9 +56,16 @@ cnt AS (
 """.strip()
 
 
-def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams of normalized text."""
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-grams of
+    normalized text, un-exploded. Signature computations stay per-row
+    (zero shuffles); only ops that genuinely need one row per shingle
+    explode this."""
     d = load_table(spark, sf_dir, "documents")
+    # Hash compute here is CPU-bound at ~16 md5s per shingle: spread the
+    # scan across cores even when the source is a single parquet split
+    # (at real scale the file count makes this shuffle a no-op cost).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split(norm_col(), " ")
     d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingle_arr = F.array_distinct(
@@ -71,7 +79,14 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return d.select("doc_id", shingle_arr.alias("shingles"))
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — exploded form, for pairwise-intersection joins."""
+    return shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
@@ -171,36 +186,50 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, mh): min over shingles of hash60(seed|shingle)."""
-    sh = shingles(spark, sf_dir)
-    seeds = spark.range(NUM_HASHES).select(F.col("id").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            hash60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    """(doc_id, mh: array<long>[NUM_HASHES]) — mh[s] = min over
+    shingles of hash60(s|shingle).
+
+    Computed entirely per-row with higher-order functions (transform +
+    array_min): no seed cross-join, no 16× row blow-up, no shuffle —
+    at 100 TB the signature stage is a pure map over the scan."""
+    sh = shingle_arrays(spark, sf_dir)
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                "shingles",
+                lambda x: hash60(F.concat(s.cast("string"), F.lit("|"), x)),
+            )
+        ),
     )
+    return sh.select("doc_id", mh.alias("mh"))
 
 
 def lsh_band_keys(mh: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): concat the band's row minhashes."""
-    parts = [
-        F.max(
-            F.when(F.col("seed") % ROWS_PER_BAND == r, F.col("mh"))
-        ).cast("string").alias(f"m{r}")
-        for r in range(ROWS_PER_BAND)
-    ]
-    banded = mh.groupBy(
-        "doc_id", (F.col("seed") / ROWS_PER_BAND).cast("long").alias("band")
-    ).agg(*parts)
-    return banded.select(
-        "doc_id",
-        "band",
-        F.concat_ws("-", *[F.col(f"m{r}") for r in range(ROWS_PER_BAND)]).alias("band_key"),
+    """(doc_id, band, band_key): concat each band's row minhashes.
+    One row per (doc, band) — a NUM_BANDS× fan-out of tiny rows, the
+    input to the band-bucket self-join. The signature vector is
+    let-bound so its 16 references don't re-evaluate the 16-hash
+    transform 16× (compat.let)."""
+    bands = let(
+        F.col("mh"),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
+            lambda b: F.struct(
+                b.cast("long").alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.element_at(m, b * ROWS_PER_BAND + r + 1).cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            ),
+        ),
+    )
+    return (
+        mh.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
 
 
@@ -256,7 +285,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, then exact Jaccard verifies each candidate. Candidate
     volume scales with true near-dups, not n². Same hash on both
     engines → fully oracle-checked (rare for LSH)."""
-    sh = shingles(spark, sf_dir)
+    sh = shingle_arrays(spark, sf_dir)
     bands = lsh_band_keys(minhash_signatures(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -269,20 +298,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    pj = _pair_jaccard(sh).select("d1", "d2", "jaccard")
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    # left join: a band collision without common shingles gets jaccard 0
+    # Exact-Jaccard verification restricted to CANDIDATES (not the full
+    # pairwise shingle join): join each side's shingle array onto the
+    # pair, intersect per-row. Work ∝ candidates, never n².
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = n_common.cast("double") / (
+        F.size("sh1") + F.size("sh2") - n_common
+    ).cast("double")
     return (
-        cand.join(pj, ["d1", "d2"], "left")
-        .join(c1, "d1")
-        .join(c2, "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",
-            F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
-            (F.coalesce("jaccard", F.lit(0.0)) >= JACCARD_THRESHOLD).alias("is_duplicate"),
+            F.round(jaccard, 6).alias("jaccard"),
+            (jaccard >= JACCARD_THRESHOLD).alias("is_duplicate"),
         )
         .orderBy("d1", "d2")
     )
@@ -316,31 +348,47 @@ sig AS (
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — bit-vote SimHash computed per-row with
+    higher-order functions: hash each distinct word, accumulate a
+    32-slot vote vector with aggregate/zip_with, re-fold to the
+    signature. No word explode, no bit cross-join, ZERO shuffles —
+    a pure map over the documents scan at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(norm_col(), " "))).alias("w")
+    # One md5 per distinct word, per-row: parallelize the CPU work
+    # across cores regardless of the source's split count.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashes = F.transform(
+        F.array_distinct(F.split(norm_col(), " ")), lambda w: hash60(w)
     )
-    hw = tok.select("doc_id", hash60(F.col("w")).alias("h"))
-    bits_dim = spark.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
-    bits = (
-        hw.crossJoin(F.broadcast(bits_dim))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("v")
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+
+    def bit_votes(h):  # array of +1/-1, one per bit (bit masks unrolled)
+        return F.array(
+            *[
+                ((h.bitwiseAND(F.lit(1 << b)) != 0).cast("long") * 2 - 1)
+                for b in range(SIMHASH_BITS)
+            ]
         )
+
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("simhash")
-        )
+    # let-bind the vote vector: its 32 references below must not
+    # re-run the whole word-hash fold 32× (compat.let).
+    simhash = let(
+        votes,
+        lambda v: sum(
+            (
+                F.when(F.element_at(v, b + 1) > 0, F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ),
+            start=F.lit(0).cast("long"),
+        ),
     )
+    return d.select("doc_id", simhash.alias("simhash"))
 
 
 @register(
