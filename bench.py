@@ -41,6 +41,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q18",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",

@@ -185,21 +185,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- minhash + lsh
 
 
+def _hash40(c):
+    """40-bit md5-derived hash, identical in Spark and DuckDB.
+    40 bits keeps h1 + seed*h2 inside int64 (≤ 2^44) with no modular
+    reduction needed."""
+    return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("long")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh: array<long>[NUM_HASHES]) — mh[s] = min over
-    shingles of hash60(s|shingle).
+    shingles of (h1 + s*h2), the classic double-hashing construction
+    (one md5 pair per shingle instead of NUM_HASHES md5s — ~8× less
+    hash compute and an ~NUM_HASHES× smaller codegen expression).
 
     Computed entirely per-row with higher-order functions (transform +
     array_min): no seed cross-join, no 16× row blow-up, no shuffle —
     at 100 TB the signature stage is a pure map over the scan."""
     sh = shingle_arrays(spark, sf_dir)
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                "shingles",
-                lambda x: hash60(F.concat(s.cast("string"), F.lit("|"), x)),
-            )
+    hpairs = F.transform(
+        "shingles",
+        lambda x: F.struct(
+            _hash40(x).alias("h1"),
+            _hash40(F.concat(F.lit("#"), x)).alias("h2"),
+        ),
+    )
+    mh = let(
+        hpairs,
+        lambda hp: F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+            lambda s: F.array_min(
+                F.transform(hp, lambda p: p["h1"] + s.cast("long") * p["h2"])
+            ),
         ),
     )
     return sh.select("doc_id", mh.alias("mh"))
@@ -237,10 +253,15 @@ _MINHASH_CTE = f"""
 seeds AS (
   SELECT CAST(unnest(generate_series(0, {NUM_HASHES - 1})) AS BIGINT) AS seed
 ),
+shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5('#' || shingle), 1, 10)) AS BIGINT) AS h2
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, seed,
-         MIN({hash60_sql("CAST(seed AS VARCHAR) || '|' || shingle")}) AS mh
-  FROM sh CROSS JOIN seeds
+  SELECT doc_id, seed, MIN(h1 + seed * h2) AS mh
+  FROM shh CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (

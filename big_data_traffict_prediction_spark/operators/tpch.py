@@ -215,3 +215,224 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_name", "revenue_fp", "brand_rank")
         .orderBy("p_brand", "brand_rank")
     )
+
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * {SCALE}) AS BIGINT)) AS BIGINT) AS revenue_fp,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_HI} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: pure filter+agg — every
+    predicate pushes to the parquet scan (shipdate range prunes row
+    groups via min/max), one partial+final agg, zero joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_DATE_LO} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_DATE_HI} 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI))
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * SCALE).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_fp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_TOPK = 20
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+SELECT c_custkey, c_name, revenue_fp, c_acctbal, n_name, c_mktsegment
+FROM (
+  SELECT c_custkey, c_name, CAST(SUM({REV_SQL}) AS BIGINT) AS revenue_fp,
+         c_acctbal, n_name, c_mktsegment
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+)
+ORDER BY revenue_fp DESC, c_custkey
+LIMIT {Q10_TOPK}
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: lineitem filtered to returns
+    joins shuffled orders, the customer dim rides a broadcast, nation
+    broadcast; top-20 is TakeOrderedAndProject with c_custkey
+    tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q10_DATE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q10_DATE_HI} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(_rev_col()).cast("long").alias("revenue_fp"))
+        .select("c_custkey", "c_name", "revenue_fp", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.desc("revenue_fp"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+Q14_DATE_LO = "1996-09-01"
+Q14_DATE_HI = "1996-10-01"
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {REV_SQL} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({REV_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {REV_SQL} ELSE 0 END) AS BIGINT) AS promo_fp,
+       CAST(SUM({REV_SQL}) AS BIGINT) AS total_fp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q14_DATE_HI} 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue: conditional aggregation over a
+    broadcast part join — the CASE lives in the agg, one pass."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q14_DATE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q14_DATE_HI} 00:00:00").cast("timestamp"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), _rev_col()).otherwise(F.lit(0))
+    ).cast("long")
+    total = F.sum(_rev_col()).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_revenue_pct"
+            ),
+            promo.alias("promo_fp"),
+            total.alias("total_fp"),
+        )
+    )
+
+
+Q18_QTY = 180.0
+Q18_TOPK = 20
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(FLOOR(o_totalprice * {SCALE}) AS BIGINT) AS totalprice_fp,
+       CAST(FLOOR(total_qty * {SCALE}) AS BIGINT) AS total_qty_fp
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {Q18_QTY}
+) big
+JOIN orders ON big.l_orderkey = orders.o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_fp DESC, o_orderkey
+LIMIT {Q18_TOPK}
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: grouped HAVING over lineitem
+    finds big orders (tiny result), which then drives broadcast joins
+    into orders and customer — the fact table shuffles once, on its
+    natural key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * SCALE).cast("long").alias("totalprice_fp"),
+            F.floor(F.col("total_qty") * SCALE).cast("long").alias("total_qty_fp"),
+        )
+        .orderBy(F.desc("totalprice_fp"), F.asc("o_orderkey"))
+        .limit(Q18_TOPK)
+    )
+
+
+Q4_DATE_LO = "1996-07-01"
+Q4_DATE_HI = "1996-10-01"
+
+
+@register(
+    "q_tpch_q4",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: the testdata lacks l_commitdate/l_receiptdate,
+    so the EXISTS predicate is l_shipdate > o_orderdate): order-priority
+    counts over a LEFT SEMI join — Spark's native EXISTS — between
+    orders and lineitem."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q4_DATE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q4_DATE_HI} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
