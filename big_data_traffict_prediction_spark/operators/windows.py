@@ -130,3 +130,77 @@ def q_topk_per_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("camera_id", "ts", "id", "new_count", "rank_in_camera")
         .orderBy("camera_id", "rank_in_camera")
     )
+
+
+RETENTION_N = 100  # reference: HISTORY_MAX_LEN=50000 (app/config.py:25); small N so every SF exercises eviction
+
+
+@register(
+    "q_retention_prune",
+    oracle=with_traffic(f"""
+SELECT camera_id, CAST(COUNT(*) AS BIGINT) AS kept_rows,
+       MIN(ts) AS oldest_kept, MAX(ts) AS newest_kept
+FROM (
+  SELECT camera_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY ts DESC, id DESC) AS rn
+  FROM traffic
+)
+WHERE rn <= {RETENTION_N}
+GROUP BY camera_id
+ORDER BY camera_id
+"""),
+)
+def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: bounded retention — keep the newest N rows per camera, the
+    declarative form of the reference's deque(maxlen=HISTORY_MAX_LEN)
+    eviction (app/config.py:23-25). One camera_id-partitioned ranking
+    window; at scale this runs as a retention job over the fact table
+    with partition pruning keeping the scan to recent dates."""
+    h = traffic_history(spark, sf_dir)
+    w = Window.partitionBy("camera_id").orderBy(F.desc("ts"), F.desc("id"))
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RETENTION_N)
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_rows"),
+            F.min("ts").alias("oldest_kept"),
+            F.max("ts").alias("newest_kept"),
+        )
+        .orderBy("camera_id")
+    )
+
+
+LIVENESS_STALE_S = 86400 * 2  # "offline" if silent for 2 days of event-time
+
+
+@register(
+    "q_camera_liveness",
+    oracle=with_traffic(f"""
+SELECT camera_id,
+       MAX(ts) AS last_update,
+       MAX(ts) < TIMESTAMP '2024-01-31 00:00:00' - INTERVAL {LIVENESS_STALE_S} SECOND AS is_offline
+FROM traffic
+GROUP BY camera_id
+ORDER BY camera_id
+"""),
+)
+def q_camera_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St9: offline/online liveness per camera — max(ts) against a
+    staleness cutoff (reference app/services/camera.py:190-193 flips a
+    status field; dashboard.html:813-818 checks 30 s staleness).
+    Pinned 'now' (compat.NOW_TS) for reproducibility."""
+    from ..compat import NOW_TS
+
+    h = traffic_history(spark, sf_dir)
+    cutoff = F.lit(NOW_TS).cast("timestamp") - F.expr(f"INTERVAL {LIVENESS_STALE_S} SECONDS")
+    return (
+        h.groupBy("camera_id")
+        .agg(F.max("ts").alias("last_update"))
+        .select(
+            "camera_id",
+            "last_update",
+            (F.col("last_update") < cutoff).alias("is_offline"),
+        )
+        .orderBy("camera_id")
+    )

@@ -53,3 +53,31 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     return out.orderBy("window_start", "camera_id")
+
+@register("q_stream_sliding_counts", oracle=None)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St4: sliding event-time windows (1h window / 15m slide) — the
+    streaming form of the reference's trailing-window stats
+    (app/utils.py:523-565)."""
+    stage, base = _staged(spark, sf_dir)
+    out = windows.run_to_memory(
+        spark,
+        windows.sliding_counts(simulate.read_stream(spark, stage)),
+        f"q_stream_sliding_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("window_start")
+
+
+@register("q_stream_session_windows", oracle=None)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St6: session windows (30m gap) per camera — not in the
+    reference's surface; rounds out the event-time window family."""
+    stage, base = _staged(spark, sf_dir)
+    out = windows.run_to_memory(
+        spark,
+        windows.session_counts(simulate.read_stream(spark, stage)),
+        f"q_stream_session_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("session_start", "camera_id")
