@@ -1,0 +1,80 @@
+"""Source/sink layer: partitioned lake round-trip with pruning proof,
+snapshot overwrite semantics, camera-JSON schema normalization."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from big_data_traffict_prediction_spark.plans import explain
+from big_data_traffict_prediction_spark.sources import lake
+from big_data_traffict_prediction_spark.tables import traffic_history
+
+
+def test_partitioned_lake_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "lake")
+    h = traffic_history(spark, sf_dir).select("camera_id", "ts", "new_count")
+    lake.write_partitioned_lake(h, path)
+
+    day = h.select(
+        F.year("ts").alias("y"), F.month("ts").alias("m"), F.dayofmonth("ts").alias("d")
+    ).first()
+    got = lake.read_lake_day(spark, path, day.y, day.m, day.d)
+
+    expected = h.filter(F.to_date("ts") == f"{day.y:04d}-{day.m:02d}-{day.d:02d}").count()
+    assert got.count() == expected
+
+    # The date predicate must prune to one directory, not filter post-scan.
+    plan = explain.formatted_plan(got)
+    assert "PartitionFilters" in plan
+    assert f"year#" not in explain.read_schema_columns(got), (
+        "partition columns must come from directory layout, not file data"
+    )
+
+
+def test_snapshot_overwrite_is_latest_only(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "snap")
+    h = traffic_history(spark, sf_dir)
+    first = h.groupBy("camera_id").agg(F.sum("new_count").alias("total"))
+    lake.write_snapshot(first, path)
+    second = h.groupBy("camera_id").agg(F.count(F.lit(1)).alias("total"))
+    lake.write_snapshot(second, path)
+    back = spark.read.parquet(path)
+    # overwrite replaced, not appended: one row per camera
+    assert back.count() == back.select("camera_id").distinct().count()
+
+
+def test_cameras_json_normalizes_mixed_lat_lng(spark, tmp_path):
+    # the reference's shipped config mixes float and string lat/lng
+    rows = [
+        {"id": "a", "name": "Cam A", "url": "u", "active": True,
+         "lat": -6.9667, "lng": 107.6073, "mirror_id": None},
+        {"id": "b", "name": "Cam B", "url": "u", "active": False,
+         "lat": "-6.954", "lng": "107.61", "mirror_id": "a"},
+    ]
+    p = tmp_path / "cfg.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = lake.read_cameras_json(spark, str(p))
+    assert dict(df.dtypes)["lat"] == "double"
+    assert dict(df.dtypes)["lng"] == "double"
+    got = {r["id"]: r["lat"] for r in df.collect()}
+    assert abs(got["a"] + 6.9667) < 1e-9
+    assert abs(got["b"] + 6.954) < 1e-9
+
+
+def test_migrate_json_history(spark, tmp_path):
+    rows = [
+        {"camera_id": "1", "ts": 1706659200.5, "count": 5, "cars": 3,
+         "motors": 2, "new_count": 4, "new_cars": 2, "new_motors": 2},
+        {"camera_id": "2", "ts": 1706659260.0, "count": 1, "cars": 1,
+         "motors": 0, "new_count": 1, "new_cars": 1, "new_motors": 0},
+    ]
+    src = tmp_path / "hist.json"
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "fact")
+    n = lake.migrate_json_history(spark, str(src), out)
+    assert n == 2
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    assert {r["camera_id"] for r in back.collect()} == {"1", "2"}
