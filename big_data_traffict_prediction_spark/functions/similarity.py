@@ -192,7 +192,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-id equi-join replaces the all-pairs cross join.
 
     Model-based (KMeans) → no SQL oracle; the driver records a
-    rows-only check. tests/test_similarity.py asserts recall vs
+    rows-only check. tests/test_llm_ops.py asserts recall vs
     q_ann_bruteforce instead."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
