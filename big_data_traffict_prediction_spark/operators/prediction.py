@@ -241,20 +241,32 @@ ORDER BY p.camera_id
 def q_predict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prediction + threshold ladder → status/recommendation/color
     (reference app/routes.py:284-307). Thresholds exist only for a
-    camera subset so the default-thresholds path is exercised; the
-    thresholds side is tiny → broadcast hash join."""
-    pred = (
-        _daily_slot_sums(spark, sf_dir, FLAGSHIP_DOW, FLAGSHIP_HOUR)
+    camera subset so the default-thresholds path is exercised.
+
+    Single-pass plan: the flagship slot average and the percentile
+    thresholds both derive from per-camera *hourly sums* (a Thursday
+    18:00 daily sum IS the 18:00 hourly sum of that date), so one scan
+    → one (camera, hour) aggregation → one per-camera conditional
+    aggregation computes both — no second scan, no join at all.
+    """
+    slot = (dow0("hour_ts") == FLAGSHIP_DOW) & (F.hour("hour_ts") == FLAGSHIP_HOUR)
+    in_subset = F.expr(_THRESHOLD_SUBSET_PRED)
+    pct = F.percentile("hourly_total", F.array(F.lit(0.5), F.lit(0.75), F.lit(0.9)))
+    per_cam = (
+        hourly_sums(spark, sf_dir)
         .groupBy("camera_id")
-        .agg(F.avg("hourly_total").alias("avg_hourly_volume"))
-    )
-    thr = camera_thresholds(spark, sf_dir, subset=True).select(
-        F.col("camera_id").alias("t_camera_id"), "p50", "p75", "p90"
+        .agg(
+            F.avg(F.when(slot, F.col("hourly_total"))).alias("avg_hourly_volume"),
+            F.round(pct[0], 6).alias("t50"),
+            F.round(pct[1], 6).alias("t75"),
+            F.round(pct[2], 6).alias("t90"),
+        )
+        .filter(F.col("avg_hourly_volume").isNotNull())
     )
     vol = F.col("avg_hourly_volume")
-    p50 = F.coalesce(F.col("p50"), F.lit(DEFAULT_P50))
-    p75 = F.coalesce(F.col("p75"), F.lit(DEFAULT_P75))
-    p90 = F.coalesce(F.col("p90"), F.lit(DEFAULT_P90))
+    p50 = F.when(in_subset, F.col("t50")).otherwise(F.lit(DEFAULT_P50))
+    p75 = F.when(in_subset, F.col("t75")).otherwise(F.lit(DEFAULT_P75))
+    p90 = F.when(in_subset, F.col("t90")).otherwise(F.lit(DEFAULT_P90))
 
     def ladder(over90, over75, over50, base):
         return (
@@ -265,11 +277,10 @@ def q_predict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        pred.join(F.broadcast(thr), pred.camera_id == thr.t_camera_id, "left")
-        .select(
+        per_cam.select(
             "camera_id",
             F.round(vol, 6).alias("predicted_volume"),
-            F.col("t_camera_id").isNull().alias("used_default_thresholds"),
+            (~in_subset).alias("used_default_thresholds"),
             ladder("MACET TOTAL", "MACET", "PADAT LANCAR", "LANCAR").alias("status"),
             ladder(
                 "Hindari area ini, cari rute alternatif",

@@ -32,11 +32,14 @@ def test_tpch_q5_broadcasts_small_dims(spark, sf_dir):
     assert explain.broadcast_join_count(df) >= 3, "supplier/nation/region must broadcast"
 
 
-def test_predict_decision_broadcasts_thresholds(spark, sf_dir):
+def test_predict_decision_is_single_pass(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.prediction import q_predict_decision
 
-    df = q_predict_decision(spark, sf_dir)
-    assert explain.broadcast_join_count(df) >= 1
+    # thresholds + slot average fold into one scan and one conditional
+    # aggregation chain — no join, bounded shuffles
+    a = explain.audit(q_predict_decision(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
 
 
 def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
