@@ -132,3 +132,66 @@ def migrate_json_history(spark: SparkSession, json_path: str, parquet_path: str)
     )
     out.write.mode("overwrite").parquet(parquet_path)
     return spark.read.parquet(parquet_path).count()
+
+
+# -------- S5/S6 compat: the reference's CSV detection-log format ------
+
+# The reference's data lake has TWO row encodings for the same table
+# (SURVEY.md §7 watch-list 6):
+#   live agent  (app/services/camera.py:73-84):
+#     class_id = 0|1 int codes, confidence = "%.4f", bbox = "[x1, y1, x2, y2]"
+#   backfill    (app/utils.py:319-325):
+#     class_id = "car"|"motorcycle" labels, confidence = "0.50", bbox = "[0,0,0,0]"
+# Normalization happens HERE, once, at the edge — downstream operators
+# only ever see the canonical schema.
+
+_DETECTIONS_CSV_RAW = T.StructType(
+    [
+        T.StructField("timestamp", T.DoubleType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("source_name", T.StringType()),
+        T.StructField("class_id", T.StringType()),  # int code OR label
+        T.StructField("confidence", T.StringType()),
+        T.StructField("bbox", T.StringType()),  # "[x1, y1, x2, y2]"
+    ]
+)
+
+_CLASS_LABELS = {"0": "car", "1": "motorcycle"}
+
+
+def read_detections_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's CSV detection log, normalizing both row
+    encodings to one canonical schema:
+
+    (ts timestamp, source_id, source_name, class_id int,
+     class_label string, confidence double, bbox array<int>)
+
+    The stringified bbox becomes a real array (regexp strip + split +
+    transform — all JVM-side); the int-vs-label class drift collapses
+    to both forms."""
+    pin_session_conf(spark)
+    raw = spark.read.schema(_DETECTIONS_CSV_RAW).option("header", True).csv(path)
+    cls = F.lower(F.trim("class_id"))
+    class_id = (
+        F.when(cls == "car", F.lit(0))
+        .when(cls == "motorcycle", F.lit(1))
+        .otherwise(cls.cast("int"))
+    )
+    class_label = (
+        F.when(class_id == 0, F.lit("car"))
+        .when(class_id == 1, F.lit("motorcycle"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    bbox = F.transform(
+        F.split(F.regexp_replace("bbox", r"[\[\] ]", ""), ","),
+        lambda x: x.cast("int"),
+    )
+    return raw.select(
+        F.timestamp_micros((F.col("timestamp") * 1_000_000).cast("long")).alias("ts"),
+        "source_id",
+        "source_name",
+        class_id.alias("class_id"),
+        class_label.alias("class_label"),
+        F.col("confidence").cast("double").alias("confidence"),
+        bbox.alias("bbox"),
+    )

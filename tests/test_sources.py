@@ -78,3 +78,32 @@ def test_migrate_json_history(spark, tmp_path):
     back = spark.read.parquet(out)
     assert dict(back.dtypes)["ts"] == "timestamp"
     assert {r["camera_id"] for r in back.collect()} == {"1", "2"}
+
+
+def test_detections_csv_normalizes_both_encodings(spark, tmp_path):
+    # live-agent encoding (int codes, real bbox) + backfill encoding
+    # (string labels, constant confidence/bbox) in one file
+    p = tmp_path / "traffic_log_cam1.csv"
+    p.write_text(
+        "timestamp,source_id,source_name,class_id,confidence,bbox\n"
+        '1706659200.5,u1,Cam One,0,0.8731,"[10, 20, 110, 220]"\n'
+        '1706659202.5,u1,Cam One,1,0.6402,"[30, 40, 90, 100]"\n'
+        '1706659260.0,u1,Cam One,car,0.50,"[0,0,0,0]"\n'
+        '1706659262.0,u1,Cam One,motorcycle,0.50,"[0,0,0,0]"\n'
+    )
+    df = lake.read_detections_csv(spark, str(p))
+    rows = df.orderBy("ts").collect()
+    assert [r.class_id for r in rows] == [0, 1, 0, 1]
+    assert [r.class_label for r in rows] == ["car", "motorcycle", "car", "motorcycle"]
+    assert rows[0].bbox == [10, 20, 110, 220]
+    assert rows[2].bbox == [0, 0, 0, 0]
+    assert abs(rows[0].confidence - 0.8731) < 1e-9
+    assert rows[0].ts.isoformat().startswith("2024-01-31T00:00:00.500")
+    # downstream agg over the normalized frame: count per name × label
+    agg = (
+        df.groupBy("source_name")
+        .pivot("class_label", ["car", "motorcycle"])
+        .count()
+        .first()
+    )
+    assert (agg["car"], agg["motorcycle"]) == (2, 2)
