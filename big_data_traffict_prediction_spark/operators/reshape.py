@@ -1,0 +1,80 @@
+"""Reshaping + semi-structured operators (SURVEY.md §2.8 F16, §2.1
+S15).
+
+The reference round-trips JSON documents with ``json.load``/``dump``
+(``app/utils.py:390-441``) and ships a wide toll-gate CSV it would
+need to unpivot to query (``scripts/syntetic.py``). Engine forms:
+``get_json_object`` for path extraction inside whole-stage codegen,
+and ``stack()`` for wide→long unpivot — both pure JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# ------------------------------------------------ F16: JSON extraction
+
+
+@register(
+    "q_props_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: JSON path extraction from the semi-structured props column,
+    aggregated per event type. get_json_object runs JVM-side inside
+    codegen — no parse UDF; the exact-integer sum divides to a
+    deterministic double."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- S15: wide→long stack
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_unpivot_measures",
+    oracle=" UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS value FROM lineitem"
+        for m in _MEASURES
+    )
+    + " ORDER BY l_orderkey, l_linenumber, measure",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: wide→long unpivot of the lineitem measures via stack() —
+    the engine form of querying the reference's wide toll-gate CSV
+    (scripts/syntetic.py:7-29). One projection, zero shuffles until
+    the output sort; rows fan out 4× inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) AS (measure, value)".format(
+        n=len(_MEASURES),
+        args=", ".join(f"'{m}', {m}" for m in _MEASURES),
+    )
+    return (
+        li.selectExpr("l_orderkey", "l_linenumber", stack_expr)
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )

@@ -67,6 +67,7 @@ def _load_modules() -> None:
         iou,
         joins,
         prediction,
+        reshape,
         scans,
         timeseries,
         tpch,
