@@ -3,9 +3,15 @@ St4-St8).
 
 - tumbling / sliding / session event-time windows with a watermark:
   the engine-grade replacement for the reference's arrival-time bucket
-  dicts (``app/utils.py:567-689``). Late-data policy is explicit —
-  rows later than the watermark are dropped (the reference silently
-  mis-buckets them; SURVEY.md §2.9 St7).
+  dicts (``app/utils.py:567-689``). Late-data policy (St7), as Spark's
+  aggregation actually implements it (pinned by
+  tests/test_streaming.py::test_watermark_late_row_semantics): the
+  watermark BOUNDS STATE — windows are finalized and emitted once the
+  watermark passes their end. A late row that arrives while its
+  window state is still live merges normally (no data loss); one that
+  arrives after finalization re-opens a fresh window row rather than
+  corrupting the emitted result. The reference, by contrast, silently
+  mis-buckets late rows into arrival-order dicts.
 - ``foreachBatch`` dual sink: append the fact table AND overwrite the
   latest-stats snapshot in one transaction-per-epoch — replacing the
   reference's tmp-file+rename atomic write (``app/utils.py:493-508``)

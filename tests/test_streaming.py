@@ -130,3 +130,52 @@ def test_dual_sink_writes_fact_and_snapshot(spark, sf_dir, stage_dir, tmp_path):
     latest = {r.camera_id: r.new_count for r in latest_rows}
     for cam, cnt in last.items():
         assert latest[cam] == cnt
+
+
+def test_watermark_late_row_semantics(spark, tmp_path):
+    """St7, pinned to Spark's actual aggregation semantics: the
+    watermark bounds STATE (windows finalize when the watermark passes
+    their end). A late row arriving while its window is still live
+    merges into it — no data loss; finalized output is emitted exactly
+    once per window."""
+    import datetime as dt
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "id long, camera_id string, ts timestamp, new_count long, "
+            "new_cars long, new_motors long, x1 long, y1 long, x2 long, y2 long",
+        )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    stage = tmp_path / "late_stage"
+    # b0: opens window 10; b1: 13:00 advances the watermark past window
+    # 10's end; b2: a 10:15 straggler arrives in the same batch that
+    # finalizes window 10 -> merges (no loss, no duplicate emission)
+    mk([(1, "A", t(10, 0), 5, 5, 0, 0, 0, 1, 1)]).coalesce(1).write.parquet(
+        str(stage / "chunk=000")
+    )
+    mk([(2, "A", t(13, 0), 7, 7, 0, 0, 0, 1, 1)]).coalesce(1).write.parquet(
+        str(stage / "chunk=001")
+    )
+    mk([(3, "A", t(10, 15), 999, 999, 0, 0, 0, 1, 1)]).coalesce(1).write.parquet(
+        str(stage / "chunk=002")
+    )
+    import glob
+    import os
+
+    for i, d in enumerate(sorted(glob.glob(str(stage / "chunk=*")))):
+        for f in glob.glob(f"{d}/*.parquet"):
+            os.utime(f, (1e9 + i * 1000, 1e9 + i * 1000))
+
+    stream = simulate.read_stream(spark, str(stage))
+    got = windows.run_to_memory(
+        spark,
+        windows.tumbling_counts(stream, "1 hour"),
+        "late_semantics_test",
+        str(tmp_path / "ckpt"),
+    )
+    rows = got.collect()
+    sums = {r.window_start.hour: r.total_new_count for r in rows}
+    # window 10 emitted exactly once, with the straggler merged in
+    assert len(rows) == 1 and sums == {10: 1004}, f"got {sums}"
