@@ -278,3 +278,38 @@ def q_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("new_motors"), F.lit(0)).cast("long").alias("accumulated_motors"),
         F.max("ts").alias("last_update"),
     )
+
+
+@register(
+    "q_cube_totals",
+    oracle=with_traffic("""
+SELECT event_type,
+       dayofweek(ts) AS dow,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(dayofweek(ts)) AS BIGINT) AS g_dow,
+       CAST(COALESCE(SUM(new_count), 0) AS BIGINT) AS total_new_count,
+       COUNT(*) AS n
+FROM traffic
+GROUP BY CUBE(event_type, dayofweek(ts))
+ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST
+"""),
+)
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, dow): every marginal in one pass —
+    grouping-sets completion of the rollup variant (no reference
+    analog; the natural Spark extension, SURVEY.md §2.4 note).
+    GROUPING() flags disambiguate real nulls from subtotal rows."""
+    from ..compat import dow0
+
+    h = traffic_history(spark, sf_dir).withColumn("dow", dow0("ts"))
+    return (
+        h.cube("event_type", "dow")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("dow").cast("long").alias("g_dow"),
+            F.coalesce(F.sum("new_count"), F.lit(0)).cast("long").alias("total_new_count"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "dow", "g_type", "g_dow", "total_new_count", "n")
+        .orderBy("g_type", "g_dow", F.asc_nulls_first("event_type"), F.asc_nulls_first("dow"))
+    )

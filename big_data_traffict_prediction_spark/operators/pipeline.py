@@ -1,0 +1,145 @@
+"""End-to-end training-data pipeline operators (north-star surface).
+
+``q_corpus_select`` is the capstone composition: quality scoring +
+language filter + exact-dedup keep-rule in ONE declarative plan — the
+shape of a pre-training corpus selection job. At 100 TB each stage is
+a map or a single hash shuffle (the fingerprint groupBy); nothing
+collects to the driver.
+
+``q_approx_distinct`` and ``q_stratified_sample`` are the
+cardinality/sampling tools of the same pipeline family:
+approx_count_distinct (HyperLogLog++) for dashboard-grade counts
+without an exact shuffle, seeded sampleBy for reproducible stratified
+subsets. HLL sketches and sample RNGs are engine-specific → rows-only
+driver checks; tests bound them against exact values instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from ..functions.text import EN_MARKERS, NORM_SQL, _in_list_sql, norm_col
+
+QUALITY_MIN = 0.45
+CORPUS_LANG = "en"
+
+
+@register(
+    "q_corpus_select",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {NORM_SQL} AS norm FROM documents
+), m AS (
+  SELECT doc_id, lang, norm,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+         CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter(string_split(norm, ' '),
+              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words,
+         md5(norm) AS fingerprint
+  FROM t
+), scored AS (
+  SELECT doc_id, lang, n_words, fingerprint,
+         0.4 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
+           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE)) AS quality_score
+  FROM m
+), keep AS (
+  SELECT fingerprint, MIN(doc_id) AS keep_doc_id
+  FROM scored GROUP BY fingerprint
+)
+SELECT s.doc_id, s.lang, s.n_words,
+       ROUND(s.quality_score, 6) AS quality_score
+FROM scored s
+JOIN keep k ON k.fingerprint = s.fingerprint AND k.keep_doc_id = s.doc_id
+WHERE s.lang = '{CORPUS_LANG}' AND s.quality_score >= {QUALITY_MIN}
+ORDER BY s.doc_id
+""",
+)
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus selection: language filter + quality threshold +
+    exact-dedup keep-rule composed into one plan. The dedup keep is a
+    window-free groupBy(fingerprint).min(doc_id) semi-join; quality
+    scoring is pure codegen; the only shuffle is the fingerprint
+    grouping."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(norm_col(), " ")
+    n_words = F.size(tokens).cast("long")
+    n_chars_norm = F.length(norm_col()).cast("long")
+    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast("long")
+    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_words.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
+        + 0.3 * (stops.cast("double") / n_words.cast("double"))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.md5(norm_col()).alias("fingerprint"),
+        quality.alias("quality_score"),
+    )
+    keep = scored.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        scored.join(
+            keep,
+            (scored.fingerprint == keep.fingerprint)
+            & (scored.doc_id == keep.keep_doc_id),
+        )
+        .filter((F.col("lang") == CORPUS_LANG) & (F.col("quality_score") >= QUALITY_MIN))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the cardinality tool for 100 TB dashboards where an exact distinct
+    shuffle is not worth it. Sketches are engine-specific → rows-only
+    driver check; the returned row itself carries the error margin and
+    tests bound it (≤5% at rsd=0.05)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id", rsd=0.05).alias("approx_events"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25}
+SAMPLE_SEED = 42
+
+
+@register("q_stratified_sample", oracle=None)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling by language (sampleBy): the
+    reproducible data-selection primitive for mixture tuning. Sample
+    membership is Spark's RNG → rows-only driver check; tests assert
+    per-stratum rates against the requested fractions."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    took = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        totals.join(took, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.round(
+                F.coalesce("n_sampled", F.lit(0)).cast("double") / F.col("n_total"), 4
+            ).alias("achieved_fraction"),
+        )
+        .orderBy("lang")
+    )

@@ -66,6 +66,7 @@ def _load_modules() -> None:
         aggregates,
         iou,
         joins,
+        pipeline,
         prediction,
         reshape,
         scans,
