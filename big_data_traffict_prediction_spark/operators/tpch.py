@@ -436,3 +436,254 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_YEARS = (1996, 1997)
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM({REV_SQL}) AS BIGINT) AS revenue_fp
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND EXTRACT(year FROM l_shipdate) IN ({Q7_YEARS[0]}, {Q7_YEARS[1]})
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: the two nation
+    dims broadcast twice under different roles (supplier vs customer
+    nation); lineitem⨝orders is the only real shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_year", F.year("l_shipdate").cast("long")
+    ).filter(F.col("l_year").isin(*Q7_YEARS))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_rev_col()).cast("long").alias("revenue_fp"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q8_NATION = "NATION_5"
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = '{Q8_NATION}' THEN volume_fp ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume_fp) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CASE WHEN nation = '{Q8_NATION}' THEN volume_fp ELSE 0 END) AS BIGINT) AS nation_fp,
+       CAST(SUM(volume_fp) AS BIGINT) AS total_fp
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {REV_SQL} AS volume_fp,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: conditional share aggregation
+    over a 7-way join — every dimension broadcasts, the fact side
+    shuffles once on orderkey."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    vol = _rev_col()
+    nat = F.sum(F.when(F.col("nation") == Q8_NATION, vol).otherwise(F.lit(0))).cast("long")
+    tot = F.sum(vol).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nat.cast("double") / tot.cast("double")).alias("mkt_share"),
+            nat.alias("nation_fp"),
+            tot.alias("total_fp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: left join keeps
+    zero-order customers, double aggregation produces the histogram.
+    COUNT(o_orderkey) counts non-null keys only — the left-join-null
+    subtlety both engines must agree on."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({REV_SQL}) AS BIGINT) AS total_revenue_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_fp
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_fp = (SELECT MAX(total_revenue_fp) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the scalar-subquery max becomes a rank
+    window over the (tiny) per-supplier revenue aggregate — no second
+    scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q15_DATE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q15_DATE_HI} 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).cast("long").alias("total_revenue_fp"))
+    )
+    w = Window.orderBy(F.desc("total_revenue_fp"))
+    top = (
+        revenue.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        F.broadcast(top)
+        .join(supp, top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_fp")
+        .orderBy("s_suppkey")
+    )
+
+
+Q17_BRAND = "Brand#1"
+Q17_FRACTION = 0.5
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * {SCALE}) AS BIGINT)) AS BIGINT) AS price_fp,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS avg_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON a.avg_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}' AND l_quantity < {Q17_FRACTION} * avg_qty
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted: brand predicate
+    matches the testdata's brand domain): the correlated avg-quantity
+    subquery becomes a per-part aggregate joined back — two scans of
+    lineitem, or one with a window; the join form parallelizes the
+    same way at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < Q17_FRACTION * F.col("avg_qty"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * SCALE).cast("long"))
+            .cast("long")
+            .alias("price_fp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
