@@ -290,3 +290,121 @@ def q_camera_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("camera_id").cast("long"))
     )
+
+
+# As-of join (SURVEY.md §2.3 closing note: absent from the reference
+# and from Spark's built-ins). Canonical time-series op: attach to each
+# observation the most recent config version at or before its ts.
+# Config versions are synthesized deterministically (3 versions per
+# camera, 10 days apart) so both engines derive the same dimension.
+ASOF_VERSIONS = 3
+ASOF_EPOCH = "2024-01-01 00:00:00"
+ASOF_STEP_DAYS = 10
+
+
+def config_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cam_key, config_ts, speed_limit): a slowly-changing camera
+    config dimension."""
+    d = camera_dim(spark, sf_dir)
+    v = spark.range(ASOF_VERSIONS).select(F.col("id").alias("version"))
+    return (
+        d.crossJoin(F.broadcast(v))
+        .select(
+            "cam_key",
+            "version",
+            (
+                F.lit(ASOF_EPOCH).cast("timestamp")
+                + F.make_interval(days=F.col("version").cast("int") * ASOF_STEP_DAYS)
+            ).alias("config_ts"),
+            (F.lit(50) + F.col("version") * 10 + F.col("cam_key") % 3).cast("long").alias(
+                "speed_limit"
+            ),
+        )
+    )
+
+
+@register(
+    "q_asof_config_join",
+    oracle=with_traffic(f"""
+, config_versions AS (
+  SELECT c_custkey AS cam_key,
+         v.version,
+         TIMESTAMP '{ASOF_EPOCH}' + INTERVAL ({ASOF_STEP_DAYS}) DAY * v.version AS config_ts,
+         CAST(50 + v.version * 10 + c_custkey % 3 AS BIGINT) AS speed_limit
+  FROM customer
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, {ASOF_VERSIONS - 1})) AS BIGINT) AS version) v
+  WHERE c_custkey % 4 <> 0
+)
+SELECT t.camera_id,
+       cv.version AS config_version,
+       cv.speed_limit,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(t.new_count) AS BIGINT) AS total_new_count
+FROM traffic t
+ASOF JOIN config_versions cv
+  ON CAST(t.camera_id AS BIGINT) = cv.cam_key AND t.ts >= cv.config_ts
+GROUP BY t.camera_id, cv.version, cv.speed_limit
+ORDER BY CAST(t.camera_id AS BIGINT), cv.version
+"""),
+)
+def q_asof_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the scalable union + carry-forward-window
+    composition (Spark has no native ASOF; DuckDB's native ASOF JOIN is
+    the oracle, so the composition is verified against a reference
+    implementation of the semantics):
+
+    1. union observations and config-version rows on a shared
+       (key, ts) axis,
+    2. one window per key ordered by ts carries the last seen config
+       forward (last_value ignoreNulls),
+    3. keep observation rows that have a config in effect.
+
+    ONE shuffle on the camera key — never a per-row range probe; at
+    100 TB the window state per key is a single struct."""
+    t = traffic_history(spark, sf_dir).select(
+        F.col("camera_id").cast("long").alias("cam_key"),
+        "ts",
+        "new_count",
+        F.lit(1).alias("is_obs"),
+        F.lit(None).cast("struct<version:long,speed_limit:long>").alias("cfg"),
+    )
+    c = config_versions(spark, sf_dir).select(
+        "cam_key",
+        F.col("config_ts").alias("ts"),
+        F.lit(None).cast("long").alias("new_count"),
+        F.lit(0).alias("is_obs"),
+        F.struct(
+            F.col("version").alias("version"), F.col("speed_limit").alias("speed_limit")
+        ).alias("cfg"),
+    )
+    # config rows sort before observations at equal ts (is_obs ASC) so
+    # a version taking effect exactly at an observation's ts applies
+    w = (
+        Window.partitionBy("cam_key")
+        .orderBy("ts", "is_obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        t.unionByName(c)
+        .withColumn("eff", F.last("cfg", ignorenulls=True).over(w))
+        .filter((F.col("is_obs") == 1) & F.col("eff").isNotNull())
+    )
+    return (
+        joined.groupBy(
+            F.col("cam_key"),
+            F.col("eff.version").alias("config_version"),
+            F.col("eff.speed_limit").alias("speed_limit"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("new_count").cast("long").alias("total_new_count"),
+        )
+        .select(
+            F.col("cam_key").cast("string").alias("camera_id"),
+            "config_version",
+            "speed_limit",
+            "n_obs",
+            "total_new_count",
+        )
+        .orderBy(F.col("camera_id").cast("long"), "config_version")
+    )
