@@ -308,15 +308,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines → fully oracle-checked (rare for LSH)."""
     sh = shingle_arrays(spark, sf_dir)
     bands = lsh_band_keys(minhash_signatures(spark, sf_dir))
-    a, b = bands.alias("a"), bands.alias("b")
+    # Group-and-expand instead of a band self-join: the join would
+    # recompute the 16-hash signature pipeline on both branches (plus
+    # once more per branch in the pushed isnotnull join-key filters).
+    # One grouping computes it once; bucket member lists are small by
+    # LSH construction, so the in-bucket pair expansion is cheap.
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ms")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda a: F.transform(
+                    "ms", lambda b: F.struct(a.alias("d1"), b.alias("d2"))
+                ),
+            )
+        ),
+        lambda p: p["d1"] < p["d2"],
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
     # Exact-Jaccard verification restricted to CANDIDATES (not the full
@@ -452,22 +465,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: equi-join on the top-8-bit bucket (the
     scale move — no all-pairs), then hamming ≤ 3 filter via
     bit_count(xor)."""
+    # Group-and-expand instead of a self-join: a self-join would
+    # compute the signature expression once per branch AND once more in
+    # each branch's pushed-down isnotnull join-key filter. Grouping by
+    # bucket computes signatures ONCE; the (small) bucket member lists
+    # expand to i<j pairs inside a higher-order function.
     sig = simhash_signatures(spark, sf_dir).withColumn(
         "bucket", F.expr(f"simhash >> {SIMHASH_BUCKET_SHIFT}")
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    members = sig.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda a: F.transform(
+                    "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+    )
+    exploded = members.select(F.explode(pairs).alias("p"))
+    hamming = F.bit_count(
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+    ).cast("long")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("simhash1"),
-            F.col("b.simhash").alias("simhash2"),
+        exploded.select(
+            F.col("p.a.doc_id").alias("d1"),
+            F.col("p.b.doc_id").alias("d2"),
+            F.col("p.a.simhash").alias("simhash1"),
+            F.col("p.b.simhash").alias("simhash2"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
