@@ -50,6 +50,8 @@ HEADLINE = [
     "q_ann_bruteforce",
     "q_token_count",
     "q_text_quality",
+    "q_corpus_select",
+    "q_asof_config_join",
 ]
 
 
