@@ -5,8 +5,9 @@
   are computed in *fixed-point* (FLOOR(x·y·10^12) summed as BIGINT via
   zip_with + aggregate) so Spark and DuckDB produce bit-identical
   cosines — float summation order never matters.
-- **embedding near-dup**: all-pairs cosine ≥ threshold (quadratic;
-  the oracle-checked reference semantics).
+- **embedding near-dup**: all-pairs cosine ≥ threshold — exact
+  semantics, physically a blocked equi-join (B² skew-free cells), not
+  a nested loop; still O(n²) work by definition.
 - **IVF (inverted-file) ANN**: the 100 TB path — KMeans coarse
   quantizer over a sample, search only the query's nearest cells.
   Model-based → Spark-only (rows-only driver check).
@@ -30,6 +31,7 @@ DOT_SCALE = 1_000_000_000_000  # 1e12: products ≲ 1 → 64·1e12 ≪ int64 max
 TOP_K = 5
 QUERY_MOD = 40  # queries = vec_id % 40 == 0
 NEARDUP_COS = 0.45
+NEARDUP_BLOCKS = 16  # blocked all-pairs: B² equi-join cells (see q_embedding_neardup)
 
 # dot_fp(a, b) = Σ floor(a_i · b_i · 1e12)  (exact integers)
 # cosine     = dot_fp / (sqrt(na_fp) · sqrt(nb_fp))   (scales cancel)
@@ -154,25 +156,48 @@ ORDER BY v1, v2
 """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45): the exact
-    quadratic form. At 100 TB this is what the IVF/LSH variants
-    replace; kept as semantics oracle."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45), exact
+    semantics via a BLOCKED all-pairs equi-join.
+
+    The naive ``a.join(b, v1 < v2)`` theta join plans as a
+    BroadcastNestedLoopJoin: one unbounded task, driver-sized build
+    side. Here each side is blocked by ``vec_id % NEARDUP_BLOCKS`` and
+    replicated against a tiny broadcast block-pair table, so the pair
+    enumeration is a hash EQUI-join on the composite (bi, bj) key:
+    B² evenly-sized, skew-free cells, each (n/B)² dot products with
+    bounded memory. Total work is still O(n²) — inherent to exact
+    threshold semantics (the qualifying pairs sit just above 0.45, so
+    no probabilistic pre-filter has perfect recall); the 100 TB
+    *approximate* paths are q_ann_ivf and q_dedup_simhash. This form
+    exists so the exact oracle parallelizes instead of nested-looping."""
     vecs = _vecs(spark, sf_dir)
+    B = NEARDUP_BLOCKS
+    # block-pair spine: all (bi, bj) combos; tiny → broadcast both fan-outs
+    pairs = spark.range(B * B).select(
+        (F.col("id") / B).cast("int").alias("bi"),
+        (F.col("id") % B).cast("int").alias("bj"),
+    )
     a = vecs.select(
         F.col("vec_id").alias("v1"),
         F.col("label").alias("label1"),
         F.col("embedding").alias("e1"),
         F.col("norm_fp").alias("n1"),
-    )
+        (F.col("vec_id") % B).cast("int").alias("ba"),
+    ).join(F.broadcast(pairs), F.col("ba") == F.col("bi"))
     b = vecs.select(
         F.col("vec_id").alias("v2"),
         F.col("label").alias("label2"),
         F.col("embedding").alias("e2"),
         F.col("norm_fp").alias("n2"),
-    )
+        (F.col("vec_id") % B).cast("int").alias("bb"),
+    ).join(F.broadcast(pairs.withColumnRenamed("bi", "pi")), F.col("bb") == F.col("bj"))
     cos = _cosine(_dot_fp(F.col("e1"), F.col("e2")), F.col("n1"), F.col("n2"))
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
+        a.join(
+            b.withColumnRenamed("pi", "bi").drop("bb"),
+            ["bi", "bj"],
+        )
+        .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", "label1", "label2", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("v1", "v2", "label1", "label2", F.round("cosine", 6).alias("cosine"))

@@ -4,8 +4,8 @@ F12, §2.9 St3).
 The reference suppresses a detection if its bbox overlaps (IoU > 0.5)
 any bbox from the previous frame of the same camera
 (``app/services/camera.py:88-104`` hand-coded IoU, applied
-``:239-256``). Batch form: consecutive observations per camera are
-paired with a ranking window and the IoU is pure column arithmetic —
+``:239-256``). Batch form: each observation gets its predecessor's box
+via ``lag()`` in one window pass and the IoU is pure column arithmetic —
 greatest/least/multiply — entirely inside whole-stage codegen; no UDF.
 
 Testdata has no bboxes, so deterministic synthetic boxes are derived
@@ -81,27 +81,32 @@ ORDER BY c.camera_id, event_id
 def q_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static-vehicle suppression: IoU of each observation's box vs the
     previous frame's box of the same camera; suppressed when
-    IoU > 0.5. Self-join on (camera, rn-1) — at scale both sides share
-    the same camera_id hash partitioning, so the join reuses one
-    shuffle; the IoU itself never leaves codegen."""
+    IoU > 0.5. The previous box arrives via ``lag()`` in ONE window
+    pass over the per-camera sort — no rank+self-join, half the work of
+    the two-branch form, a single (camera_id) shuffle total, and the
+    IoU itself never leaves codegen."""
     boxes = _bboxes(spark, sf_dir)
     w = Window.partitionBy("camera_id").orderBy("ts", "id")
-    seq = boxes.withColumn("rn", F.row_number().over(w))
-    c, p = seq.alias("c"), seq.alias("p")
+    prev = boxes.select(
+        "camera_id",
+        "ts",
+        "id",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        *[F.lag(col).over(w).alias(f"p_{col}") for col in ("id", "x1", "y1", "x2", "y2")],
+    )
     pair_iou = iou(
-        (F.col("c.x1"), F.col("c.y1"), F.col("c.x2"), F.col("c.y2")),
-        (F.col("p.x1"), F.col("p.y1"), F.col("p.x2"), F.col("p.y2")),
+        (F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        (F.col("p_x1"), F.col("p_y1"), F.col("p_x2"), F.col("p_y2")),
     )
     return (
-        c.join(
-            p,
-            (F.col("p.camera_id") == F.col("c.camera_id"))
-            & (F.col("p.rn") == F.col("c.rn") - 1),
-        )
+        prev.filter(F.col("p_id").isNotNull())
         .select(
-            F.col("c.camera_id").alias("camera_id"),
-            F.col("c.id").alias("event_id"),
-            F.col("p.id").alias("prev_event_id"),
+            "camera_id",
+            F.col("id").alias("event_id"),
+            F.col("p_id").alias("prev_event_id"),
             F.round(pair_iou, 6).alias("iou"),
             (pair_iou > IOU_THRESHOLD).alias("suppressed"),
         )

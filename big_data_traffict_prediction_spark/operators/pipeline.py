@@ -83,12 +83,19 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm_col()).alias("fingerprint"),
         quality.alias("quality_score"),
     )
-    keep = scored.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    # The keep side re-derives from ``scored``; rename its columns before the
+    # join so the equi-condition binds unambiguously (avoids Spark's
+    # "trivially true equals predicate" lineage warning on self-joins).
+    keep = (
+        scored.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .withColumnRenamed("fingerprint", "keep_fp")
+    )
     return (
         scored.join(
             keep,
-            (scored.fingerprint == keep.fingerprint)
-            & (scored.doc_id == keep.keep_doc_id),
+            (F.col("fingerprint") == F.col("keep_fp"))
+            & (F.col("doc_id") == F.col("keep_doc_id")),
         )
         .filter((F.col("lang") == CORPUS_LANG) & (F.col("quality_score") >= QUALITY_MIN))
         .select(

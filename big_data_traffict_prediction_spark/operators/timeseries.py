@@ -110,7 +110,10 @@ def q_bucket_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: trailing-7d 6h buckets with ZERO-FILLED empties — the
     reference pre-allocates empty buckets in a Python dict
     (app/utils.py:675-689); here a sequence() spine left-joins the
-    aggregate. The spine is tiny → broadcast."""
+    aggregate. The aggregated side is ≤ span/interval rows after the
+    groupBy, so IT is the broadcast side; the spine stays preserved
+    (Spark cannot build the preserved side of a left outer join — a
+    spine-side hint is silently discarded)."""
     span_s, interval_s = PERIODS[DENSE_PERIOD]
     start = NOW_EPOCH - span_s
     spine = spark.range(0, span_s // interval_s).select(
@@ -126,8 +129,7 @@ def q_bucket_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        F.broadcast(spine)
-        .join(agg, "bucket_epoch", "left")
+        spine.join(F.broadcast(agg), "bucket_epoch", "left")
         .select(
             "bucket_epoch",
             F.timestamp_seconds("bucket_epoch").alias("bucket_ts"),

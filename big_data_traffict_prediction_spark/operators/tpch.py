@@ -668,17 +668,24 @@ WHERE p_brand = '{Q17_BRAND}' AND l_quantity < {Q17_FRACTION} * avg_qty
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue (adapted: brand predicate
     matches the testdata's brand domain): the correlated avg-quantity
-    subquery becomes a per-part aggregate joined back — two scans of
-    lineitem, or one with a window; the join form parallelizes the
-    same way at scale."""
+    subquery becomes a per-part aggregate joined back. Both the avg
+    side and the outer side are first semi-joined (broadcast) against
+    the brand's partkeys, so the per-part shuffle carries only the
+    brand's selectivity (~1/N-brands of lineitem), not all parts —
+    answer unchanged, the avg is per-part so restricting to surviving
+    parts is lossless."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
-    avg_qty = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+    brand_keys = part.select("p_partkey")
+    li_brand = li.join(
+        F.broadcast(brand_keys), li.l_partkey == brand_keys.p_partkey, "left_semi"
+    )
+    avg_qty = li_brand.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("avg_partkey"))
+        li_brand.join(F.broadcast(part), li_brand.l_partkey == part.p_partkey)
+        .join(avg_qty, li_brand.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < Q17_FRACTION * F.col("avg_qty"))
         .agg(
             F.sum(F.floor(F.col("l_extendedprice") * SCALE).cast("long"))

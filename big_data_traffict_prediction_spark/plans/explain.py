@@ -50,6 +50,15 @@ def shuffle_count(df: DataFrame) -> int:
     return _node_count(formatted_plan(df), "Exchange")
 
 
+def nested_loop_join_count(df: DataFrame) -> int:
+    """BroadcastNestedLoopJoin / CartesianProduct operators — the
+    theta-join shapes that do NOT scale (one unbounded task)."""
+    plan = formatted_plan(df)
+    return _node_count(plan, "BroadcastNestedLoopJoin") + _node_count(
+        plan, "CartesianProduct"
+    )
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 

@@ -54,6 +54,49 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
         )
 
 
+def test_bucket_series_dense_broadcasts_agg_side(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.timeseries import (
+        q_bucket_series_dense,
+    )
+
+    # the aggregated (small) side must broadcast; a hint on the
+    # preserved side of the left join would be silently discarded
+    df = q_bucket_series_dense(spark, sf_dir)
+    assert explain.broadcast_join_count(df) >= 1, "agg side must broadcast"
+
+
+def test_iou_dedup_is_single_window_pass(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.iou import q_iou_dedup
+
+    # lag() over one window — NO self-join, one (camera_id) shuffle
+    # plus the final presentation sort
+    a = explain.audit(q_iou_dedup(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_embedding_neardup_is_blocked_equi_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_embedding_neardup,
+    )
+
+    # exact all-pairs must plan as the blocked hash equi-join —
+    # never BroadcastNestedLoopJoin / CartesianProduct
+    df = q_embedding_neardup(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) == 0, "all-pairs planned as nested loop"
+
+
+def test_tpch_q17_semi_joins_before_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q17
+
+    # the brand semi-join must run BELOW the per-part avg aggregate so
+    # the shuffle carries one brand's rows, not every part's
+    df = q_tpch_q17(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan, "brand pre-filter must plan as a semi join"
+    assert explain.broadcast_join_count(df) >= 2
+
+
 def test_flagship_is_two_aggregates_one_scan(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.prediction import q_predict_dow_hour
 
