@@ -11,7 +11,8 @@ Four tiers, each the standard shape for its scale:
 - **MinHash + LSH**: 16 minhashes → 4 bands × 4 rows → candidates are
   only pairs sharing a band signature; THE scale path (candidates
   ∝ near-dups, not n²). Fully oracle-checked because both engines
-  share the same 60-bit md5-derived hash (functions/text.hash60).
+  share the same 40-bit md5-derived hash (``_hash40`` below; 40 bits
+  keeps the h1 + seed·h2 double-hash inside int64).
 - **SimHash**: 32-bit signatures + top-16-bit banding + hamming≤k —
   the other classic near-dup family.
 
@@ -36,6 +37,13 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SIMHASH_BITS = 32
 SIMHASH_BUCKET_SHIFT = 16  # band on the top 16 bits
 HAMMING_MAX = 3
+# Group-and-expand bucket bound: a band bucket contributes pairs only
+# among its first MAX_BUCKET_EXPAND members (sorted for determinism).
+# A hot bucket is, in real corpora, an exact-duplicate cluster — that
+# case belongs to q_dedup_exact's one-shuffle path; capping here bounds
+# the single-task O(m²) pair fan-out that AQE cannot skew-split.
+# Test SFs never approach the cap, so oracles stay exact.
+MAX_BUCKET_EXPAND = 1024
 
 # ---------------------------------------------------------------- shared
 
@@ -314,7 +322,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One grouping computes it once; bucket member lists are small by
     # LSH construction, so the in-bucket pair expansion is cheap.
     buckets = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ms")
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET_EXPAND
+        ).alias("ms")
     )
     pair_arr = F.filter(
         F.flatten(
@@ -462,9 +472,9 @@ ORDER BY d1, d2
 """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: equi-join on the top-8-bit bucket (the
-    scale move — no all-pairs), then hamming ≤ 3 filter via
-    bit_count(xor)."""
+    """SimHash near-dup pairs: bucket on the top SIMHASH_BUCKET_SHIFT
+    (=16) bits of the 32-bit signature (the scale move — no all-pairs),
+    then hamming ≤ 3 filter via bit_count(xor)."""
     # Group-and-expand instead of a self-join: a self-join would
     # compute the signature expression once per branch AND once more in
     # each branch's pushed-down isnotnull join-key filter. Grouping by
@@ -474,7 +484,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.expr(f"simhash >> {SIMHASH_BUCKET_SHIFT}")
     )
     members = sig.groupBy("bucket").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))),
+            1,
+            MAX_BUCKET_EXPAND,
+        ).alias("ms")
     )
     pairs = F.filter(
         F.flatten(

@@ -45,7 +45,7 @@ def camera_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topn_export",
     oracle=with_traffic(
         f"""
-SELECT t.ts, t.camera_id,
+SELECT t.id, t.ts, t.camera_id,
        COALESCE(d.cam_name, t.camera_id) AS location_name,
        t.new_count, t.new_cars, t.new_motors
 FROM (
@@ -71,6 +71,7 @@ def q_topn_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.join(F.broadcast(d), d.cam_key == t.camera_id.cast("long"), "left")
         .select(
+            "id",
             "ts",
             "camera_id",
             F.coalesce("cam_name", "camera_id").alias("location_name"),
@@ -78,7 +79,9 @@ def q_topn_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cars",
             "new_motors",
         )
-        .orderBy(F.desc("ts"), F.desc("camera_id"))
+        # reference export orders by (ts, id) DESC — id kept in the
+        # projection so the emitted ordering is reproducible on ties
+        .orderBy(F.desc("ts"), F.desc("id"))
     )
 
 

@@ -22,7 +22,31 @@ from ..compat import NOW_EPOCH, NOW_TS, bucket_epoch
 from ..registry import register
 from ..tables import traffic_history, with_traffic
 
-# Period table (reference app/routes.py:76-103): period → (span, interval).
+# Sparse /api/history period table (reference app/routes.py:76-103):
+# period → (span_s, interval_s); labels %d/%m for 7d/30d, %H:%M otherwise.
+ROUTES_PERIODS = {
+    "30m": (1800, 60),
+    "1h": (3600, 60),
+    "6h": (21600, 300),
+    "12h": (43200, 900),
+    "24h": (86400, 1800),
+    "7d": (604800, 14400),
+    "30d": (2592000, 86400),
+}
+
+# Dense pre-allocated chart table (reference app/utils.py:613-646):
+# period → (span_s, interval_s, spark_label_fmt, duckdb_label_fmt).
+DENSE_PERIODS = {
+    "30m": (1800, 60, "HH:mm", "%H:%M"),
+    "1h": (3600, 120, "HH:mm", "%H:%M"),
+    "6h": (21600, 900, "HH:mm", "%H:%M"),
+    "12h": (43200, 1800, "HH:mm", "%H:%M"),
+    "24h": (86400, 3600, "HH:mm", "%H:%M"),
+    "7d": (604800, 86400, "EEEE, dd MMM", "%A, %d %b"),
+    "30d": (2592000, 86400, "EEE, dd MMM", "%a, %d %b"),
+}
+
+# Legacy registered shapes (kept stable across rounds).
 PERIODS = {
     "24h": (86400, 3600),
     "7d": (604800, 21600),
@@ -34,7 +58,11 @@ DENSE_PERIOD = "7d"
 
 
 def bucket_series(
-    spark: SparkSession, sf_dir: str, span_s: int, interval_s: int
+    spark: SparkSession,
+    sf_dir: str,
+    span_s: int,
+    interval_s: int,
+    label_fmt: str = "HH:mm",
 ) -> DataFrame:
     """Tumbling-bucket sums over the trailing span ending at NOW."""
     h = traffic_history(spark, sf_dir)
@@ -49,7 +77,7 @@ def bucket_series(
             F.count(F.lit(1)).alias("n_samples"),
         )
         .withColumn("bucket_ts", F.timestamp_seconds("bucket_epoch"))
-        .withColumn("label", F.date_format("bucket_ts", "HH:mm"))
+        .withColumn("label", F.date_format("bucket_ts", label_fmt))
         .orderBy("bucket_epoch")
     )
 
@@ -139,6 +167,144 @@ def q_bucket_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_epoch")
     )
+
+
+@register(
+    "q_bucket_series_30m",
+    oracle=_series_oracle(*ROUTES_PERIODS["30m"], "%H:%M"),
+)
+def q_bucket_series_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference /api/history period=30m: trailing 30 min, 60 s buckets,
+    %H:%M labels (app/routes.py:84-86, sparse dict form)."""
+    return bucket_series(spark, sf_dir, *ROUTES_PERIODS["30m"])
+
+
+@register(
+    "q_bucket_series_12h",
+    oracle=_series_oracle(*ROUTES_PERIODS["12h"], "%H:%M"),
+)
+def q_bucket_series_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference /api/history period=12h: trailing 12 h, 15 min buckets
+    (app/routes.py:90-92)."""
+    return bucket_series(spark, sf_dir, *ROUTES_PERIODS["12h"])
+
+
+def _dense_series(
+    spark: SparkSession,
+    sf_dir: str,
+    start: int,
+    end: int,
+    interval_s: int,
+    label_fmt: str,
+) -> DataFrame:
+    """Zero-filled dense chart series over [start, end): generated spine
+    left-joins the bucket aggregate; the aggregated side broadcasts
+    (≤ span/interval rows post-groupBy). Mirrors the reference's
+    pre-allocated bucket loop (app/utils.py:661-689) declaratively."""
+    spine = spark.range(0, (end - start) // interval_s).select(
+        (F.lit(start) + F.col("id") * interval_s).cast("long").alias("bucket_epoch")
+    )
+    agg = (
+        traffic_history(spark, sf_dir)
+        .filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(end)))
+        )
+        .groupBy(bucket_epoch("ts", interval_s).alias("bucket_epoch"))
+        .agg(
+            F.sum("new_count").alias("total_new_count"),
+            F.sum("new_cars").alias("total_new_cars"),
+            F.sum("new_motors").alias("total_new_motors"),
+        )
+    )
+    return (
+        spine.join(F.broadcast(agg), "bucket_epoch", "left")
+        .select(
+            "bucket_epoch",
+            F.timestamp_seconds("bucket_epoch").alias("bucket_ts"),
+            F.date_format(F.timestamp_seconds("bucket_epoch"), label_fmt).alias("label"),
+            F.coalesce("total_new_count", F.lit(0)).cast("long").alias("total_new_count"),
+            F.coalesce("total_new_cars", F.lit(0)).cast("long").alias("total_new_cars"),
+            F.coalesce("total_new_motors", F.lit(0)).cast("long").alias("total_new_motors"),
+        )
+        .orderBy("bucket_epoch")
+    )
+
+
+def _dense_oracle(start: int, end: int, interval_s: int, label_fmt: str) -> str:
+    return with_traffic(f"""
+, spine AS (
+  SELECT CAST(g AS BIGINT) AS bucket_epoch
+  FROM (SELECT unnest(generate_series({start}, {end - 1}, {interval_s})) AS g)
+),
+agg AS (
+  SELECT CAST(FLOOR(epoch_us(ts) // 1000000 / {interval_s}) * {interval_s} AS BIGINT) AS bucket_epoch,
+         CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+         CAST(SUM(new_cars) AS BIGINT) AS total_new_cars,
+         CAST(SUM(new_motors) AS BIGINT) AS total_new_motors
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({start} AS BIGINT) * 1000000)
+    AND ts < make_timestamp(CAST({end} AS BIGINT) * 1000000)
+  GROUP BY 1
+)
+SELECT s.bucket_epoch,
+       make_timestamp(s.bucket_epoch * 1000000) AS bucket_ts,
+       strftime(make_timestamp(s.bucket_epoch * 1000000), '{label_fmt}') AS label,
+       COALESCE(a.total_new_count, 0) AS total_new_count,
+       COALESCE(a.total_new_cars, 0) AS total_new_cars,
+       COALESCE(a.total_new_motors, 0) AS total_new_motors
+FROM spine s LEFT JOIN agg a ON a.bucket_epoch = s.bucket_epoch
+ORDER BY s.bucket_epoch
+""")
+
+
+# Custom-day view (reference app/utils.py:571-612): midnight-aligned
+# 24×1h buckets for one specific day. NOW is exactly midnight in the
+# testdata, so "the day being inspected" is the previous full day.
+DAY_ALIGNED_START = NOW_EPOCH - (NOW_EPOCH % 86400) - 86400
+
+
+@register(
+    "q_bucket_series_day_aligned",
+    oracle=_dense_oracle(DAY_ALIGNED_START, DAY_ALIGNED_START + 86400, 3600, "%H:%M"),
+)
+def q_bucket_series_day_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-day chart (reference app/utils.py:571-612): start_ts
+    aligned to 00:00 of its day, 24 one-hour buckets, zero-filled,
+    %H:%M labels; events outside [00:00, 24:00) excluded. Also covers
+    the reference's midnight-aligned special-case for period=24h
+    (app/utils.py:651-656)."""
+    return _dense_series(
+        spark, sf_dir, DAY_ALIGNED_START, DAY_ALIGNED_START + 86400, 3600, "HH:mm"
+    )
+
+
+@register(
+    "q_bucket_series_7d_labeled",
+    oracle=_dense_oracle(
+        NOW_EPOCH - DENSE_PERIODS["7d"][0], NOW_EPOCH, DENSE_PERIODS["7d"][1], "%A, %d %b"
+    ),
+)
+def q_bucket_series_7d_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 7d chart: one point per day with the reference's FULL
+    weekday labels 'Monday, 25 Jan' (app/utils.py:619-622,
+    time_format='%A, %d %b')."""
+    span_s, interval_s, fmt, _ = DENSE_PERIODS["7d"]
+    return _dense_series(spark, sf_dir, NOW_EPOCH - span_s, NOW_EPOCH, interval_s, fmt)
+
+
+@register(
+    "q_bucket_series_30d_labeled",
+    oracle=_dense_oracle(
+        NOW_EPOCH - DENSE_PERIODS["30d"][0], NOW_EPOCH, DENSE_PERIODS["30d"][1], "%a, %d %b"
+    ),
+)
+def q_bucket_series_30d_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 30d chart: one point per day with the reference's short
+    weekday labels 'Mon, 25 Jan' (app/utils.py:615-618,
+    time_format='%a, %d %b')."""
+    span_s, interval_s, fmt, _ = DENSE_PERIODS["30d"]
+    return _dense_series(spark, sf_dir, NOW_EPOCH - span_s, NOW_EPOCH, interval_s, fmt)
 
 
 SESSION_GAP_S = 1800

@@ -82,9 +82,15 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def run_dual_sink(
     stream: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
-    """St8: one streaming query, two sinks per epoch — append-only fact
-    parquet + overwritten latest-stats snapshot. foreachBatch gives
-    both writes the same epoch id (exactly-once on retry)."""
+    """St8: one streaming query, two sinks per epoch — fact parquet +
+    overwritten latest-stats snapshot.
+
+    foreachBatch is AT-LEAST-ONCE: a retried epoch re-runs this sink.
+    Both writes are therefore idempotent per epoch — the fact table is
+    partitioned by epoch_id and written with DYNAMIC partition
+    overwrite (a replay replaces its own partition instead of
+    appending duplicates); the snapshot is a full overwrite, so the
+    retry converges to the same state."""
     fact_dir = os.path.join(out_dir, "fact")
     snap_dir = os.path.join(out_dir, "latest_snapshot")
 
@@ -93,7 +99,13 @@ def run_dual_sink(
             return
         batch.persist()
         try:
-            batch.write.mode("append").parquet(fact_dir)
+            (
+                batch.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(fact_dir)
+            )
             latest = (
                 batch.groupBy("camera_id")
                 .agg(

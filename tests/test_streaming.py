@@ -131,6 +131,44 @@ def test_dual_sink_writes_fact_and_snapshot(spark, sf_dir, stage_dir, tmp_path):
     for cam, cnt in last.items():
         assert latest[cam] == cnt
 
+    # foreachBatch is at-least-once: replaying the whole stream (fresh
+    # checkpoint, same sink dirs) must NOT duplicate fact rows — each
+    # epoch dynamically overwrites its own epoch_id partition
+    windows.run_dual_sink(stream, out_dir, str(tmp_path / "ckpt_dual_replay"))
+    assert spark.read.parquet(f"{out_dir}/fact").count() == n_src
+
+
+def test_processing_time_trigger_runs_micro_batches(spark, stage_dir, tmp_path):
+    """St1: the reference polls every camera on a 2 s cadence
+    (app/config.py:22). Exercise the REAL processingTime trigger once:
+    start the stateful IoU-dedup stream with trigger(processingTime=
+    '2 seconds'), wait for at least two trigger firings, stop."""
+    import time
+
+    stream = simulate.read_stream(spark, stage_dir)
+    q = (
+        state.stateful_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pt_trigger_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pt"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT count(*) FROM pt_trigger_out").first()[0]
+            lp = q.lastProgress
+            if rows > 0 and lp is not None and lp["batchId"] >= 1:
+                break
+            time.sleep(1)
+        assert rows > 0, "no rows emitted by processingTime micro-batches"
+        assert q.lastProgress["batchId"] >= 1, "needed >=2 trigger firings"
+    finally:
+        q.stop()
+
 
 def test_watermark_late_row_semantics(spark, tmp_path):
     """St7, pinned to Spark's actual aggregation semantics: the
