@@ -75,21 +75,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Steady-state measurement: execute each query warm_runs times
-    # unrecorded (whole-stage-codegen JIT compilation dominates first
-    # executions of the HOF-heavy dedup queries), then record the best
-    # of two measured runs (min filters transient machine-load noise).
-    # SPARK_BENCH_WARMUP=0 reports cold numbers.
-    for _ in range(warm_runs):
-        for name in HEADLINE:
-            run_one(spark, queries[name], sf_dir)
-
-    timings: dict[str, float] = {}
+    # Honest statistics: the first execution of each query is RECORDED
+    # as its cold number (it doubles as the codegen/JIT warmup), then
+    # each query is measured warm 3× and the MEDIAN reported — median
+    # resists transient machine-load noise without the flattery of
+    # min-statistics. SPARK_BENCH_WARMUP=0 reports the cold pass only.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        t = run_one(spark, queries[name], sf_dir)
-        if warm_runs:
-            t = min(t, run_one(spark, queries[name], sf_dir))
-        timings[name] = round(t, 3)
+        cold[name] = round(run_one(spark, queries[name], sf_dir), 3)
+
+    if warm_runs:
+        timings = {}
+        for name in HEADLINE:
+            runs = sorted(run_one(spark, queries[name], sf_dir) for _ in range(3))
+            timings[name] = round(runs[1], 3)
+        stat = "median3"
+    else:
+        timings = cold
+        stat = "cold"
 
     print(
         json.dumps(
@@ -97,7 +100,9 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "stat": stat,
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

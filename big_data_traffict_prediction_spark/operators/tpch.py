@@ -694,3 +694,234 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+Q12_DATE_LO = "1996-01-01"
+Q12_DATE_HI = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q12_DATE_HI} 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted to the pruned schema (no l_shipmode /
+    l_commitdate: return flag stands in for ship mode, ship date for
+    the receipt window): conditional CASE counting inside a grouped
+    aggregate over an orders⋈lineitem join. The date filter pushes to
+    the lineitem scan; both sides shuffle on the order key (1:N join,
+    neither side broadcastable at scale) with map-side partial aggs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q12_DATE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q12_DATE_HI} 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q19_DISJUNCTS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#4", 1, 35, 20, 30),
+)
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_DISJUNCTS
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT CAST(SUM({REV_SQL}) AS BIGINT) AS revenue_fp,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {_q19_pred_sql()}
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue shape (adapted: no p_container /
+    l_shipinstruct — brand × size × quantity disjuncts): one
+    DISJUNCTIVE predicate spanning both join sides. Catalyst extracts
+    the part-only implication (p_brand ∈ {{...}} ∨-union of size
+    ranges) and pushes it to the part scan (plan-asserted), so the
+    join builds only candidate parts; the full OR evaluates post-join
+    in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pred = None
+    for b, s_lo, s_hi, q_lo, q_hi in Q19_DISJUNCTS:
+        d = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        pred = d if pred is None else (pred | d)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(
+            F.sum(_rev_col()).cast("long").alias("revenue_fp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q21_TOPK = 100
+
+
+@register(
+    "q_tpch_q21",
+    oracle=f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPK}
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting shape (adapted: no
+    l_receiptdate/l_commitdate — l_returnflag='R' marks the failing
+    lineitem, o_orderstatus='F' the finished order): EXISTS → left-semi
+    and NOT EXISTS → left-anti, each with a compound equi + non-equi
+    condition (same order, different supplier). Both correlated joins
+    key on l_orderkey, so all three lineitem branches share one hash
+    partitioning; the supplier dim broadcasts; top-k is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("l3_orderkey"),
+            F.col("l_suppkey").alias("l3_suppkey"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    base = (
+        l1.join(fo, l1.l_orderkey == fo.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPK)
+    )
+
+
+Q22_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+Q22_CUTOFF = "2000-01-01"
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+WITH sel AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN {Q22_SEGMENTS!r}
+), stats AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * {SCALE}) AS BIGINT)) AS BIGINT) AS sum_fp,
+         COUNT(*) AS cnt
+  FROM sel WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * {SCALE}) AS BIGINT)) AS BIGINT) AS totacctbal_fp
+FROM sel, stats
+WHERE CAST(FLOOR(c_acctbal * {SCALE}) AS BIGINT) * cnt > sum_fp
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = sel.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity shape (adapted: no c_phone —
+    market segment stands in for country code; "dormant" = no order
+    since {Q22_CUTOFF}): scalar aggregate subquery (1-row broadcast
+    cross join) + anti-join against recent orders. The
+    above-average-balance comparison is exact-integer
+    (bal_fp·count > sum_fp) so it cannot flip on cross-engine float
+    summation order."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*Q22_SEGMENTS)
+    )
+    bal_fp = F.floor(F.col("c_acctbal") * SCALE).cast("long")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_fp).cast("long").alias("sum_fp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(f"{Q22_CUTOFF} 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(bal_fp * F.col("cnt") > F.col("sum_fp"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_fp).cast("long").alias("totacctbal_fp"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -97,6 +97,19 @@ def test_tpch_q17_semi_joins_before_aggregate(spark, sf_dir):
     assert explain.broadcast_join_count(df) >= 2
 
 
+def test_tpch_q19_pushes_disjunctive_part_filter(spark, sf_dir):
+    import re
+
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q19
+
+    # Catalyst must extract the part-only implication of the cross-side
+    # OR predicate and push it into the part parquet scan
+    df = q_tpch_q19(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_brand" in pushed, f"p_brand disjunction not pushed: {pushed!r}"
+
+
 def test_flagship_is_two_aggregates_one_scan(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.prediction import q_predict_dow_hour
 
