@@ -516,3 +516,102 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("d1", "d2")
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+CLUSTER_MAX_ITERS = 20
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT p.d1, p.d2
+  FROM pairs p
+  JOIN cnt c1 ON c1.doc_id = p.d1
+  JOIN cnt c2 ON c2.doc_id = p.d2
+  WHERE CAST(p.n_common AS DOUBLE) / CAST(c1.n + c2.n - p.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION
+  SELECT d2 AS a, d1 AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach
+GROUP BY a
+ORDER BY doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (3-gram Jaccard ≥
+    0.5 edges): every doc in a duplicate cluster labeled with its
+    cluster's minimum doc_id — the keep-one/purge-rest step of a real
+    dedup pipeline.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds (near-dup clusters are small and dense, so
+    2-3 rounds in practice). The driver loop holds only ONE scalar per
+    round (the changed-label count — the standard convergence action
+    of an iterative distributed algorithm); labels are
+    localCheckpoint()ed each round so lineage stays flat. At 100 TB
+    the edge list is the LSH candidate output (work ∝ near-dups), the
+    per-round cost is one (vertex ∪ edge) shuffle, and the round count
+    is bounded by CLUSTER_MAX_ITERS.
+
+    DuckDB oracle: recursive-CTE transitive closure with min-reachable
+    labels — an exact cross-engine check of an iterative graph
+    algorithm."""
+    edges = (
+        _pair_jaccard(shingles(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
+        "doc_id"
+    )

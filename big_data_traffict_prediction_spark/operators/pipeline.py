@@ -150,3 +150,47 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_lang_mixture",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), g AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / SUM(CAST(total_tokens AS DOUBLE)) OVER (), 6) AS token_share
+FROM g
+ORDER BY lang
+""",
+)
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture statistics: per-language doc and (whitespace)
+    token totals with each language's share of the total token budget —
+    the numbers a data-mixture tuner actually reads. One grouped agg
+    + an unpartitioned window over the (tiny, one row per language)
+    aggregate; the window never sees raw rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("lang", F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    total = F.sum(F.col("total_tokens").cast("double")).over(
+        Window.partitionBy()
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / total, 6).alias("token_share"),
+    ).orderBy("lang")

@@ -925,3 +925,59 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+Q16_EXCLUDE_BRAND = "Brand#5"
+Q16_EXCLUDE_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> '{Q16_EXCLUDE_BRAND}'
+  AND p_type NOT LIKE '{Q16_EXCLUDE_TYPE_PREFIX}%'
+  AND p_size IN {Q16_SIZES!r}
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier-relationship shape (adapted: no
+    partsupp table — the DISTINCT (l_partkey, l_suppkey) pairs of
+    lineitem stand in; no s_comment — negative account balance marks
+    the excluded "complaint" suppliers): distinct-pair derivation,
+    NOT-IN → broadcast anti-join, COUNT(DISTINCT) grouped aggregate
+    (Spark plans it as a two-level expand+agg — partial per
+    (group, supplier) then final), descending count with full
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDE_BRAND)
+        & ~F.col("p_type").startswith(Q16_EXCLUDE_TYPE_PREFIX)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad_supp), ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -81,3 +81,31 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     return out.orderBy("session_start", "camera_id")
+
+
+@register("q_stream_dedup_delivery", oracle=None)
+def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event delivery from an at-least-once transport:
+    the staged stream is read TWICE and unioned (every record delivered
+    2×), then streaming dropDuplicates on (id, ts) with the watermark
+    bounding dedup state — the standard Kafka-consumer dedup shape.
+    Returns per-camera counts; equals the single-delivery batch counts
+    (pinned in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    once = simulate.read_stream(spark, stage)
+    twice = once.unionByName(simulate.read_stream(spark, stage))
+    deduped = twice.withWatermark("ts", "30 minutes").dropDuplicates(["id", "ts"])
+    counts = deduped.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_count").alias("total_new_count"),
+    )
+    out = windows.run_to_memory(
+        spark,
+        counts,
+        f"q_stream_dedup_delivery_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    return out.orderBy("camera_id")

@@ -217,3 +217,27 @@ def test_watermark_late_row_semantics(spark, tmp_path):
     sums = {r.window_start.hour: r.total_new_count for r in rows}
     # window 10 emitted exactly once, with the straggler merged in
     assert len(rows) == 1 and sums == {10: 1004}, f"got {sums}"
+
+
+def test_stream_dedup_delivery_matches_single_delivery(spark, sf_dir):
+    """Double-delivered stream + dropDuplicates == batch counts of the
+    single-delivery frame (exactly-once semantics restored)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        q_stream_dedup_delivery,
+    )
+
+    got = {
+        (r.camera_id, r.n_events, r.total_new_count)
+        for r in q_stream_dedup_delivery(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.camera_id, r.n_events, r.total_new_count)
+        for r in simulate.detections_frame(spark, sf_dir)
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_count").alias("total_new_count"),
+        )
+        .collect()
+    }
+    assert got == batch
