@@ -4,19 +4,35 @@ with typed metadata (north-star extension; schemas.MEDIA).
 Design for 100 TB: payloads stay in parquet binary columns, metadata
 columns drive partition pruning, and all per-payload work happens in
 Arrow-batched ``mapInPandas`` — one Python worker per partition, never
-per row. The actual image/audio codecs are NOT in this container, so
-the decode kernel is a clearly-marked deterministic stub behind an
-import-try (``_decode_payload``); the Spark-side plumbing — schema,
-batch iteration, UDF signatures, partitioning — is real and tested.
+per row.
+
+The decode path is REAL for the three uncompressed container formats
+this module writes (pure numpy, no external codecs):
+
+- image: binary PGM (``P5``) — header parse + pixel grid decode,
+  stats, 8×8 nearest-neighbor thumbnail;
+- audio: RIFF/WAVE PCM16 mono — fmt-chunk parse + sample decode,
+  RMS, 64-bin envelope;
+- video: ``RAWV`` (magic + ``<HHI`` w/h/frame-count + raw grayscale
+  frames) — per-frame decode, mean-frame thumbnail.
+
+Compressed codec formats (PNG/JPEG/MP3/H.264) are NOT decodable in
+this container; ``_decode_payload`` raises ``NotImplementedError`` on
+an unknown magic, so the gate stays honest instead of faking them.
 
 The media table is derived deterministically from ``documents`` so
-every scale factor has a multimodal fixture without writing anywhere.
+every scale factor has a multimodal fixture without writing anywhere;
+``encode_media`` is the ingest-side twin (what a camera/ripper would
+produce), ``decode_features`` the engine-side operator.
 """
 
 from __future__ import annotations
 
+import re
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,12 +42,15 @@ from ..registry import register
 from ..tables import load_table
 
 KINDS = ["image", "audio", "video"]
-MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+MIMES = {"image": "image/x-portable-graymap", "audio": "audio/wav", "video": "video/x-rawv"}
+
+THUMB = 8  # thumbnail / envelope edge: features are THUMB*THUMB doubles
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixture: payload = utf-8 bytes of the text,
-    kind cycles by doc_id, dimensions derived from n_chars."""
+    kind cycles by doc_id, container dimensions derived from n_chars
+    (kept small so sf0.1 stays MB-scale)."""
     d = load_table(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
@@ -41,8 +60,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind.alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
         kind.alias("_k"),
-        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
-        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        (F.col("n_chars") % 32 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 24 + 16).cast("int").alias("height"),
         (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
     ).withColumn("mime", F.element_at(
         F.create_map(*[F.lit(x) for kv in MIMES.items() for x in kv]), F.col("_k")
@@ -73,71 +92,198 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# --------------------------------------------------------------- encode
+
+def _tile(raw: bytes, n: int) -> np.ndarray:
+    """Tile raw bytes to exactly n uint8 values (deterministic fill)."""
+    src = np.frombuffer(raw if raw else b"\x00", dtype=np.uint8)
+    return np.resize(src, n)
+
+
+def _encode_pgm(raw: bytes, w: int, h: int) -> bytes:
+    header = f"P5\n{w} {h}\n255\n".encode()
+    return header + _tile(raw, w * h).tobytes()
+
+
+def _encode_wav(raw: bytes) -> bytes:
+    """RIFF/WAVE, PCM16 mono 8 kHz; one sample per source byte,
+    centered around zero."""
+    samples = ((_tile(raw, max(len(raw), 1)).astype(np.int16)) - 128) * 256
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _encode_rawv(raw: bytes, w: int, h: int) -> bytes:
+    """RAWV container: magic + <HHI (width, height, n_frames) + raw
+    grayscale frames. Frame count mirrors the old fixture formula."""
+    n_frames = len(raw) // 64 + 1
+    return (
+        b"RAWV"
+        + struct.pack("<HHI", w, h, n_frames)
+        + _tile(raw, w * h * n_frames).tobytes()
+    )
+
+
+def encode_media(df: DataFrame) -> DataFrame:
+    """Ingest-side container encode (Arrow-batched): wraps each raw
+    payload in a real PGM / WAV / RAWV container per its kind, sized
+    by the metadata columns. At 100 TB this is the `mapInPandas` shape
+    of any transcode stage: binary in, binary out, zero driver data."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = []
+            for raw, kind, w, h in zip(
+                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"], strict=True
+            ):
+                raw = bytes(raw)
+                if kind == "image":
+                    enc.append(_encode_pgm(raw, int(w), int(h)))
+                elif kind == "audio":
+                    enc.append(_encode_wav(raw))
+                else:
+                    enc.append(_encode_rawv(raw, int(w), int(h)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "payload": enc,
+                }
+            )
+
+    return df.mapInPandas(
+        op, schema="media_id long, kind string, width int, height int, payload binary"
+    )
+
+
 # --------------------------------------------------------------- decode
 
-try:  # real codecs unavailable in this container — keep the gate honest
-    import PIL.Image  # noqa: F401
+_PGM_HEADER = re.compile(rb"^P5\s+(\d+)\s+(\d+)\s+255\s")
 
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
+
+def _thumb(a: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D array to THUMB×THUMB."""
+    h, w = a.shape
+    yi = (np.arange(THUMB) * h) // THUMB
+    xi = (np.arange(THUMB) * w) // THUMB
+    return a[np.ix_(yi, xi)]
 
 
 def _decode_payload(payload: bytes, kind: str) -> dict:
-    """STUB decode kernel. With real codecs this is PIL/librosa/pyav;
-    here it is a deterministic fake so the distributed plumbing can be
-    exercised and asserted. Raises if someone expects real decoding."""
-    if _HAVE_CODECS:
-        raise NotImplementedError(
-            "real codec path not implemented in this container; "
-            "the deterministic fake below defines the test contract"
-        )
-    checksum = sum(payload) % 256
-    return {
-        "decoded_ok": True,
-        "checksum": checksum,
-        "first_byte": payload[0] if payload else 0,
-        "n_frames": (len(payload) // 64) + 1 if kind == "video" else 1,
-    }
+    """REAL decode kernel for the uncompressed containers this module
+    writes (pure numpy). Unknown magics (PNG/JPEG/...) raise — codec
+    libraries are not in this container and faking them would be
+    dishonest."""
+    if kind == "image" and payload[:2] == b"P5":
+        m = _PGM_HEADER.match(payload)
+        if not m:
+            raise ValueError("malformed PGM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+        ok = px.size == w * h
+        grid = np.resize(px, (h, w)).astype(np.float64)
+        return {
+            "decoded_ok": bool(ok),
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "n_samples": w * h,
+            "level_mean": float(grid.mean()),
+            "level_std": float(grid.std()),
+            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
+        }
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        (fmt_len,) = struct.unpack_from("<I", payload, 16)
+        audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, 20)
+        data_off = 20 + fmt_len
+        assert payload[data_off : data_off + 4] == b"data"
+        (data_len,) = struct.unpack_from("<I", payload, data_off + 4)
+        samples = np.frombuffer(
+            payload, dtype="<i2", offset=data_off + 8, count=data_len // 2
+        ).astype(np.float64)
+        ok = audio_fmt == 1 and channels == 1 and rate == 8000
+        env = np.abs(np.resize(samples, THUMB * THUMB)) / 32768.0
+        return {
+            "decoded_ok": bool(ok),
+            "width": 0,
+            "height": 0,
+            "n_frames": 1,
+            "n_samples": samples.size,
+            "level_mean": float(samples.mean()),
+            "level_std": float(samples.std()),
+            "feature": env.tolist(),
+        }
+    if kind == "video" and payload[:4] == b"RAWV":
+        w, h, n_frames = struct.unpack_from("<HHI", payload, 4)
+        px = np.frombuffer(payload, dtype=np.uint8, offset=12)
+        ok = px.size == w * h * n_frames
+        frames = np.resize(px, (n_frames, h, w)).astype(np.float64)
+        mean_frame = frames.mean(axis=0)
+        return {
+            "decoded_ok": bool(ok),
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "n_samples": px.size,
+            "level_mean": float(frames.mean()),
+            "level_std": float(frames.std()),
+            "feature": (_thumb(mean_frame) / 255.0).ravel().tolist(),
+        }
+    raise NotImplementedError(
+        f"no codec for kind={kind!r} magic={payload[:4]!r} in this container"
+    )
 
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, payload_bytes long, checksum long, "
-    "first_byte long, n_frames long, feature array<double>"
+    "media_id long, kind string, payload_bytes long, decoded_ok boolean, "
+    "width int, height int, n_frames long, n_samples long, "
+    "level_mean double, level_std double, feature array<double>"
 )
 
 
 def decode_features(df: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extract: Arrow batches in, one
     feature row per media out. This is the one legitimately-Python
-    operator in the engine (model/codec scoring), batched exactly the
+    operator in the engine (codec/model kernels), batched exactly the
     way a real GPU/codec kernel would want."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _decode_payload(p, k)
+                _decode_payload(bytes(p), k)
                 for p, k in zip(pdf["payload"], pdf["kind"], strict=True)
             ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload_bytes": [len(p) for p in pdf["payload"]],
-                    "checksum": [m["checksum"] for m in meta],
-                    "first_byte": [m["first_byte"] for m in meta],
-                    "n_frames": [m["n_frames"] for m in meta],
+                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 }
             )
-            out["feature"] = [
-                [
-                    float(b),
-                    float(m["checksum"]) / 256.0,
-                    float(m["first_byte"]) / 256.0,
-                    float(m["n_frames"]),
-                ]
-                for b, m in zip(out["payload_bytes"], meta, strict=True)
-            ]
+            for col in (
+                "decoded_ok",
+                "width",
+                "height",
+                "n_frames",
+                "n_samples",
+                "level_mean",
+                "level_std",
+                "feature",
+            ):
+                out[col] = [m[col] for m in meta]
             yield out
 
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
@@ -145,22 +291,28 @@ def decode_features(df: DataFrame) -> DataFrame:
 
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over binary payloads via mapInPandas
-    (stubbed codec, real plumbing). Python-side by necessity → no SQL
-    oracle; tests/test_llm_ops.py pins exact expected values."""
-    return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
+    """Container encode → REAL decode + feature extract over binary
+    payloads via two mapInPandas stages (PGM/WAV/RAWV, pure numpy).
+    Python-side by necessity → no SQL oracle; tests/test_llm_ops.py
+    pins the round-trip values."""
+    return decode_features(encode_media(media_table(spark, sf_dir))).orderBy(
+        "media_id"
+    )
 
 
 @register("q_multimodal_frame_sample", oracle=None)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling for video payloads: decode n_frames, emit one row
-    per sampled frame (every 8th) — the explode-after-decode shape of
-    video pipelines. posexplode keeps frame indices deterministic."""
+    """Frame sampling for video payloads: decode the RAWV frame count,
+    emit one row per sampled frame (every 8th) — the
+    explode-after-decode shape of video pipelines. posexplode keeps
+    frame indices deterministic."""
     feats = decode_features(
-        media_table(spark, sf_dir).filter(F.col("kind") == "video")
+        encode_media(media_table(spark, sf_dir).filter(F.col("kind") == "video"))
     )
     frame_idx = F.sequence(
-        F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(8)
+        F.lit(0).cast("long"),
+        F.greatest(F.col("n_frames") - 1, F.lit(0).cast("long")),
+        F.lit(8).cast("long"),
     )
     return (
         feats.select("media_id", "n_frames", F.explode(frame_idx).alias("frame_no"))

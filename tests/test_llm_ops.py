@@ -61,25 +61,44 @@ def test_handrolled_lsh_matches_exact_jaccard(spark, sf_dir):
 
 
 def test_multimodal_decode_values(spark, sf_dir):
+    """Real encode→decode round trip: the decoded dimensions, sample
+    counts, and pixel statistics must match a numpy re-derivation from
+    the raw source bytes."""
+    import numpy as np
+
     from big_data_traffict_prediction_spark.functions.multimodal import (
+        THUMB,
         media_table,
         q_multimodal_features,
     )
 
-    rows = q_multimodal_features(spark, sf_dir).limit(50).collect()
+    rows = q_multimodal_features(spark, sf_dir).limit(60).collect()
     assert rows
-    payloads = {
-        r.media_id: bytes(r.payload)
-        for r in media_table(spark, sf_dir).limit(50).collect()
+    meta = {
+        r.media_id: (bytes(r.payload), r.kind, r.width, r.height)
+        for r in media_table(spark, sf_dir).limit(60).collect()
     }
+    checked = 0
     for r in rows:
-        if r.media_id not in payloads:
+        if r.media_id not in meta:
             continue
-        p = payloads[r.media_id]
-        assert r.payload_bytes == len(p)
-        assert r.checksum == sum(p) % 256
-        assert r.first_byte == p[0]
-        assert r.feature[0] == float(len(p))
+        raw, kind, w, h = meta[r.media_id]
+        assert r.decoded_ok, f"media {r.media_id} failed decode"
+        assert len(r.feature) == THUMB * THUMB
+        tiled = lambda n: np.resize(np.frombuffer(raw, dtype=np.uint8), n)  # noqa: E731
+        if kind == "image":
+            assert (r.width, r.height) == (w, h)
+            assert r.n_samples == w * h
+            assert abs(r.level_mean - tiled(w * h).astype(float).mean()) < 1e-9
+        elif kind == "audio":
+            assert r.n_samples == len(raw)
+            expect = (tiled(len(raw)).astype(np.int16) - 128) * 256
+            assert abs(r.level_mean - expect.astype(float).mean()) < 1e-9
+        else:
+            assert r.n_frames == len(raw) // 64 + 1
+            assert r.n_samples == w * h * r.n_frames
+        checked += 1
+    assert checked >= 10
 
 
 def test_multimodal_frame_sample_shape(spark, sf_dir):
