@@ -305,6 +305,72 @@ ASOF_EPOCH = "2024-01-01 00:00:00"
 ASOF_STEP_DAYS = 10
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Generic point-in-time (as-of) join: attach to each left row the
+    LATEST right row with ``right_ts <= left_ts`` for the same key.
+    Spark has no native ASOF; this is the scalable union +
+    carry-forward-window composition:
+
+    1. union both sides onto a shared (key, ts) axis,
+    2. one window per key ordered by (ts, side) carries the last seen
+       right payload forward (``last ignoreNulls``) — right rows sort
+       BEFORE left rows at equal ts, so a right row effective exactly
+       at a left row's ts applies (inclusive semantics, matching
+       DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``),
+    3. keep left rows (inner: only those with a payload in effect;
+       left: all, null payload when none).
+
+    ONE shuffle on the key — never a per-row range probe; window state
+    per key is a single payload struct. Returns the left columns plus
+    the right payload columns (right minus key and timestamp).
+    Verified against DuckDB's native ASOF JOIN on random inputs in
+    tests/test_asof_property.py."""
+    payload = [c for c in right.columns if c not in (on, right_ts)]
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    r_struct = F.struct(*[F.col(c) for c in payload])
+    l_type = left.select(l_struct.alias("x")).schema["x"].dataType
+    r_type = right.select(r_struct.alias("x")).schema["x"].dataType
+    lu = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        l_struct.alias("_lrow"),
+        F.lit(None).cast(r_type).alias("_pay"),
+    )
+    ru = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        F.lit(None).cast(l_type).alias("_lrow"),
+        r_struct.alias("_pay"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        lu.unionByName(ru)
+        .withColumn("_eff", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_is_l") == 1)
+    )
+    if how == "inner":
+        u = u.filter(F.col("_eff").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: unsupported how={how!r}")
+    return u.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_eff.{c}").alias(c) for c in payload],
+    )
+
+
 def config_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cam_key, config_ts, speed_limit): a slowly-changing camera
     config dimension."""
@@ -351,52 +417,23 @@ ORDER BY CAST(t.camera_id AS BIGINT), cv.version
 """),
 )
 def q_asof_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join via the scalable union + carry-forward-window
-    composition (Spark has no native ASOF; DuckDB's native ASOF JOIN is
-    the oracle, so the composition is verified against a reference
-    implementation of the semantics):
-
-    1. union observations and config-version rows on a shared
-       (key, ts) axis,
-    2. one window per key ordered by ts carries the last seen config
-       forward (last_value ignoreNulls),
-    3. keep observation rows that have a config in effect.
-
-    ONE shuffle on the camera key — never a per-row range probe; at
-    100 TB the window state per key is a single struct."""
+    """As-of join of observations to their in-effect config version —
+    built on the generic ``asof_join`` composition above (union +
+    carry-forward window, one key shuffle; see its docstring). DuckDB's
+    native ASOF JOIN is the oracle, so the composition is verified
+    against a reference implementation of the semantics."""
     t = traffic_history(spark, sf_dir).select(
         F.col("camera_id").cast("long").alias("cam_key"),
         "ts",
         "new_count",
-        F.lit(1).alias("is_obs"),
-        F.lit(None).cast("struct<version:long,speed_limit:long>").alias("cfg"),
     )
-    c = config_versions(spark, sf_dir).select(
-        "cam_key",
-        F.col("config_ts").alias("ts"),
-        F.lit(None).cast("long").alias("new_count"),
-        F.lit(0).alias("is_obs"),
-        F.struct(
-            F.col("version").alias("version"), F.col("speed_limit").alias("speed_limit")
-        ).alias("cfg"),
-    )
-    # config rows sort before observations at equal ts (is_obs ASC) so
-    # a version taking effect exactly at an observation's ts applies
-    w = (
-        Window.partitionBy("cam_key")
-        .orderBy("ts", "is_obs")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = (
-        t.unionByName(c)
-        .withColumn("eff", F.last("cfg", ignorenulls=True).over(w))
-        .filter((F.col("is_obs") == 1) & F.col("eff").isNotNull())
-    )
+    c = config_versions(spark, sf_dir)
+    joined = asof_join(t, c, on="cam_key", left_ts="ts", right_ts="config_ts")
     return (
         joined.groupBy(
             F.col("cam_key"),
-            F.col("eff.version").alias("config_version"),
-            F.col("eff.speed_limit").alias("speed_limit"),
+            F.col("version").alias("config_version"),
+            F.col("speed_limit"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
