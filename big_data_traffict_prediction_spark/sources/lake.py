@@ -195,3 +195,105 @@ def read_detections_csv(spark: SparkSession, path: str) -> DataFrame:
         F.col("confidence").cast("double").alias("confidence"),
         bbox.alias("bbox"),
     )
+
+
+def upsert_partitioned_lake(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str = "ts",
+) -> None:
+    """MERGE-style upsert onto a (year, month, day)-partitioned parquet
+    lake without a table format: the engine-grade version of the
+    reference's ``INSERT OR REPLACE`` stats upsert
+    (``scripts/sync_stats_db.py``, ``app/utils.py:443-511``).
+
+    1. derive the partitions the update batch touches (distinct
+       (year, month, day) of the updates — a tiny aggregate),
+    2. read ONLY those partitions of the existing lake (partition
+       pruning; the rest of the 100 TB table is never scanned),
+    3. union existing + updates, keep the newest row per key
+       (row_number over ``order_col`` DESC, updates win ties),
+    4. dynamic-partition-overwrite exactly the touched partitions —
+       Spark's commit protocol keeps concurrent readers consistent.
+
+    Shuffle cost ∝ touched partitions + update volume, never table
+    size."""
+    from pyspark.sql import Window
+
+    pin_session_conf(spark)
+    with_parts = (
+        updates.withColumn("year", F.year(order_col))
+        .withColumn("month", F.month(order_col))
+        .withColumn("day", F.dayofmonth(order_col))
+        .withColumn("_is_update", F.lit(1))
+    )
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: nothing to merge
+        with_parts.drop("_is_update").write.mode("append").partitionBy(
+            "year", "month", "day"
+        ).parquet(path)
+        return
+    touched = [
+        (r.year, r.month, r.day)
+        for r in with_parts.select("year", "month", "day").distinct().collect()
+    ]
+    part_pred = None
+    for y, m, d in touched:
+        p = (F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d)
+        part_pred = p if part_pred is None else (part_pred | p)
+    old = existing.filter(part_pred).withColumn("_is_update", F.lit(0))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), F.desc("_is_update")
+    )
+    merged = (
+        old.unionByName(with_parts)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+
+
+def compact_lake_day(
+    spark: SparkSession,
+    path: str,
+    year: int,
+    month: int,
+    day: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one partition — the maintenance job
+    every streaming-append lake needs (each micro-batch leaves a file;
+    a 2 s trigger leaves 43k files/day/camera). Rewrites the partition
+    into ceil(bytes / target_bytes) files via a single repartition and
+    dynamic overwrite. Returns the new file count."""
+    import math
+    import os
+
+    pin_session_conf(spark)
+    part_dir = os.path.join(path, f"year={year}", f"month={month}", f"day={day}")
+    size = sum(
+        os.path.getsize(os.path.join(part_dir, f))
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    df = spark.read.parquet(path).filter(
+        (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
+    )
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
