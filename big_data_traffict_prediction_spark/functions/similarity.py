@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import let
 from ..registry import register
 from ..tables import load_table
 
@@ -310,3 +311,52 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+QUANT_LEVELS = 255
+
+
+@register(
+    "q_embedding_quantize",
+    oracle=f"""
+WITH m AS (
+  SELECT vec_id,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(m.mn, 6) AS q_min,
+       ROUND(m.mx, 6) AS q_max,
+       list_transform(e.embedding, x ->
+         CAST(FLOOR((CAST(x AS DOUBLE) - m.mn) * {QUANT_LEVELS}.0 / (m.mx - m.mn) + 0.5) AS INT)
+       ) AS q
+FROM embeddings e JOIN m ON m.vec_id = e.vec_id
+ORDER BY e.vec_id
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8-range quantization of the embedding
+    column — the 4× storage-compression step before ANN indexing at
+    100 TB. Pure per-row higher-order functions (array_min/max +
+    transform): zero shuffles except the presentation sort. Rounding is
+    FLOOR(x+0.5), exact on doubles, so both engines agree bit-for-bit
+    (banker's-rounding `round` would not)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min(F.col("embedding")).cast("double")
+    mx = F.array_max(F.col("embedding")).cast("double")
+    q = let(
+        F.struct(mn.alias("mn"), mx.alias("mx")),
+        lambda s: F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                (x.cast("double") - s["mn"]) * QUANT_LEVELS / (s["mx"] - s["mn"]) + 0.5
+            ).cast("int"),
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+        q.alias("q"),
+    ).orderBy("vec_id")

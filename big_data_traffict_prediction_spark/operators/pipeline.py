@@ -194,3 +194,64 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.round(F.col("total_tokens").cast("double") / total, 6).alias("token_share"),
     ).orderBy("lang")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel_sequence",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, stage_no, n_users FROM (
+  SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_no, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 'click', 2, COUNT(*) FROM c
+  UNION ALL
+  SELECT 'purchase', 3, COUNT(*) FROM p
+) ORDER BY stage_no
+""",
+)
+def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users whose earliest 'view' is followed by a
+    later 'click', followed by a later 'purchase' — the event-sequence
+    pattern (MATCH_RECOGNIZE territory) composed from chained
+    time-conditioned joins. Each stage is one grouped min + one
+    equi-join with a range residual, all keyed on user_id — one
+    partitioning family end to end; per-stage outputs are one row per
+    surviving user."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        stage = e.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return stage.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            stage.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        v.agg(F.lit("view").alias("stage"), F.lit(1).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("click").alias("stage"), F.lit(2).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("purchase").alias("stage"), F.lit(3).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = counts[0]
+    for x in counts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("stage_no")
