@@ -313,3 +313,50 @@ def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "dow", "g_type", "g_dow", "total_new_count", "n")
         .orderBy("g_type", "g_dow", F.asc_nulls_first("event_type"), F.asc_nulls_first("dow"))
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(FLOOR(date_diff('day', f.cohort_week, a.active_week) / 7) AS BIGINT) AS week_no,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted in each subsequent active week — the standard
+    product-analytics triangle. Three aggregates, all keyed on
+    user_id then (cohort, week): the distinct-activity reduction
+    happens BEFORE the cohort join, so the join carries one row per
+    (user, week), not per event. date_trunc('week') is Monday-aligned
+    in both engines."""
+    from ..tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    first_seen = weekly.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
+    return (
+        weekly.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff("active_week", "cohort_week") / 7
+            ).cast("long").alias("week_no"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_no")
+    )
