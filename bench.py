@@ -55,6 +55,26 @@ HEADLINE = [
 ]
 
 
+# Round-2+ operators, timed separately (single warm run each) so the
+# headline set — and its cross-round comparability — stays frozen.
+EXTENDED = [
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_embedding_neardup",
+    "q_embedding_quantize",
+    "q_dedup_clusters",
+    "q_funnel_sequence",
+    "q_retention_cohorts",
+    "q_lang_mixture",
+    "q_bucket_series_day_aligned",
+    "q_iou_dedup",
+]
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -94,6 +114,11 @@ def main() -> None:
         timings = cold
         stat = "cold"
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        run_one(spark, queries[name], sf_dir)  # warm
+        extended[name] = round(run_one(spark, queries[name], sf_dir), 3)
+
     print(
         json.dumps(
             {
@@ -103,6 +128,7 @@ def main() -> None:
                 "stat": stat,
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_extended": extended,
                 "sf": sf,
             }
         )

@@ -109,3 +109,48 @@ def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.orderBy("camera_id")
+
+
+ALERT_THRESHOLD = 300
+ALERT_LOOKBACK = "15 minutes"
+
+
+@register("q_stream_stream_join", oracle=None)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (the one streaming operator class the
+    other registered streams don't cover): raw detections joined to a
+    derived congestion-alert stream of the same feed, per camera,
+    observation time within [alert - 15 min, alert]. BOTH sides carry
+    watermarks and the join condition bounds both event times — the
+    requirements for Spark to age out join state; without them state
+    grows forever. Row-level output; genuinely non-SQL-expressible as
+    a stream → rows-only driver check, batch-equivalence pinned in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    obs = simulate.read_stream(spark, stage).withWatermark("ts", "30 minutes")
+    alerts = (
+        simulate.read_stream(spark, stage)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("ts").alias("alert_ts"),
+            F.col("id").alias("alert_id"),
+            F.col("new_count").alias("alert_count"),
+        )
+        .withWatermark("alert_ts", "30 minutes")
+    )
+    joined = obs.join(
+        alerts,
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
+        & (F.col("ts") <= F.col("alert_ts")),
+    ).select("camera_id", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count")
+    out = windows.run_to_memory(
+        spark,
+        joined,
+        f"q_stream_stream_join_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("camera_id", "alert_id", "id")

@@ -241,3 +241,34 @@ def test_stream_dedup_delivery_matches_single_delivery(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream join output == the same join done in batch over
+    the full frame (availableNow drains everything, so no windows are
+    withheld for a row-level join)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        ALERT_THRESHOLD,
+        q_stream_stream_join,
+    )
+
+    got = {
+        (r.camera_id, r.alert_id, r.id)
+        for r in q_stream_stream_join(spark, sf_dir).collect()
+    }
+    d = simulate.detections_frame(spark, sf_dir)
+    alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
+        F.col("camera_id").alias("a_camera"),
+        F.col("ts").alias("alert_ts"),
+        F.col("id").alias("alert_id"),
+    )
+    batch = {
+        (r.camera_id, r.alert_id, r.id)
+        for r in d.join(
+            alerts,
+            (F.col("camera_id") == F.col("a_camera"))
+            & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
+            & (F.col("ts") <= F.col("alert_ts")),
+        ).collect()
+    }
+    assert got and got == batch
