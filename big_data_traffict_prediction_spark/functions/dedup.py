@@ -64,19 +64,9 @@ cnt AS (
 """.strip()
 
 
-def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct word 3-grams of
-    normalized text, un-exploded. Signature computations stay per-row
-    (zero shuffles); only ops that genuinely need one row per shingle
-    explode this."""
-    d = load_table(spark, sf_dir, "documents")
-    # Hash compute here is CPU-bound at ~16 md5s per shingle: spread the
-    # scan across cores even when the source is a single parquet split
-    # (at real scale the file count makes this shuffle a no-op cost).
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = F.split(norm_col(), " ")
-    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    shingle_arr = F.array_distinct(
+def _shingle_expr():
+    """array_distinct of word 3-grams over the bound ``toks`` column."""
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("toks") - 2),
             lambda i: F.concat_ws(
@@ -87,13 +77,43 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return d.select("doc_id", shingle_arr.alias("shingles"))
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Hash compute downstream is CPU-bound at ~16 md5s per shingle:
+    # spread the scan across cores even when the source is a single
+    # parquet split (at real scale the file count makes this shuffle a
+    # no-op cost).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = F.split(norm_col(), " ")
+    return d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+
+
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-grams of
+    normalized text, un-exploded. Signature computations stay per-row
+    (zero shuffles); only ops that genuinely need one row per shingle
+    explode this."""
+    return _tokenized(spark, sf_dir).select(
+        "doc_id", _shingle_expr().alias("shingles")
+    )
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — exploded form, for pairwise-intersection joins."""
-    return shingle_arrays(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    """(doc_id, shingle) — exploded form, for pairwise-intersection joins.
+
+    The generator child is the shingle EXPRESSION, not a projected
+    attribute: ``InferFiltersFromGenerate`` only fires on attribute
+    children, and when it fires here the inferred
+    ``size(...)>0 AND isnotnull(...)`` filter — carrying the whole
+    normalize+split+transform pipeline — gets pushed below the
+    repartition into the (single-split) scan task, serializing ~7
+    re-evaluations of the regex per row onto one core (measured 35×
+    slower at sf0.1). Exploding the expression directly keeps the heavy
+    compute above the shuffle, parallel, computed once."""
+    return _tokenized(spark, sf_dir).select(
+        "doc_id", F.explode(_shingle_expr()).alias("shingle")
     )
 
 
@@ -125,6 +145,85 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
             / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
         )
     )
+
+
+def threshold_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All pairs with Jaccard ≥ threshold — EXACT, via frequency-ordered
+    prefix filtering (SSJoin / PPJoin, Chaudhuri 2006 / Bayardo 2007).
+
+    The naive shingle equi-join (`_pair_jaccard`) explodes on hot
+    shingles: a stopword 3-gram shared by m docs contributes m² join
+    rows, the quadratic bottleneck at corpus scale. Prefix filtering is
+    the standard exact fix: order every doc's shingles by ascending
+    global document frequency (ties broken by the shingle string — any
+    total order shared by all docs works), and emit only each doc's
+    first |x| - ⌈t·|x|⌉ + 1 shingles as candidate keys. If
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the two prefixes must
+    share ≥1 element — no pair is lost. Hot shingles are by definition
+    high-frequency, so they sort to the suffixes and never generate
+    candidates; candidate volume tracks true near-dups, not n².
+
+    A length filter (t·|B| ≤ |A| ≤ |B|/t, necessary for J ≥ t) prunes
+    the candidate join further. Survivors are verified with exact
+    per-pair `array_intersect` on the full shingle arrays — work ∝
+    candidates. Three shuffles total (freq agg, per-doc window, prefix
+    equi-join), all on keys whose cardinality grows linearly with the
+    corpus."""
+    from pyspark.sql import Window
+
+    arrs = shingle_arrays(spark, sf_dir)
+    sh = shingles(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(by_doc))
+        .withColumn(
+            "rk", F.row_number().over(by_doc.orderBy("df", "shingle"))
+        )
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle", "n")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("d1"), "shingle", F.col("n").alias("na")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("d2"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = arrs.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = arrs.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            n_common.alias("n_common"),
+            F.size("sh1").cast("long").alias("n1"),
+            F.size("sh2").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
 
 
 # ---------------------------------------------------------------- exact
@@ -178,15 +277,17 @@ ORDER BY d1, d2
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with exact 3-gram Jaccard ≥ 0.5 via shingle
-    equi-join. The shingle join IS the shuffle; skewed common shingles
-    are handled by AQE skew-split. Quadratic in the worst case — the
-    LSH variant below is the 100 TB path."""
-    pj = _pair_jaccard(shingles(spark, sf_dir))
+    """Near-dup pairs with exact 3-gram Jaccard ≥ 0.5, computed with
+    frequency-ordered prefix filtering (`threshold_jaccard_pairs`) —
+    exact semantics with candidate volume ∝ near-dups instead of the
+    naive shingle equi-join's hot-shingle n² fan-out. The naive join
+    (`_pair_jaccard`) is retained as the in-repo verification twin
+    (tests pin set-equality) and the DuckDB oracle uses it too."""
+    pj = threshold_jaccard_pairs(spark, sf_dir)
     return (
-        pj.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("d1", "d2")
+        pj.select(
+            "d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
+        ).orderBy("d1", "d2")
     )
 
 
@@ -575,11 +676,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle: recursive-CTE transitive closure with min-reachable
     labels — an exact cross-engine check of an iterative graph
     algorithm."""
-    edges = (
-        _pair_jaccard(shingles(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2")
-    )
+    edges = threshold_jaccard_pairs(spark, sf_dir).select("d1", "d2")
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)

@@ -147,3 +147,29 @@ def test_rollup_invariant(spark, sf_dir):
         F.sum("total_new_count").alias("s")
     ).collect()[0]
     assert global_row.total_new_count == per_cam.s
+
+
+def test_prefix_filter_jaccard_equals_naive_all_pairs(spark, sf_dir):
+    """Prefix filtering is an EXACT optimization: the PPJoin-style
+    candidate pruning in threshold_jaccard_pairs must produce the
+    identical pair set (and identical jaccard values) as the naive
+    all-pairs shingle equi-join it replaced."""
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        shingles,
+        threshold_jaccard_pairs,
+    )
+
+    naive = {
+        (r.d1, r.d2): (r.n_common, r.n1, r.n2, round(r.jaccard, 6))
+        for r in _pair_jaccard(shingles(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    fast = {
+        (r.d1, r.d2): (r.n_common, r.n1, r.n2, round(r.jaccard, 6))
+        for r in threshold_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert naive, "no near-dup pairs in testdata"
+    assert fast == naive
