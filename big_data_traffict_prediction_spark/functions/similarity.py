@@ -80,6 +80,57 @@ def _cosine(dot_fp: Column, na_fp: Column, nb_fp: Column) -> Column:
     )
 
 
+def _bruteforce_block_kernel(queries, cands):
+    """Per-candidate-block exact kernel: every query × this block's
+    candidates, emitting only each query's block-local top-K by
+    (cosine DESC, neighbor_id ASC) — a safe partial selection, since
+    the global top-K under a total order is a subset of the union of
+    block top-Ks. Same bit-exact fixed-point arithmetic as
+    `_neardup_cell_kernel`."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "neighbor_label": pd.Series(dtype="int32"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if len(queries) == 0 or len(cands) == 0:
+        return empty
+    Q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    C = np.stack(cands["embedding"].to_numpy()).astype(np.float64)
+    qid = queries["vec_id"].to_numpy()
+    cid = cands["vec_id"].to_numpy()
+    clab = cands["label"].to_numpy()
+    qden = np.sqrt(queries["norm_fp"].to_numpy().astype(np.float64))
+    cden = np.sqrt(cands["norm_fp"].to_numpy().astype(np.float64))
+    dots = (
+        np.floor((Q[:, None, :] * C[None, :, :]) * float(DOT_SCALE))
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    cos = dots.astype(np.float64) / (qden[:, None] * cden[None, :])
+    out = []
+    for i in range(len(qid)):
+        mask = cid != qid[i]
+        order = np.lexsort((cid[mask], -cos[i][mask]))[:TOP_K]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid[i]),
+                    "neighbor_id": cid[mask][order],
+                    "neighbor_label": clab[mask][order],
+                    "cosine": cos[i][mask][order],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
+
 @register(
     "q_ann_bruteforce",
     oracle=f"""
@@ -108,27 +159,37 @@ ORDER BY query_id, rank
 """,
 )
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query subset against all
-    candidates, rank per query. Exact — the recall baseline every ANN
-    variant is judged against."""
-    vecs = _vecs(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm_fp").alias("qn"),
+    """Brute-force cosine top-k: the query subset is replicated to every
+    candidate block (candidates never move — the scan IS the
+    partitioning), each block runs one vectorized exact kernel emitting
+    its block-local top-K per query, and a final ranking window over
+    the (blocks × queries × K)-row survivor set picks the global top-K.
+    Exact — the recall baseline every ANN variant is judged against.
+    Map-side partial selection means shuffle volume is ∝ queries·K·B,
+    independent of candidate count."""
+    B = NEARDUP_BLOCKS
+
+    def side(filter_queries):
+        blocks = spark.range(B).select(F.col("id").cast("int").alias("blk"))
+        v = _vecs(spark, sf_dir)
+        if filter_queries:
+            return v.filter(F.col("vec_id") % QUERY_MOD == 0).crossJoin(
+                F.broadcast(blocks)
+            )
+        return v.withColumn("blk", (F.col("vec_id") % B).cast("int"))
+
+    topk_per_block = (
+        side(True)
+        .groupby("blk")
+        .cogroup(side(False).groupby("blk"))
+        .applyInPandas(
+            _bruteforce_block_kernel,
+            "query_id long, neighbor_id long, neighbor_label int, cosine double",
+        )
     )
-    c = vecs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm_fp").alias("cn"),
-    )
-    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
-    cos = _cosine(_dot_fp(F.col("q_emb"), F.col("c_emb")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        topk_per_block.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
