@@ -72,6 +72,10 @@ EXTENDED = [
     "q_lang_mixture",
     "q_bucket_series_day_aligned",
     "q_iou_dedup",
+    "q_tfidf_top_terms",
+    "q_inverted_index",
+    "q_interval_join_alerts",
+    "q_dedup_ngram_jaccard",
 ]
 
 

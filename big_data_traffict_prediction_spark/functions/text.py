@@ -12,7 +12,7 @@ one definition, used by every text/dedup query on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -257,3 +257,126 @@ def q_part_keyword_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("DEFAULT"))
         .alias("profile"),
     ).orderBy("p_partkey")
+
+
+# ------------------------------------------------------------ tf-idf
+
+TFIDF_TOP = 3
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.df DESC, t.term
+         ) AS rnk
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {TFIDF_TOP}
+ORDER BY doc_id, rnk
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP} characteristic terms by a TF-IDF
+    score.
+
+    The idf factor is the RAW rarity ratio n_docs/df, not log(n/df):
+    tf·n_docs is an exact integer and one IEEE division is
+    correctly-rounded in every engine, so the score (and therefore the
+    ranking) is bit-reproducible cross-engine — a transcendental log
+    can differ in the last ulp between libm implementations, and two
+    mathematically-equal scores computed through different ln() calls
+    could then rank differently on each engine. Ranking is unchanged
+    for any monotone idf when comparing equal-tf terms, and the raw
+    ratio is the standard determinism trade.
+
+    Shape: the tf aggregate shuffles on (doc, term); df on term; the
+    df→tf join broadcasts the (distinct-term, df) side when small or
+    shuffles on term — both linear in corpus size. The n_docs scalar
+    joins as a broadcast literal."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokenized_docs(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("score", 6).alias("score"), "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term): one row per whitespace token occurrence of the
+    normalized text. The generator child is kept an expression (not a
+    projected attribute) — see functions/dedup.shingles for why."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.split(norm_col(), " ")).alias("term")
+    )
+
+
+POSTINGS_CAP = 10
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',') AS postings_head
+FROM tok
+GROUP BY term
+ORDER BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the first
+    {POSTINGS_CAP} postings (sorted doc_ids, comma-joined — a string so
+    the cross-engine hash compare is representation-stable). ONE
+    shuffle on term with map-side partial aggregation; posting lists
+    are capped so no single hot term materializes an unbounded array
+    (the full index write would keep postings bucketed by term
+    instead)."""
+    tok = _tokenized_docs(spark, sf_dir).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                ",",
+            ).alias("postings_head"),
+        )
+        .orderBy("term")
+    )

@@ -360,3 +360,43 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_no")
     )
+
+
+@register(
+    "q_grouping_sets_totals",
+    oracle=with_traffic(f"""
+SELECT camera_id, event_type,
+       CAST(GROUPING(camera_id) AS INT) AS g_camera,
+       CAST(GROUPING(event_type) AS INT) AS g_event,
+       {_SUMS}
+FROM traffic
+GROUP BY GROUPING SETS ((camera_id, event_type), (camera_id), ())
+ORDER BY g_camera, g_event, camera_id, event_type
+"""),
+)
+def q_grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the generalization ROLLUP/CUBE (both
+    already registered) can't express: per-(camera, event_type),
+    per-camera, and grand totals in ONE pass, but *without* the
+    per-event_type-only slice a CUBE would add. One scan, one shuffle;
+    Spark expands the sets map-side so partial aggregation still
+    applies. GROUPING() flags disambiguate the null-as-total rows
+    exactly as both engines define them."""
+    return (
+        traffic_history(spark, sf_dir)
+        .groupingSets(
+            [["camera_id", "event_type"], ["camera_id"], []],
+            "camera_id",
+            "event_type",
+        )
+        .agg(
+            F.grouping("camera_id").cast("int").alias("g_camera"),
+            F.grouping("event_type").cast("int").alias("g_event"),
+            *_sum_aggs(),
+        )
+        .select(
+            "camera_id", "event_type", "g_camera", "g_event",
+            "total_new_count", "total_new_cars", "total_new_motors", "n_samples",
+        )
+        .orderBy("g_camera", "g_event", "camera_id", "event_type")
+    )

@@ -476,3 +476,107 @@ def q_asof_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("camera_id").cast("long"), "config_version")
     )
+
+
+_CONFIG_CTE = f"""
+config_versions AS (
+  SELECT c_custkey AS cam_key,
+         v.version,
+         TIMESTAMP '{ASOF_EPOCH}' + INTERVAL ({ASOF_STEP_DAYS}) DAY * v.version AS config_ts,
+         CAST(50 + v.version * 10 + c_custkey % 3 AS BIGINT) AS speed_limit
+  FROM customer
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, {ASOF_VERSIONS - 1})) AS BIGINT) AS version) v
+  WHERE c_custkey % 4 <> 0
+)
+""".strip()
+
+
+@register(
+    "q_scd2_config_intervals",
+    oracle=f"""
+WITH {_CONFIG_CTE}
+SELECT cam_key, version, speed_limit,
+       config_ts AS valid_from,
+       LEAD(config_ts) OVER (PARTITION BY cam_key ORDER BY config_ts) AS valid_to,
+       LEAD(config_ts) OVER (PARTITION BY cam_key ORDER BY config_ts) IS NULL AS is_current
+FROM config_versions
+ORDER BY cam_key, version
+""",
+)
+def q_scd2_config_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build: turn a change-event stream (config
+    versions) into [valid_from, valid_to) effectivity intervals with a
+    single LEAD window per key — the standard lake-dimension build.
+    valid_to of the latest version is NULL (open interval) and flags
+    is_current. One shuffle on the dimension key; no join."""
+    w = Window.partitionBy("cam_key").orderBy("config_ts")
+    nxt = F.lead("config_ts").over(w)
+    return (
+        config_versions(spark, sf_dir)
+        .select(
+            "cam_key",
+            "version",
+            "speed_limit",
+            F.col("config_ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("cam_key", "version")
+    )
+
+
+ALERT_THRESHOLD = 300
+ALERT_LOOKBACK_MIN = 15
+
+
+@register(
+    "q_interval_join_alerts",
+    oracle=with_traffic(f"""
+SELECT o.camera_id, a.id AS alert_id, a.ts AS alert_ts,
+       a.new_count AS alert_count, o.id, o.ts, o.new_count
+FROM traffic o
+JOIN traffic a
+  ON o.camera_id = a.camera_id
+ AND a.new_count >= {ALERT_THRESHOLD}
+ AND o.ts >= a.ts - INTERVAL ({ALERT_LOOKBACK_MIN}) MINUTE
+ AND o.ts <= a.ts
+ORDER BY o.camera_id, alert_id, o.id
+"""),
+)
+def q_interval_join_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval (range) join — the oracle-checked twin of
+    streaming's `q_stream_stream_join`: every observation within the
+    15-minute window before a congestion alert on the same camera.
+    Equi-key on camera plus a two-sided time-range predicate: Spark
+    plans the equi part as the join key (hash/sort-merge on camera)
+    and applies the range as a join filter, so there is no nested
+    loop; the alert side is pre-filtered (≥ threshold) before the
+    join, shrinking the build side to the rare-event subset."""
+    t = traffic_history(spark, sf_dir)
+    obs = t.select("camera_id", "id", "ts", "new_count")
+    alerts = (
+        traffic_history(spark, sf_dir)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("id").alias("alert_id"),
+            F.col("ts").alias("alert_ts"),
+            F.col("new_count").alias("alert_count"),
+        )
+    )
+    return (
+        obs.join(
+            alerts,
+            (F.col("camera_id") == F.col("a_camera"))
+            & (
+                F.col("ts")
+                >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK_MIN} MINUTES")
+            )
+            & (F.col("ts") <= F.col("alert_ts")),
+        )
+        .select(
+            "camera_id", "alert_id", "alert_ts", "alert_count",
+            "id", "ts", "new_count",
+        )
+        .orderBy("camera_id", "alert_id", "id")
+    )
