@@ -1,0 +1,296 @@
+"""Corpus-curation operators: repetition scoring, train/eval
+contamination checking, and token-budget chunking over ``documents``.
+
+These extend the LLM-data-pipeline surface (quality filtering in
+``text.py``, dedup in ``dedup.py``) with the three other operators a
+pre-training pipeline runs on every shard: drop pathologically
+repetitive documents (Gopher-style repetition signals), quarantine
+documents that overlap an evaluation benchmark (n-gram contamination),
+and split what remains into overlapping token-budget chunks.
+
+All three are linear, shuffle-light shapes:
+
+- repetition: pure per-row higher-order functions — zero shuffle
+  besides the final sort;
+- contamination: the benchmark n-gram set is DIMENSION-sized (the
+  eval suite, not the corpus) → distinct-gram build shuffles only the
+  benchmark slice, then the corpus side probes it via a broadcast-able
+  equi-join on a 60-bit gram hash (a few bytes per gram — text never
+  shuffles);
+- chunking: a generator expression per row (no joins at all); chunk
+  ids derive from the stride arithmetic so no window function is
+  needed.
+
+Ratios divide exact integer counts, so every score is bit-identical
+across engines and across cluster re-partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import let
+from ..registry import register
+from ..tables import load_table
+from .text import NORM_SQL, hash60, hash60_sql, norm_col
+
+# --- repetition ---------------------------------------------------------
+
+TRI = 3  # word n-gram order for the duplicate-n-gram signal
+
+
+@register(
+    "q_repetition_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split({NORM_SQL}, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CASE WHEN len(toks) >= {TRI} THEN
+           CAST(len(list_distinct(list_transform(
+             generate_series(1, len(toks) - {TRI - 1}),
+             i -> array_to_string(toks[i:i+{TRI - 1}], ' ')))) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS n_distinct_tri,
+         CAST(GREATEST(len(toks) - {TRI - 1}, 0) AS BIGINT) AS n_tri
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_token_ratio,
+       CASE WHEN n_tri > 0
+            THEN 1.0 - CAST(n_distinct_tri AS DOUBLE) / CAST(n_tri AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac,
+       (CASE WHEN n_tri > 0
+             THEN 1.0 - CAST(n_distinct_tri AS DOUBLE) / CAST(n_tri AS DOUBLE)
+             ELSE 0.0 END) > 0.2
+         OR (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) < 0.3
+         AS is_repetitive
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio and the
+    duplicate word-trigram fraction, composed into an ``is_repetitive``
+    flag.
+
+    Zero-shuffle shape: the token array binds ONCE via ``compat.let``
+    (Catalyst's CollapseProject would otherwise re-evaluate the
+    normalize+split pipeline at every reference), and the trigram list
+    is built by an in-row higher-order ``transform`` over a 1-based
+    index sequence — guarded to the empty array below {TRI} tokens
+    because Spark's ``sequence(1, n)`` DESCENDS when n < 1."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def stats(toks):
+        n = F.size(toks)
+        tri = F.when(
+            n >= TRI,
+            F.transform(
+                F.sequence(F.lit(1), n - (TRI - 1)),
+                lambda i: F.array_join(F.slice(toks, i, TRI), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct_tri"),
+            F.greatest(n - (TRI - 1), F.lit(0)).cast("long").alias("n_tri"),
+        )
+
+    m = d.select(
+        "doc_id", "source", let(F.split(norm_col(), " "), stats).alias("s")
+    ).select("doc_id", "source", "s.*")
+
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    dup_tri = F.when(
+        F.col("n_tri") > 0,
+        1.0 - F.col("n_distinct_tri").cast("double") / F.col("n_tri").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        distinct_ratio.alias("distinct_token_ratio"),
+        dup_tri.alias("dup_trigram_frac"),
+        ((dup_tri > 0.2) | (distinct_ratio < 0.3)).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+# --- contamination ------------------------------------------------------
+
+# The "benchmark" is the documents of these sources — stand-in for an
+# eval suite. Membership n-grams are checked against every OTHER doc.
+BENCH_SOURCES = ("src0", "src1")
+CONTAM_N = 4  # word n-gram order; 4 gives real overlap in the testdata
+
+_BENCH_IN = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB n-gram list over ``toks`` (1-based inclusive slices)."""
+    return (
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+def _gram_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, source, gram_h): one row per n-gram occurrence, hashed
+    to 60 bits so the join shuffles a few bytes per gram, never text.
+
+    The generator child is the full gram EXPRESSION — see
+    ``dedup.shingles`` for why handing ``explode`` a projected
+    attribute of this pipeline would serialize it below the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(norm_col(), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # greatest(...,1) keeps sequence() ascending; a doc shorter than n
+    # tokens emits its whole text once as the only (under-length) gram,
+    # which can never match a true n-gram of a longer doc — harmless —
+    # and matching the oracle's empty list would need a per-row CASE;
+    # instead both engines drop under-length docs by the n_grams > 0
+    # filter below.
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.explode(grams).alias("gram"),
+    ).filter(F.col("n_toks") >= n).select(
+        "doc_id", "source", hash60(F.col("gram")).alias("gram_h")
+    )
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split({NORM_SQL}, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, source,
+         {hash60_sql("gram")} AS gram_h
+  FROM (SELECT doc_id, source, unnest({_grams_sql(CONTAM_N)}) AS gram
+        FROM t WHERE len(toks) >= {CONTAM_N})
+), bench AS (
+  SELECT DISTINCT gram_h FROM g WHERE source IN ({_BENCH_IN})
+), tot AS (
+  SELECT doc_id, source,
+         CAST(len(toks) - {CONTAM_N - 1} AS BIGINT) AS n_grams
+  FROM t
+  WHERE source NOT IN ({_BENCH_IN}) AND len(toks) >= {CONTAM_N}
+), hits AS (
+  SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram_h) AS BIGINT) AS overlap_grams
+  FROM g JOIN bench USING (gram_h)
+  WHERE g.source NOT IN ({_BENCH_IN})
+  GROUP BY g.doc_id
+)
+SELECT tot.doc_id, tot.source, tot.n_grams,
+       COALESCE(hits.overlap_grams, 0) AS overlap_grams,
+       CAST(COALESCE(hits.overlap_grams, 0) AS DOUBLE)
+         / CAST(tot.n_grams AS DOUBLE) AS contam_rate,
+       COALESCE(hits.overlap_grams, 0) > 0 AS is_contaminated
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+ORDER BY tot.doc_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: flag every corpus document sharing a
+    word {CONTAM_N}-gram with the benchmark slice (sources
+    {BENCH_SOURCES}).
+
+    100 TB shape: the benchmark gram set is eval-suite-sized, not
+    corpus-sized — its distinct build is a small shuffle and the
+    corpus side probes it with a broadcast-able equi-join on the
+    60-bit gram hash. The corpus grams are produced map-side and
+    reduced per (doc, gram) only for matches, so work scales with
+    corpus size + overlap, never pairs of documents."""
+    g = _gram_rows(spark, sf_dir, CONTAM_N)
+    is_bench = F.col("source").isin(*BENCH_SOURCES)
+    bench = g.filter(is_bench).select("gram_h").distinct()
+    corpus = g.filter(~is_bench)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram_h").alias("overlap_grams"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(norm_col(), " ")
+    tot = d.select(
+        "doc_id", "source", (F.size(toks) - (CONTAM_N - 1)).cast("long").alias("n_grams")
+    ).filter(~is_bench & (F.col("n_grams") >= 1))
+    overlap = F.coalesce(F.col("overlap_grams"), F.lit(0).cast("long"))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            overlap.alias("overlap_grams"),
+            (overlap.cast("double") / F.col("n_grams").cast("double")).alias(
+                "contam_rate"
+            ),
+            (overlap > 0).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- chunking -----------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start,
+         unnest(list_transform(
+           generate_series(1, len(toks), {CHUNK_STRIDE}),
+           s -> array_to_string(toks[s:s+{CHUNK_TOKENS - 1}], ' '))) AS chunk_text
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking: overlapping {CHUNK_TOKENS}-token windows
+    every {CHUNK_STRIDE} tokens (the tokenize-for-training shape).
+
+    Pure generator expression — ``posexplode`` over an in-row
+    ``transform`` of the stride sequence; chunk ids fall out of the
+    generator position, so there is no window function and no shuffle
+    except the final sort. Chunks are emitted as md5 fingerprints to
+    keep the result narrow; the text itself never leaves the row."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def chunks(toks):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE)),
+            lambda s: F.array_join(F.slice(toks, s, CHUNK_TOKENS), " "),
+        )
+
+    c = d.select(
+        "doc_id",
+        F.posexplode(chunks(F.split(norm_col(), " "))).alias("pos", "chunk_text"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

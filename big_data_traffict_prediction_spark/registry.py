@@ -75,6 +75,7 @@ def _load_modules() -> None:
         windows,
     )
     from .functions import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         similarity,
