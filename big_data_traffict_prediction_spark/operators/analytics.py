@@ -1,0 +1,220 @@
+"""Statistical analytics over the traffic stream: seasonal-baseline
+anomaly detection and camera-profile correlation.
+
+The reference surfaces per-(dow,hour) averages as its "pattern"
+(app/utils.py avg-of-sums); the natural next questions an operator of
+that system asks — "which observations are abnormal for their hour?"
+and "which cameras behave alike?" — are these two queries.
+
+Determinism contract (SCALE.md): every statistic is built from EXACT
+integer window/group sums (n, Σx, Σx², Σxy) and only then combined in
+ONE fixed scalar double expression, identical text on both engines.
+Aggregation order therefore cannot change a single bit of the result —
+`stddev_samp`/`corr` built-ins are deliberately avoided because their
+running-double accumulation is order- (and engine-) dependent.
+
+Scale shape:
+- anomaly: two linear shuffles — (camera, date, hour) pre-aggregation,
+  then an unordered window over (camera, hour); no joins.
+- correlation: the fact table reduces to a (camera, hour) profile
+  matrix FIRST (linear); the quadratic pair join runs only over the
+  top-{TOP_PROFILE_CAMERAS} busiest cameras — dimension-sized by
+  construction, broadcast to one task's worth of work — never over
+  facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+Z_THRESHOLD = 2.0
+MIN_BASELINE_DAYS = 3
+
+# The exact-int → one-double-expression variance/z formulas, written
+# once; the Spark expressions below mirror this text operator-for-
+# operator so the IEEE evaluation is identical.
+_VAR_SQL = "(CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1))"
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=with_traffic(f"""
+, hourly AS (
+  SELECT camera_id, date_trunc('day', ts) AS day_ts,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(SUM(new_count) AS BIGINT) AS hourly_count
+  FROM traffic GROUP BY 1, 2, 3
+), stats AS (
+  SELECT camera_id, day_ts, hour, hourly_count,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(hourly_count) OVER w AS BIGINT) AS s,
+         CAST(SUM(hourly_count * hourly_count) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY camera_id, hour)
+), z AS (
+  SELECT camera_id, day_ts, hour, hourly_count, n,
+         CAST(s AS DOUBLE) / n AS baseline_mean,
+         (CAST(hourly_count AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt({_VAR_SQL}) AS zscore
+  FROM stats
+  WHERE n >= {MIN_BASELINE_DAYS}
+    AND (CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s) > 0
+)
+SELECT camera_id, day_ts, hour, hourly_count, n AS baseline_days,
+       baseline_mean, zscore
+FROM z
+WHERE abs(zscore) > {Z_THRESHOLD}
+ORDER BY camera_id, day_ts, hour
+"""),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal z-score anomalies: each (camera, date, hour) count is
+    scored against that camera+hour's cross-date baseline; rows beyond
+    |z| > {Z_THRESHOLD} with ≥ {MIN_BASELINE_DAYS} baseline days flag.
+
+    The baseline window is unordered (partition aggregate only), so
+    the plan is exchange → window, no sort-by-value; at 100 TB both
+    shuffles key on (camera, …) — the same high-cardinality family as
+    the flagship, skew-safe."""
+    h = (
+        traffic_history(spark, sf_dir)
+        .groupBy(
+            "camera_id",
+            F.date_trunc("day", "ts").alias("day_ts"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.sum("new_count").cast("long").alias("hourly_count"))
+    )
+    w = Window.partitionBy("camera_id", "hour")
+    stats = h.select(
+        "camera_id",
+        "day_ts",
+        "hour",
+        "hourly_count",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("hourly_count").over(w).cast("long").alias("s"),
+        F.sum(F.col("hourly_count") * F.col("hourly_count")).over(w).cast("long").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss.cast("double") * n - s.cast("double") * s) / (
+        n.cast("double") * (n - 1)
+    )
+    z = (F.col("hourly_count").cast("double") - s.cast("double") / n) / F.sqrt(var)
+    return (
+        stats.filter(
+            (n >= MIN_BASELINE_DAYS) & ((ss.cast("double") * n - s.cast("double") * s) > 0)
+        )
+        .select(
+            "camera_id",
+            "day_ts",
+            "hour",
+            "hourly_count",
+            n.alias("baseline_days"),
+            (s.cast("double") / n).alias("baseline_mean"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > Z_THRESHOLD)
+        .orderBy("camera_id", "day_ts", "hour")
+    )
+
+
+TOP_PROFILE_CAMERAS = 20
+
+
+@register(
+    "q_profile_correlation",
+    oracle=with_traffic(f"""
+, hourly AS (
+  SELECT camera_id, EXTRACT(hour FROM ts) AS hour,
+         CAST(SUM(new_count) AS BIGINT) AS v
+  FROM traffic GROUP BY 1, 2
+), top AS (
+  SELECT camera_id
+  FROM (SELECT camera_id, SUM(v) AS total FROM hourly GROUP BY 1
+        ORDER BY total DESC, camera_id LIMIT {TOP_PROFILE_CAMERAS})
+), p AS (
+  SELECT h.camera_id, h.hour, h.v FROM hourly h JOIN top USING (camera_id)
+), s AS (
+  SELECT a.camera_id AS cam_a, b.camera_id AS cam_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT) AS sy,
+         CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+         CAST(SUM(b.v * b.v) AS BIGINT) AS syy,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+  FROM p a JOIN p b ON a.hour = b.hour AND a.camera_id < b.camera_id
+  GROUP BY 1, 2
+)
+SELECT cam_a, cam_b, n AS n_hours,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS pearson_r
+FROM s
+WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+  AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+ORDER BY cam_a, cam_b
+"""),
+)
+def q_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of hourly traffic profiles across
+    the top-{TOP_PROFILE_CAMERAS} busiest cameras ("which cameras
+    behave alike?").
+
+    The pair join is restricted BEFORE it happens: facts collapse to a
+    (camera, hour) profile matrix (linear, one shuffle), the top-N
+    camera list is computed from that matrix and broadcast back as a
+    semi-filter, and only then do N·24 rows self-join — bounded work
+    independent of fact volume. Exact-int sum-of-products feed one
+    fixed double expression (module docstring), so r is bit-stable."""
+    hourly = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id", F.hour("ts").alias("hour"))
+        .agg(F.sum("new_count").cast("long").alias("v"))
+    )
+    totals = hourly.groupBy("camera_id").agg(F.sum("v").alias("total"))
+    top = totals.orderBy(F.desc("total"), F.asc("camera_id")).limit(
+        TOP_PROFILE_CAMERAS
+    ).select("camera_id")
+    p = hourly.join(F.broadcast(top), "camera_id")
+    # Distinct names per side before the self-join — never rely on
+    # Spark's auto-disambiguation of same-lineage columns.
+    a = p.select(
+        F.col("camera_id").alias("cam_a"), "hour", F.col("v").alias("va")
+    )
+    b = p.select(
+        F.col("camera_id").alias("cam_b"),
+        F.col("hour").alias("hour_b"),
+        F.col("v").alias("vb"),
+    )
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("hour") == F.col("hour_b")) & (F.col("cam_a") < F.col("cam_b")),
+        )
+        .groupBy("cam_a", "cam_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("va").cast("long").alias("sx"),
+            F.sum("vb").cast("long").alias("sy"),
+            F.sum(F.col("va") * F.col("va")).cast("long").alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).cast("long").alias("syy"),
+            F.sum(F.col("va") * F.col("vb")).cast("long").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return (
+        s.filter((dx > 0) & (dy > 0))
+        .select(
+            "cam_a",
+            "cam_b",
+            F.col("n").alias("n_hours"),
+            (num / (F.sqrt(dx) * F.sqrt(dy))).alias("pearson_r"),
+        )
+        .orderBy("cam_a", "cam_b")
+    )

@@ -64,6 +64,7 @@ def _load_modules() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         iou,
         joins,
         pipeline,

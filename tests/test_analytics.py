@@ -1,0 +1,63 @@
+"""Behavioral tests for the analytics ops: planted anomaly detection
+and Pearson-r bounds/sanity."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from big_data_traffict_prediction_spark.operators.analytics import (
+    q_anomaly_zscore,
+    q_profile_correlation,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{path}/events.parquet")
+
+
+def test_zscore_flags_planted_spike(spark, tmp_path):
+    """Camera 1 sees 10 cars at 08:00 on nine days and 200 on the
+    tenth: only the spike day flags, with a large positive z."""
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        val = 200.0 if day == 10 else 10.0
+        rows.append(
+            (eid, datetime(2024, 3, day, 8, 30), 1, "click", val, "{}")
+        )
+        eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = q_anomaly_zscore(spark, path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.camera_id == "1" and r.hour == 8
+    assert r.day_ts == datetime(2024, 3, 10)
+    assert r.zscore > 2.0 and r.baseline_days == 10
+
+
+def test_profile_correlation_bounds_and_self_similarity(spark, tmp_path):
+    """Two cameras with proportional profiles correlate at exactly 1;
+    a third anti-phase camera correlates negatively with both; every r
+    stays within [-1, 1]."""
+    rows = []
+    eid = 0
+    for h in range(6):
+        base = [5, 10, 20, 15, 8, 3][h]
+        for day in (1, 2):
+            rows.append((eid, datetime(2024, 3, day, h), 1, "click", float(base), "{}")); eid += 1
+            rows.append((eid, datetime(2024, 3, day, h), 2, "click", float(base * 3), "{}")); eid += 1
+            rows.append((eid, datetime(2024, 3, day, h), 3, "click", float(25 - base), "{}")); eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {(r.cam_a, r.cam_b): r.pearson_r for r in q_profile_correlation(spark, path).collect()}
+    assert set(out) == {("1", "2"), ("1", "3"), ("2", "3")}
+    assert out[("1", "2")] == 1.0
+    assert out[("1", "3")] < -0.9 and out[("2", "3")] < -0.9
+    assert all(-1.0 <= v <= 1.0 for v in out.values())
