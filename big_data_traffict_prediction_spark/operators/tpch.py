@@ -981,3 +981,142 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+Q9_TOKEN = "bolt"
+Q9_COST_FACTOR = 0.6  # retail-price cost proxy (no partsupp/ps_supplycost)
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * {SCALE}) AS BIGINT)
+              - CAST(FLOOR(p_retailprice * l_quantity * {Q9_COST_FACTOR} * {SCALE}) AS BIGINT)) AS BIGINT) AS profit_fp
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE contains(lower(p_name), '{Q9_TOKEN}')
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so the cost
+    leg ``ps_supplycost * l_quantity`` becomes the deterministic proxy
+    ``p_retailprice * l_quantity * {Q9_COST_FACTOR}``; the multi-dim
+    join→agg shape — part keyword filter, supplier nation, order year —
+    is the point).
+
+    Plan: part (keyword-filtered), supplier and nation all broadcast;
+    the ONLY shuffle joins lineitem to orders on l_orderkey, then one
+    partial-agg shuffle on (nation, year). The keyword filter lands on
+    the broadcast build side, so lineitem rows drop at the first probe
+    before the orderkey exchange. Profit is a difference of two
+    fixed-point BIGINTs per row, summed exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.lower("p_name").contains(Q9_TOKEN)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    ordr = load_table(spark, sf_dir, "orders")
+    amount = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE
+    ).cast("long") - F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * Q9_COST_FACTOR * SCALE
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(ordr, F.col("l_orderkey") == ordr.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("long").alias("profit_fp"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q20_TOKEN = "ring"
+Q20_DATE_LO = "1996-01-01"
+Q20_DATE_HI = "1997-01-01"
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+WITH li AS (
+  SELECT l_suppkey, l_partkey, CAST(FLOOR(l_quantity * {SCALE}) AS BIGINT) AS qty_fp
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE contains(lower(p_name), '{Q20_TOKEN}')
+    AND l_shipdate >= TIMESTAMP '{Q20_DATE_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q20_DATE_HI} 00:00:00'
+), sp AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(qty_fp) AS BIGINT) AS sq
+  FROM li GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS pq FROM sp GROUP BY 1
+), dom AS (
+  SELECT DISTINCT l_suppkey FROM sp JOIN pt USING (l_partkey) WHERE 2 * sq > pq
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN dom ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential-part-promotion shape (adapted: no partsupp
+    availqty, so "supplier holding excess stock" becomes "supplier
+    shipping the MAJORITY of a part's {Q20_DATE_LO[:4]} volume" — the
+    same correlated per-(supp,part)-aggregate-vs-per-part-aggregate
+    EXISTS shape).
+
+    Plan: the keyword partkeys broadcast-semi-filter lineitem at the
+    scan; one shuffle on (suppkey, partkey), a second per-part rollup
+    REUSING the first aggregate's output (pt derives from sp, not from
+    lineitem); the majority test ``2·sq > pq`` compares exact
+    fixed-point BIGINTs; winners distinct to suppkey and broadcast-join
+    the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_DATE_HI).cast("timestamp"))
+    )
+    pkeys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.lower("p_name").contains(Q20_TOKEN))
+        .select("p_partkey")
+    )
+    li_tok = li.join(F.broadcast(pkeys), li.l_partkey == pkeys.p_partkey, "left_semi")
+    sp = (
+        li_tok.select(
+            "l_suppkey",
+            "l_partkey",
+            F.floor(F.col("l_quantity") * SCALE).cast("long").alias("qty_fp"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qty_fp").cast("long").alias("sq"))
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("sq").cast("long").alias("pq"))
+    dom = (
+        sp.join(pt, "l_partkey")
+        .filter(2 * F.col("sq") > F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
