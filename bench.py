@@ -76,6 +76,13 @@ EXTENDED = [
     "q_inverted_index",
     "q_interval_join_alerts",
     "q_dedup_ngram_jaccard",
+    "q_repetition_score",
+    "q_contamination_check",
+    "q_doc_chunks",
+    "q_anomaly_zscore",
+    "q_profile_correlation",
+    "q_tpch_q9",
+    "q_tpch_q20",
 ]
 
 

@@ -82,7 +82,9 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built by an in-row higher-order ``transform`` over a 1-based
     index sequence — guarded to the empty array below {TRI} tokens
     because Spark's ``sequence(1, n)`` DESCENDS when n < 1."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
     def stats(toks):
         n = F.size(toks)
@@ -145,6 +147,10 @@ def _gram_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     ``dedup.shingles`` for why handing ``explode`` a projected
     attribute of this pipeline would serialize it below the shuffle."""
     d = load_table(spark, sf_dir, "documents")
+    # One md5 per gram is CPU-bound: spread the scan across cores even
+    # when the source is a single parquet split (dedup._tokenized has
+    # the same trade; the shuffle moves raw doc rows, never grams).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split(norm_col(), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -276,7 +282,9 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator position, so there is no window function and no shuffle
     except the final sort. Chunks are emitted as md5 fingerprints to
     keep the result narrow; the text itself never leaves the row."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
     def chunks(toks):
         return F.transform(

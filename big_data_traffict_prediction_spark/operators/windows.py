@@ -204,3 +204,57 @@ def q_camera_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+ROLLING_DAYS = 7
+
+
+@register(
+    "q_rolling_median",
+    oracle=with_traffic(f"""
+, daily AS (
+  SELECT camera_id, date_trunc('day', ts) AS day_ts,
+         CAST(SUM(new_count) AS BIGINT) AS daily_total
+  FROM traffic GROUP BY 1, 2
+)
+SELECT camera_id, day_ts, daily_total,
+       CAST(COUNT(*) OVER w AS BIGINT) AS window_days,
+       list_sort(list(daily_total) OVER w)
+         [(CAST(COUNT(*) OVER w AS INTEGER) + 1) // 2] AS rolling_median
+FROM daily
+WINDOW w AS (PARTITION BY camera_id ORDER BY day_ts
+             ROWS BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY camera_id, day_ts
+"""),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ROLLING_DAYS}-day rolling median of daily totals per camera —
+    the robust-trend line a dashboard drapes over the noisy daily
+    series.
+
+    Spark has no native rolling percentile; the frame is materialized
+    with ``collect_list`` over a bounded ROWS window ({ROLLING_DAYS}
+    elements max — constant memory) and the median is the LOWER-MIDDLE
+    element of the sorted frame, an exact integer: no interpolation,
+    no doubles, bit-identical on both engines. One shuffle on
+    camera_id; the window sort is (camera_id, day_ts) — the
+    pre-aggregated daily table, not raw facts."""
+    daily = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.sum("new_count").cast("long").alias("daily_total"))
+    )
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy("day_ts")
+        .rowsBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    frame = F.sort_array(F.collect_list("daily_total").over(w))
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "camera_id",
+        "day_ts",
+        "daily_total",
+        n.cast("long").alias("window_days"),
+        F.element_at(frame, ((n + 1) / 2).cast("int")).alias("rolling_median"),
+    ).orderBy("camera_id", "day_ts")
