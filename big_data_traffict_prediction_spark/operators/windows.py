@@ -258,3 +258,51 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("window_days"),
         F.element_at(frame, ((n + 1) / 2).cast("int")).alias("rolling_median"),
     ).orderBy("camera_id", "day_ts")
+
+
+GAP_MIN_S = 3600  # report silences longer than an hour
+
+
+@register(
+    "q_camera_gaps",
+    oracle=with_traffic(f"""
+, seq AS (
+  SELECT camera_id, ts, id,
+         LAG(ts) OVER (PARTITION BY camera_id ORDER BY ts, id) AS prev_ts
+  FROM traffic
+)
+SELECT camera_id, prev_ts, ts AS resumed_ts,
+       (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_s
+FROM seq
+WHERE prev_ts IS NOT NULL
+  AND (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 > {GAP_MIN_S}
+ORDER BY camera_id, resumed_ts
+"""),
+)
+def q_camera_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camera outage detection: silences longer than {GAP_MIN_S} s
+    between consecutive observations per camera — the historical twin
+    of the St9 liveness check (reference flips `status` on staleness;
+    this reports every past outage interval).
+
+    One ``lag`` window pass per camera (the same single-window shape
+    the VERDICT prescribed for IoU dedup — no rank+self-join); the gap
+    is an exact integer microsecond difference, integer-divided to
+    seconds, so the cutoff compares BIGINTs on both engines."""
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    h = traffic_history(spark, sf_dir).select(
+        "camera_id", "ts", "id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_s = (F.unix_micros("ts") - F.unix_micros("prev_ts")) / F.lit(1000000)
+    gap_s = F.floor(gap_s).cast("long")
+    return (
+        h.filter(F.col("prev_ts").isNotNull())
+        .select(
+            "camera_id",
+            "prev_ts",
+            F.col("ts").alias("resumed_ts"),
+            gap_s.alias("gap_s"),
+        )
+        .filter(F.col("gap_s") > GAP_MIN_S)
+        .orderBy("camera_id", "resumed_ts")
+    )

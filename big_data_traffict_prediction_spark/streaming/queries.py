@@ -154,3 +154,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     return out.orderBy("camera_id", "alert_id", "id")
+
+
+@register("q_stream_static_join", oracle=None)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the enrich-with-dim streaming pattern the
+    stream-stream query doesn't cover): live detections join the
+    batch-computed per-camera percentile thresholds and only
+    over-p90 observations flow through, labeled with their threshold.
+
+    The static side is a bounded batch DataFrame resolved per
+    micro-batch and broadcast — no watermark and no state: Spark
+    treats the dim as a lookup table, exactly how a 100 TB deployment
+    scores a live feed against nightly-built baselines. Stateless →
+    rows-only driver check; equality with the batch filter is pinned
+    in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.prediction import camera_thresholds
+
+    stage, base = _staged(spark, sf_dir)
+    static = camera_thresholds(spark, sf_dir).select("camera_id", "p90")
+    flagged = (
+        simulate.read_stream(spark, stage)
+        .join(F.broadcast(static), "camera_id")
+        .filter(F.col("new_count").cast("double") > F.col("p90"))
+        .select("camera_id", "id", "ts", "new_count", "p90")
+    )
+    out = windows.run_to_memory(
+        spark,
+        flagged,
+        f"q_stream_static_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("camera_id", "id")

@@ -272,3 +272,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got and got == batch
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static threshold scoring == the same filter in batch
+    (stateless enrich: draining every file must reproduce the batch
+    filter's rows exactly)."""
+    from big_data_traffict_prediction_spark.operators.prediction import (
+        camera_thresholds,
+    )
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        q_stream_static_join,
+    )
+
+    got = {
+        (r.camera_id, r.id) for r in q_stream_static_join(spark, sf_dir).collect()
+    }
+    static = camera_thresholds(spark, sf_dir).select("camera_id", "p90")
+    batch = {
+        (r.camera_id, r.id)
+        for r in simulate.detections_frame(spark, sf_dir)
+        .join(static, "camera_id")
+        .filter(F.col("new_count").cast("double") > F.col("p90"))
+        .collect()
+    }
+    assert got and got == batch
