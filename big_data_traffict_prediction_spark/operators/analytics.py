@@ -218,3 +218,96 @@ def q_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cam_a", "cam_b")
     )
+
+
+HIST_BUCKET_W = 50
+HIST_BUCKETS = 10
+
+
+@register(
+    "q_count_histogram",
+    oracle=with_traffic(f"""
+, b AS (
+  SELECT LEAST(new_count // {HIST_BUCKET_W}, {HIST_BUCKETS - 1}) AS bucket_id,
+         new_count, camera_id
+  FROM traffic
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(bucket_id * {HIST_BUCKET_W} AS BIGINT) AS lo,
+       CAST(CASE WHEN bucket_id = {HIST_BUCKETS - 1} THEN NULL
+                 ELSE (bucket_id + 1) * {HIST_BUCKET_W} END AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(new_count) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT camera_id) AS BIGINT) AS n_cameras
+FROM b
+GROUP BY bucket_id
+ORDER BY bucket_id
+"""),
+)
+def q_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram of per-observation counts
+    ({HIST_BUCKETS} buckets × {HIST_BUCKET_W}, open-ended top bucket) —
+    the distribution panel every monitoring dashboard draws.
+
+    Bucketing is integer division in the scan projection (no UDF, no
+    sort); ONE partial-agg shuffle carries ≤ {HIST_BUCKETS} groups per
+    task. The distinct-camera count rides the same shuffle as a
+    two-phase distinct aggregate."""
+    h = traffic_history(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("new_count") / HIST_BUCKET_W), F.lit(HIST_BUCKETS - 1)
+    ).cast("long")
+    return (
+        h.select(bucket.alias("bucket_id"), "new_count", "camera_id")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("new_count").cast("long").alias("total_count"),
+            F.count_distinct("camera_id").alias("n_cameras"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * HIST_BUCKET_W).cast("long").alias("lo"),
+            F.when(
+                F.col("bucket_id") == HIST_BUCKETS - 1, F.lit(None).cast("long")
+            )
+            .otherwise(((F.col("bucket_id") + 1) * HIST_BUCKET_W).cast("long"))
+            .alias("hi"),
+            "n_obs",
+            "total_count",
+            "n_cameras",
+        )
+        .orderBy("bucket_id")
+    )
+
+
+APPROX_QUANTILES = [0.5, 0.9, 0.99]
+APPROX_QUANTILE_ACC = 10_000
+
+
+@register("q_approx_quantile", oracle=None)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-camera approximate quantiles (Greenwald-Khanna sketch,
+    accuracy {APPROX_QUANTILE_ACC}) for p50/p90/p99 of new_count —
+    the mergeable-sketch path for percentile dashboards where the
+    exact sort-based percentile (q_camera_thresholds) is not worth
+    the shuffle at 100 TB. Sketch internals are engine-specific →
+    rows-only driver check; tests bound each approximate value inside
+    the exact neighboring-rank envelope instead."""
+    h = traffic_history(spark, sf_dir)
+    qs = F.percentile_approx(
+        "new_count",
+        F.array(*[F.lit(q) for q in APPROX_QUANTILES]),
+        F.lit(APPROX_QUANTILE_ACC),
+    )
+    return (
+        h.groupBy("camera_id")
+        .agg(qs.alias("q"))
+        .select(
+            "camera_id",
+            F.col("q")[0].cast("long").alias("p50_approx"),
+            F.col("q")[1].cast("long").alias("p90_approx"),
+            F.col("q")[2].cast("long").alias("p99_approx"),
+        )
+        .orderBy("camera_id")
+    )

@@ -61,3 +61,29 @@ def test_profile_correlation_bounds_and_self_similarity(spark, tmp_path):
     assert out[("1", "2")] == 1.0
     assert out[("1", "3")] < -0.9 and out[("2", "3")] < -0.9
     assert all(-1.0 <= v <= 1.0 for v in out.values())
+
+
+def test_approx_quantile_within_exact_envelope(spark, sf_dir):
+    """Each approximate percentile must land inside the exact
+    [p-5, p+5] rank envelope of that camera's distribution."""
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_approx_quantile,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    approx = {r.camera_id: r for r in q_approx_quantile(spark, sf_dir).collect()}
+    exact = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id")
+        .agg(
+            F.expr("percentile_disc(array(0.45,0.55,0.85,0.95,0.94,1.0)) WITHIN GROUP (ORDER BY new_count)").alias("e")
+        )
+        .collect()
+    )
+    assert approx
+    for r in exact:
+        a = approx[r.camera_id]
+        lo45, hi55, lo85, hi95, lo94, hi100 = r.e
+        assert lo45 <= a.p50_approx <= hi55, (r.camera_id, a.p50_approx, r.e)
+        assert lo85 <= a.p90_approx <= hi95, (r.camera_id, a.p90_approx, r.e)
+        assert lo94 <= a.p99_approx <= hi100, (r.camera_id, a.p99_approx, r.e)
