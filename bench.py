@@ -83,6 +83,10 @@ EXTENDED = [
     "q_profile_correlation",
     "q_tpch_q9",
     "q_tpch_q20",
+    "q_rolling_median",
+    "q_camera_gaps",
+    "q_count_histogram",
+    "q_approx_quantile",
 ]
 
 
