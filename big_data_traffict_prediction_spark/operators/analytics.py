@@ -174,6 +174,15 @@ def q_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("camera_id", F.hour("ts").alias("hour"))
         .agg(F.sum("new_count").cast("long").alias("v"))
     )
+    # The profile matrix feeds three consumers (totals, and both join
+    # sides); without materialization each recomputes it from a full
+    # fact scan. A lazy localCheckpoint pins it after the first
+    # compute — safe HERE because everything downstream is
+    # dimension-sized (cameras×24 rows), so the frozen (possibly
+    # AQE-coalesced) partitioning cannot strangle parallelism the way
+    # it would feeding a wide join (see functions/dedup.py
+    # threshold_jaccard_pairs for the opposite trade).
+    hourly = hourly.localCheckpoint(eager=False)
     totals = hourly.groupBy("camera_id").agg(F.sum("v").alias("total"))
     top = totals.orderBy(F.desc("total"), F.asc("camera_id")).limit(
         TOP_PROFILE_CAMERAS
