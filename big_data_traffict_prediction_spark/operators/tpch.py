@@ -1081,11 +1081,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS shape).
 
     Plan: the keyword partkeys broadcast-semi-filter lineitem at the
-    scan; one shuffle on (suppkey, partkey), a second per-part rollup
-    REUSING the first aggregate's output (pt derives from sp, not from
-    lineitem); the majority test ``2·sq > pq`` compares exact
-    fixed-point BIGINTs; winners distinct to suppkey and broadcast-join
-    the supplier dim."""
+    scan; one shuffle on (suppkey, partkey), then the per-part total
+    comes from an unordered window over that SAME aggregate (facts are
+    scanned exactly once — plan-asserted); the majority test
+    ``2·sq > pq`` compares exact fixed-point BIGINTs; winners distinct
+    to suppkey and semi-join the supplier dim."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q20_DATE_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q20_DATE_HI).cast("timestamp"))
@@ -1105,9 +1105,15 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("qty_fp").cast("long").alias("sq"))
     )
-    pt = sp.groupBy("l_partkey").agg(F.sum("sq").cast("long").alias("pq"))
+    # The per-part total comes from an UNORDERED window over the same
+    # aggregate — one pass, no second branch: a pt = sp.groupBy(...)
+    # + join would make Spark recompute sp's whole lineage (TWO fact
+    # scans; ReusedExchange does not fire across the differing
+    # aggregates), and the window's (l_partkey) exchange is the same
+    # shuffle the join would have needed anyway.
+    pq = F.sum("sq").over(Window.partitionBy("l_partkey"))
     dom = (
-        sp.join(pt, "l_partkey")
+        sp.withColumn("pq", pq.cast("long"))
         .filter(2 * F.col("sq") > F.col("pq"))
         .select("l_suppkey")
         .distinct()

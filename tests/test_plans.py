@@ -117,3 +117,79 @@ def test_flagship_is_two_aggregates_one_scan(spark, sf_dir):
     assert a["pushed_filters"], "dow/hour predicates derive from ts — ts filter prunes"
     # two-level agg + final order: shuffles stay bounded (no join, no extra exchange)
     assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_contamination_probes_broadcast_never_nested_loop(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.curation import (
+        q_contamination_check,
+    )
+
+    # corpus grams must PROBE a broadcast benchmark build — an equi-join
+    # on the gram hash, never a nested loop over doc pairs
+    df = q_contamination_check(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) == 0
+    assert explain.broadcast_join_count(df) >= 1, "benchmark gram set must broadcast"
+
+
+def test_anomaly_zscore_window_is_unordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_anomaly_zscore,
+    )
+
+    # baseline stats come from an UNORDERED partition window: no join
+    # anywhere, bounded shuffles (pre-agg, window, presentation sort)
+    a = explain.audit(q_anomaly_zscore(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_profile_correlation_pair_join_broadcasts(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_profile_correlation,
+    )
+
+    # both the top-N semi filter and the pair join must broadcast the
+    # dimension-sized side; the quadratic step never shuffles facts
+    df = q_profile_correlation(spark, sf_dir)
+    assert explain.broadcast_join_count(df) >= 2
+    assert explain.nested_loop_join_count(df) == 0
+
+
+def test_tpch_q9_broadcasts_all_dims(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q9
+
+    # part/supplier/nation broadcast; lineitem reaches its first probe
+    # unshuffled (the only possible exchange family is orderkey + agg)
+    df = q_tpch_q9(spark, sf_dir)
+    assert explain.broadcast_join_count(df) >= 3
+    assert explain.nested_loop_join_count(df) == 0
+
+
+def test_tpch_q20_semi_filters_at_scan_and_reuses_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q20
+
+    df = q_tpch_q20(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan, "keyword partkeys must semi-filter lineitem"
+    # facts scanned once: exactly one lineitem scan in the whole plan
+    assert plan.count("lineitem.parquet") == 1, "per-part rollup must derive from sp"
+
+
+def test_count_histogram_single_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_count_histogram,
+    )
+
+    a = explain.audit(q_count_histogram(spark, sf_dir))
+    # bucket in the projection; one partial+final agg exchange (the
+    # distinct-camera count expands in the same family) + final sort
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_camera_gaps_single_window_no_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import q_camera_gaps
+
+    a = explain.audit(q_camera_gaps(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
