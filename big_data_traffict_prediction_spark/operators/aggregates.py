@@ -235,7 +235,13 @@ ORDER BY event_type
 def q_bucket_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: percent-of-total shares via an analytic window over an
     aggregate (reference computes this client-side,
-    index.html:1045-1060)."""
+    index.html:1045-1060).
+
+    The empty-partition window is DELIBERATE — it is the §2.5
+    "percent shares" window shape, and it runs over the ≤|event_types|
+    aggregate (a handful of rows), so WindowExec's single-partition
+    move is free; a fact-sized input would use the broadcast-scalar
+    form instead (see q_lang_mixture)."""
     from pyspark.sql import Window
 
     totals = (

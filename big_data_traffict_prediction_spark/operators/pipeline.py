@@ -172,10 +172,8 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture statistics: per-language doc and (whitespace)
     token totals with each language's share of the total token budget —
     the numbers a data-mixture tuner actually reads. One grouped agg
-    + an unpartitioned window over the (tiny, one row per language)
-    aggregate; the window never sees raw rows."""
-    from pyspark.sql import Window
-
+    + a broadcast grand-total scalar; nothing but the tiny aggregate
+    ever moves."""
     d = load_table(spark, sf_dir, "documents")
     g = (
         d.select("lang", F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"))
@@ -185,15 +183,22 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
-    total = F.sum(F.col("total_tokens").cast("double")).over(
-        Window.partitionBy()
+    # broadcast-scalar total instead of an empty-partition window:
+    # same exact value (integer-valued double sum < 2^53), no
+    # single-partition WindowExec move, no log warning
+    grand = g.agg(F.sum(F.col("total_tokens").cast("double")).alias("grand"))
+    return (
+        g.crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("grand"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("lang")
     )
-    return g.select(
-        "lang",
-        "n_docs",
-        "total_tokens",
-        F.round(F.col("total_tokens").cast("double") / total, 6).alias("token_share"),
-    ).orderBy("lang")
 
 
 FUNNEL_STAGES = ("view", "click", "purchase")

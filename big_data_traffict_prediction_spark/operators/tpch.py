@@ -633,11 +633,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_col()).cast("long").alias("total_revenue_fp"))
     )
-    w = Window.orderBy(F.desc("total_revenue_fp"))
+    # max-revenue scalar broadcast + equality filter (keeps ties,
+    # like rank()==1) — an unpartitioned rank window would move the
+    # aggregate to one partition and log a WindowExec warning for the
+    # same result
+    mx = revenue.agg(F.max("total_revenue_fp").alias("mx"))
     top = (
-        revenue.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_fp") == F.col("mx"))
+        .drop("mx")
     )
     return (
         F.broadcast(top)
