@@ -87,6 +87,8 @@ EXTENDED = [
     "q_camera_gaps",
     "q_count_histogram",
     "q_approx_quantile",
+    "q_top_ngrams",
+    "q_dup_rate_by_source",
 ]
 
 

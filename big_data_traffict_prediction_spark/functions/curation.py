@@ -302,3 +302,106 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- corpus diagnostics -------------------------------------------------
+
+TOP_NGRAMS = 20
+
+
+@register(
+    "q_top_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+), g AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+         doc_id
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT {TOP_NGRAMS}
+""",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-{TOP_NGRAMS} bigrams by occurrence (with
+    document frequency) — the what-is-in-this-corpus glance every
+    curation run starts with.
+
+    ONE shuffle on the bigram key with map-side partial aggregation;
+    the final top-k is ``TakeOrderedAndProject`` (per-partition heap +
+    driver merge of {TOP_NGRAMS} rows), never a global sort.
+    Deterministic tie-break on the bigram text."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(norm_col(), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    g = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.explode(bigrams).alias("bigram"),
+    ).filter(F.col("n_toks") >= 2)
+    return (
+        g.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(TOP_NGRAMS)
+    )
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({NORM_SQL}) AS fingerprint FROM documents
+), keep AS (
+  SELECT fingerprint, MIN(doc_id) AS keep_doc_id FROM fp GROUP BY fingerprint
+)
+SELECT fp.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN fp.doc_id <> k.keep_doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN fp.doc_id <> k.keep_doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM fp JOIN keep k USING (fingerprint)
+GROUP BY fp.source
+ORDER BY fp.source
+""",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: which ingestion feeds are
+    polluting the corpus — the diagnostic that decides WHERE to point
+    the dedup pipeline.
+
+    Same one-fingerprint-shuffle shape as q_dedup_exact, then the
+    keep-min winner joins back on the fingerprint (both sides already
+    hash-partitioned on it — no extra exchange family) and collapses
+    to a per-source rate. Rates divide exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", F.md5(norm_col()).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    is_dup = (F.col("doc_id") != F.col("keep_doc_id")).cast("long")
+    return (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_dups"),
+            (F.sum(is_dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
