@@ -89,6 +89,8 @@ EXTENDED = [
     "q_approx_quantile",
     "q_top_ngrams",
     "q_dup_rate_by_source",
+    "q_part_affinity",
+    "q_camera_quartiles",
 ]
 
 

@@ -320,3 +320,123 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+AFFINITY_MIN_PAIRS = 2
+AFFINITY_TOP = 50
+
+
+@register(
+    "q_part_affinity",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, n_pair,
+       CAST(n_pair AS DOUBLE) / n.n_orders AS support,
+       CAST(n_pair * n.n_orders AS DOUBLE) / (i1.n_item * i2.n_item) AS lift
+FROM pair
+JOIN item i1 ON i1.l_partkey = p1
+JOIN item i2 ON i2.l_partkey = p2
+CROSS JOIN n
+WHERE n_pair >= {AFFINITY_MIN_PAIRS}
+ORDER BY n_pair DESC, lift DESC, p1, p2
+LIMIT {AFFINITY_TOP}
+""",
+)
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-{AFFINITY_TOP} co-ordered part
+    pairs with support and lift — the co-occurrence shape (recommender
+    candidate generation) nothing else in the registry exercises.
+
+    Scale story: the pair fan-out is bounded by BASKET SIZE, not data
+    volume — the self-join runs per orderkey (one hash family shared
+    with the distinct), and an order with k parts emits k·(k-1)/2
+    pairs (k ≈ 4 here; a pathological mega-basket would be capped
+    upstream the way dedup caps LSH buckets). Item counts and the
+    order-count scalar broadcast; lift divides exact BIGINT products;
+    final top-k is TakeOrderedAndProject."""
+    from ..tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= AFFINITY_MIN_PAIRS)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias("support"),
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n1") * F.col("n2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), F.desc("lift"), "p1", "p2")
+        .limit(AFFINITY_TOP)
+    )
+
+
+N_QUARTILES = 4
+
+
+@register(
+    "q_camera_quartiles",
+    oracle=with_traffic(f"""
+, totals AS (
+  SELECT camera_id, CAST(SUM(new_count) AS BIGINT) AS total
+  FROM traffic GROUP BY 1
+)
+SELECT camera_id, total,
+       CAST(NTILE({N_QUARTILES}) OVER (ORDER BY total DESC, camera_id) AS BIGINT) AS quartile
+FROM totals
+ORDER BY camera_id
+"""),
+)
+def q_camera_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-volume quartile per camera (`ntile` ranking window —
+    the remaining window-function class the registry didn't cover).
+
+    The unpartitioned window is DELIBERATE and safe: ntile needs one
+    global ordering, and it runs over the per-camera AGGREGATE
+    (dimension-sized — one row per camera), never over facts; the
+    deterministic (total DESC, camera_id) tie-break keeps bucket
+    boundaries identical across engines."""
+    totals = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id")
+        .agg(F.sum("new_count").cast("long").alias("total"))
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("camera_id"))
+    return totals.select(
+        "camera_id",
+        "total",
+        F.ntile(N_QUARTILES).over(w).cast("long").alias("quartile"),
+    ).orderBy("camera_id")
