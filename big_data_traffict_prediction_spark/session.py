@@ -18,6 +18,8 @@ sees the same semantics:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -57,9 +59,58 @@ def get_spark(
     return spark
 
 
+_PKG_ZIP: str | None = None
+_SHIPPED_APPS: set[str] = set()
+
+
+def _package_zip() -> str:
+    """Zip this package once per process (sources only, no pycache)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_pkg_"), f"{pkg_name}.zip"
+        )
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers.
+
+    Cloudpickle serializes module-level functions (our Pandas-UDF /
+    ``applyInPandasWithState`` kernels) BY REFERENCE, so the worker
+    re-imports this package at deserialize time. When the driving
+    process was launched from a different cwd (the external harness
+    does exactly that), the bare import fails with
+    ``ModuleNotFoundError``. ``addPyFile`` ships a zip of the package
+    and prepends it to every worker's ``sys.path`` — the standard way
+    to distribute job code to a real cluster, and a no-op burden
+    locally (~40 kB once per app).
+    """
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    spark.sparkContext.addPyFile(_package_zip())
+    _SHIPPED_APPS.add(app)
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable invariants to a session we did not
     create (the driver harness hands us one). Only touches confs that
     can change after JVM start."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ship_package(spark)
     return spark

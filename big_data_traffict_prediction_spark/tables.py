@@ -42,14 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in TESTDATA_SCHEMAS[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            df.schema[field.name].dataType, T.LongType
-        ):
+        if not isinstance(field.dataType, T.TimestampType):
+            continue
+        actual = df.schema[field.name].dataType
+        if isinstance(actual, T.LongType):
             # integer `div`, not `/1000`: a double can't hold int64 nanos
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(actual, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ under Spark 4's NTZ inference; the session tz
+            # is pinned UTC (session.py), so this cast is instant-exact
+            # and matches DuckDB's naive reading of the same file.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
