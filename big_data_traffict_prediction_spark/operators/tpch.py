@@ -1130,3 +1130,150 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .orderBy("s_suppkey")
     )
+
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TYPE = "ECONOMY"
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+WITH reg_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(FLOOR(l_extendedprice / l_quantity * {SCALE}) AS BIGINT)) AS BIGINT) AS cost_fp
+  FROM lineitem
+  GROUP BY 1, 2
+), cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, cost_fp,
+         MIN(cost_fp) OVER (PARTITION BY p_partkey) AS min_cost_fp
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN reg_supp ON s_suppkey = l_suppkey
+  WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_brand, cost_fp
+FROM cand
+WHERE cost_fp = min_cost_fp
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp, so the
+    per-(part, supplier) offer price is the MIN observed unit price
+    ``l_extendedprice / l_quantity`` in lineitem; the single-word
+    p_type domain makes the spec's ``LIKE '%BRASS'`` an equality).
+
+    The spec's correlated scalar subquery (min supplycost per part)
+    becomes a window MIN over the per-(part, supplier) aggregate —
+    one fact-table pass. Order of operations at 100 TB: both dim
+    filters (sized/typed parts, region suppliers) broadcast-semi-prune
+    lineitem BEFORE the (partkey, suppkey) shuffle, so the aggregate
+    only sees the selected region x part slice (the q17 lesson:
+    never aggregate what a broadcast filter could have dropped).
+    Final = TakeOrderedAndProject (LIMIT 100)."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    reg_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cost_fp = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * SCALE).cast(
+        "long"
+    )
+    ps = (
+        li.join(F.broadcast(parts.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(reg_supp.select("s_suppkey")),
+              li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cost_fp).cast("long").alias("cost_fp"))
+    )
+    min_cost = F.min("cost_fp").over(Window.partitionBy("l_partkey"))
+    return (
+        ps.withColumn("min_cost_fp", min_cost.cast("long"))
+        .filter(F.col("cost_fp") == F.col("min_cost_fp"))
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(F.broadcast(reg_supp), F.col("l_suppkey") == reg_supp.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            "cost_fp",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION_DEN = 1000  # keep parts holding > 1/1000 of the nation's value
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+WITH nat_supp AS (
+  SELECT s_suppkey
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q11_NATION}'
+), pv AS (
+  SELECT l_partkey AS p_partkey, CAST(SUM({REV_SQL}) AS BIGINT) AS value_fp
+  FROM lineitem
+  JOIN nat_supp ON s_suppkey = l_suppkey
+  GROUP BY 1
+)
+SELECT p_partkey, value_fp
+FROM pv, (SELECT CAST(SUM(value_fp) AS BIGINT) AS total_fp FROM pv) t
+WHERE value_fp * {Q11_FRACTION_DEN} > total_fp
+ORDER BY value_fp DESC, p_partkey
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: no partsupp availqty x
+    supplycost, so a part's "stock value" for the nation is the
+    discounted revenue its suppliers from that nation shipped).
+
+    The spec's HAVING > SUM(..) * fraction scalar subquery becomes a
+    one-row aggregate crossJoin-broadcast over the per-part aggregate
+    (the q15 pattern — no unpartitioned window), and the fraction
+    test is exact integer math (``value_fp * {Q11_FRACTION_DEN} >
+    total_fp``) so both engines agree bit-for-bit. Nation suppliers
+    broadcast-semi-prune lineitem before its only shuffle."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    nat_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_rev_col()).cast("long").alias("value_fp"))
+    )
+    total = pv.agg(F.sum("value_fp").cast("long").alias("total_fp"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_fp") * Q11_FRACTION_DEN > F.col("total_fp"))
+        .select("p_partkey", "value_fp")
+        .orderBy(F.desc("value_fp"), "p_partkey")
+    )

@@ -193,3 +193,30 @@ def test_camera_gaps_single_window_no_join(spark, sf_dir):
     a = explain.audit(q_camera_gaps(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_tpch_q2_semi_prunes_before_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q2
+
+    # part + region-supplier broadcast semi-joins must sit BELOW the
+    # (partkey, suppkey) aggregate so the shuffle carries only the
+    # selected slice; the min-cost-per-part scalar is a window over
+    # that aggregate (no second fact scan); LIMIT plans as top-k
+    df = q_tpch_q2(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan, "dim pre-filters must plan as semi joins"
+    assert explain.broadcast_join_count(df) >= 4
+    assert explain.has_take_ordered(df)
+
+
+def test_tpch_q11_single_fact_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q11
+
+    # nation suppliers semi-prune lineitem before its one aggregate
+    # shuffle; the HAVING-fraction scalar arrives via broadcast, never
+    # an unpartitioned window
+    df = q_tpch_q11(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert explain.broadcast_join_count(df) >= 2
+    assert "Window" not in plan, "scalar total must broadcast, not window"
