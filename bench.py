@@ -91,6 +91,10 @@ EXTENDED = [
     "q_dup_rate_by_source",
     "q_part_affinity",
     "q_camera_quartiles",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_semantic_dedup",
+    "q_pack_sequences",
 ]
 
 

@@ -27,7 +27,7 @@ across engines and across cluster re-partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import let
@@ -404,4 +404,72 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# --- sequence packing ---------------------------------------------------
+
+PACK_BUDGET = 128  # tokens per packed training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(tokens_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+ORDER BY source, doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document a position in a stream
+    of fixed-budget training sequences — the concat-then-chunk packing
+    LLM pre-training uses (documents are concatenated in a stable
+    order per source, the stream is cut every PACK_BUDGET tokens;
+    seq_id/seq_offset say which cut a document starts in and where).
+
+    One window pass: a running token total per source (ROWS UNBOUNDED
+    PRECEDING → 1 PRECEDING, exact integers), then the sequence id and
+    offset are pure div/mod arithmetic — no second shuffle, no join.
+    At 100 TB a single per-source partition would be both skewed and
+    unboundedly large; production packs per (source, shard) with
+    shard = doc_id bucket, which keeps this exact plan shape and makes
+    the window partition count scale with the corpus. The per-source
+    form here mirrors the single-stream semantics the oracle can
+    express."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        t.withColumn("tokens_before", before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"tokens_before div {PACK_BUDGET}").cast("long").alias("seq_id"),
+            (F.col("tokens_before") % PACK_BUDGET).cast("long").alias("seq_offset"),
+        )
+        .orderBy("source", "doc_id")
     )

@@ -295,6 +295,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter has perfect recall); the 100 TB *approximate* paths are
     q_ann_ivf and q_dedup_simhash. This form exists so the exact
     oracle parallelizes with bounded per-task memory."""
+    cells = _neardup_cells(spark, sf_dir)
+    return (
+        cells.select(
+            "v1", "v2", "label1", "label2", F.round("cosine", 6).alias("cosine")
+        ).orderBy("v1", "v2")
+    )
+
+
+def _neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered near-dup pairs (cos ≥ NEARDUP_COS, v1 < v2) via the
+    blocked cogroup kernel — shared by q_embedding_neardup (pair list)
+    and q_semantic_dedup (keep/drop list)."""
     B = NEARDUP_BLOCKS
 
     def side(on):  # fresh lineage per side: no self-join ambiguity
@@ -313,7 +325,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = side("bi"), side("bj")
-    cells = (
+    return (
         a.groupby("bi", "bj")
         .cogroup(b.groupby("bi", "bj"))
         .applyInPandas(
@@ -321,10 +333,56 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v1 long, v2 long, label1 int, label2 int, cosine double",
         )
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+WITH {_VECS_CTE},
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         CAST({_dot_fp_sql("a.embedding", "b.embedding")} AS DOUBLE)
+           / (sqrt(CAST(a.norm_fp AS DOUBLE)) * sqrt(CAST(b.norm_fp AS DOUBLE))) AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+),
+shadows AS (
+  SELECT v2 AS vec_id, CAST(MIN(v1) AS BIGINT) AS shadowed_by
+  FROM pairs WHERE cosine >= {NEARDUP_COS}
+  GROUP BY v2
+)
+SELECT v.vec_id, v.label, s.shadowed_by IS NULL AS keep, s.shadowed_by
+FROM vecs v LEFT JOIN shadows s USING (vec_id)
+ORDER BY v.vec_id
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop list: a vector is DROPPED when some
+    smaller-id vector sits within cosine ≥ {NEARDUP_COS} of it
+    (`shadowed_by` = the smallest such neighbor — the representative a
+    trainer keeps). Deterministic min-id tie-break, so the keep set is
+    reproducible across runs and engines.
+
+    Built on the same blocked exact-pair kernel as q_embedding_neardup
+    (one extra groupBy(v2) min — work ∝ near-dup pairs); the shadow
+    table is duplicate-sized, i.e. tiny relative to the corpus, so it
+    re-joins the full vector set as a broadcast. At 100 TB the pair
+    source swaps to the LSH/IVF candidate stream (q_dedup_simhash,
+    q_ann_ivf), with this exact form as its verification oracle."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "label")
+    shadows = (
+        _neardup_cells(spark, sf_dir)
+        .groupBy(F.col("v2").alias("vec_id"))
+        .agg(F.min("v1").cast("long").alias("shadowed_by"))
+    )
     return (
-        cells.select(
-            "v1", "v2", "label1", "label2", F.round("cosine", 6).alias("cosine")
-        ).orderBy("v1", "v2")
+        vecs.join(F.broadcast(shadows), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("shadowed_by").isNull().alias("keep"),
+            "shadowed_by",
+        )
+        .orderBy("vec_id")
     )
 
 
