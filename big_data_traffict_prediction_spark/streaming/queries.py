@@ -1,12 +1,30 @@
-"""Driver-visible streaming queries (rows-only checks).
+"""Driver-visible streaming queries — most of them HASH-CHECKED.
 
 Each stages the deterministic detection stream into a scratch dir,
 drains a bounded Structured Streaming query (availableNow) and returns
 the result as a DataFrame — so the driver's correctness harness
-exercises the real streaming path, not a batch stand-in. Genuinely
-non-SQL-expressible (stateful / event-time streaming) → no DuckDB
-oracle by design; batch-equivalence is pinned in
-tests/test_streaming.py instead.
+exercises the real streaming path, not a batch stand-in.
+
+Because the staged replay is TIME-ORDERED (stage_stream_dir sorts by
+ts, id), the drained output of the event-time window/join queries is a
+pure function of the input set, and therefore SQL-expressible:
+
+- no window/session ever receives a row after the watermark passes its
+  end (the watermark trails max-event-time by 30 min, and a window is
+  still collecting only while rows ≤ its end arrive), so nothing is
+  emitted twice or split;
+- availableNow finalizes the watermark at drain time, so exactly the
+  windows with ``end ≤ max(ts) - 30 min`` are emitted — a predicate
+  DuckDB can evaluate;
+- the stream-stream join never ages out a row before its partner
+  arrives (both sides replay in lockstep and the 15 min join lookback
+  is inside the 30 min watermark), so the drained join equals the
+  batch theta join.
+
+Those six queries carry exact DuckDB oracles (verified at sf0.001 and
+sf0.01). Only the custom-stateful applyInPandasWithState dedup stays
+rows-only — its suppression order is genuinely procedural; its
+batch-equivalence is pinned in tests/test_streaming.py instead.
 """
 
 from __future__ import annotations
@@ -16,8 +34,14 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.prediction import _THRESHOLDS_CTE
 from ..registry import register
+from ..tables import with_traffic
 from . import simulate, state, windows
+
+# Final-watermark predicate used by every event-time oracle: emitted
+# windows are exactly those closed before max(ts) - WATERMARK.
+_WM_CTE = "wm AS (SELECT MAX(ts) - INTERVAL '30 minutes' AS w FROM traffic)"
 
 
 def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -41,10 +65,29 @@ def q_stream_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id", "id")
 
 
-@register("q_stream_tumbling_counts", oracle=None)
+@register(
+    "q_stream_tumbling_counts",
+    oracle=with_traffic(
+        """
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, camera_id,
+       CAST(total_new_count AS BIGINT) AS total_new_count,
+       CAST(n_samples AS BIGINT) AS n_samples
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, camera_id,
+         SUM(new_count) AS total_new_count, COUNT(*) AS n_samples
+  FROM traffic GROUP BY 1, 2
+), wm
+WHERE window_start + INTERVAL '1 hour' <= w
+ORDER BY window_start, camera_id
+""",
+        extra_ctes=_WM_CTE,
+    ),
+)
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """St5: tumbling event-time windows with watermark over the
-    simulated stream."""
+    simulated stream. Hash-checked: the drained append-mode output is
+    exactly the batch hourly aggregate restricted to windows closed by
+    the final watermark (module docstring)."""
     stage, base = _staged(spark, sf_dir)
     out = windows.run_to_memory(
         spark,
@@ -54,11 +97,31 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.orderBy("window_start", "camera_id")
 
-@register("q_stream_sliding_counts", oracle=None)
+@register(
+    "q_stream_sliding_counts",
+    oracle=with_traffic(
+        """
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       CAST(SUM(new_count) AS BIGINT) AS total_new_count
+FROM (
+  SELECT t.new_count,
+         time_bucket(INTERVAL '15 minutes', t.ts) - (g.i * INTERVAL '15 minutes')
+           AS window_start
+  FROM traffic t, generate_series(0, 3) AS g(i)
+), wm
+WHERE window_start + INTERVAL '1 hour' <= w
+GROUP BY 1, 2
+ORDER BY window_start
+""",
+        extra_ctes=_WM_CTE,
+    ),
+)
 def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """St4: sliding event-time windows (1h window / 15m slide) — the
     streaming form of the reference's trailing-window stats
-    (app/utils.py:523-565)."""
+    (app/utils.py:523-565). Hash-checked: each row lands in 4 slides
+    (the generate_series fan-out in the oracle), windows closed by the
+    final watermark emit."""
     stage, base = _staged(spark, sf_dir)
     out = windows.run_to_memory(
         spark,
@@ -69,10 +132,41 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
-@register("q_stream_session_windows", oracle=None)
+@register(
+    "q_stream_session_windows",
+    oracle=with_traffic(
+        """
+SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       camera_id,
+       CAST(SUM(new_count) AS BIGINT) AS session_total,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT camera_id, ts, new_count,
+         SUM(is_new) OVER (PARTITION BY camera_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT camera_id, ts, new_count,
+           CASE WHEN LAG(ts) OVER (PARTITION BY camera_id ORDER BY ts) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY camera_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS is_new
+    FROM traffic
+  )
+), wm
+GROUP BY camera_id, sid, w
+HAVING MAX(ts) + INTERVAL '30 minutes' <= w
+ORDER BY session_start, camera_id
+""",
+        extra_ctes=_WM_CTE,
+    ),
+)
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """St6: session windows (30m gap) per camera — not in the
-    reference's surface; rounds out the event-time window family."""
+    reference's surface; rounds out the event-time window family.
+    Hash-checked. Spark session semantics, mirrored exactly in the
+    oracle: a row ≥ gap after its predecessor opens a new session
+    (half-open merge), session_end = last ts + gap, and only sessions
+    closed by the final watermark emit."""
     stage, base = _staged(spark, sf_dir)
     out = windows.run_to_memory(
         spark,
@@ -83,14 +177,24 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("session_start", "camera_id")
 
 
-@register("q_stream_dedup_delivery", oracle=None)
+@register(
+    "q_stream_dedup_delivery",
+    oracle=with_traffic(
+        """
+SELECT camera_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(new_count) AS BIGINT) AS total_new_count
+FROM traffic GROUP BY camera_id ORDER BY camera_id
+"""
+    ),
+)
 def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once event delivery from an at-least-once transport:
     the staged stream is read TWICE and unioned (every record delivered
     2×), then streaming dropDuplicates on (id, ts) with the watermark
     bounding dedup state — the standard Kafka-consumer dedup shape.
-    Returns per-camera counts; equals the single-delivery batch counts
-    (pinned in tests/test_streaming.py)."""
+    Hash-checked: per-camera counts over the deduped stream must equal
+    the single-delivery batch counts exactly — the oracle IS the
+    exactly-once contract."""
     from pyspark.sql import functions as F
 
     stage, base = _staged(spark, sf_dir)
@@ -115,7 +219,22 @@ ALERT_THRESHOLD = 300
 ALERT_LOOKBACK = "15 minutes"
 
 
-@register("q_stream_stream_join", oracle=None)
+@register(
+    "q_stream_stream_join",
+    oracle=with_traffic(
+        f"""
+SELECT t.camera_id, a.alert_id, a.alert_ts, a.alert_count, t.id, t.ts, t.new_count
+FROM traffic t
+JOIN (SELECT camera_id AS a_camera, ts AS alert_ts, id AS alert_id,
+             new_count AS alert_count
+      FROM traffic WHERE new_count >= {ALERT_THRESHOLD}) a
+  ON t.camera_id = a.a_camera
+ AND t.ts >= a.alert_ts - INTERVAL {ALERT_LOOKBACK}
+ AND t.ts <= a.alert_ts
+ORDER BY t.camera_id, a.alert_id, t.id
+"""
+    ),
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (the one streaming operator class the
     other registered streams don't cover): raw detections joined to a
@@ -123,9 +242,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation time within [alert - 15 min, alert]. BOTH sides carry
     watermarks and the join condition bounds both event times — the
     requirements for Spark to age out join state; without them state
-    grows forever. Row-level output; genuinely non-SQL-expressible as
-    a stream → rows-only driver check, batch-equivalence pinned in
-    tests/test_streaming.py."""
+    grows forever. Hash-checked: the replayed sides advance in
+    lockstep and the 15 min lookback sits inside the 30 min watermark,
+    so no row is evicted before its partner arrives and the drained
+    join equals the batch theta join."""
     from pyspark.sql import functions as F
 
     stage, base = _staged(spark, sf_dir)
@@ -156,7 +276,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id", "alert_id", "id")
 
 
-@register("q_stream_static_join", oracle=None)
+@register(
+    "q_stream_static_join",
+    oracle=with_traffic(
+        """
+SELECT t.camera_id, t.id, t.ts, t.new_count, th.p90
+FROM traffic t
+JOIN thresholds th USING (camera_id)
+WHERE CAST(t.new_count AS DOUBLE) > th.p90
+ORDER BY t.camera_id, t.id
+""",
+        extra_ctes=_THRESHOLDS_CTE.replace("{SUBSET}", ""),
+    ),
+)
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (the enrich-with-dim streaming pattern the
     stream-stream query doesn't cover): live detections join the
