@@ -320,3 +320,55 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     return out.orderBy("camera_id", "id")
+
+
+@register(
+    "q_stream_congestion_episodes",
+    oracle=with_traffic(
+        f"""
+, seq AS (
+  SELECT camera_id, ts, id, new_count,
+         SUM(CASE WHEN new_count >= {state.EPISODE_THRESHOLD} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY camera_id ORDER BY ts, id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM traffic
+),
+lows AS (
+  SELECT camera_id,
+         SUM(CASE WHEN new_count < {state.EPISODE_THRESHOLD} THEN 1 ELSE 0 END)
+           AS n_low
+  FROM traffic GROUP BY camera_id
+)
+SELECT s.camera_id, MIN(s.ts) AS episode_start, MAX(s.ts) AS episode_end,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(MAX(s.new_count) AS BIGINT) AS peak,
+       CAST(SUM(s.new_count) AS BIGINT) AS total
+FROM seq s JOIN lows l ON s.camera_id = l.camera_id
+WHERE s.new_count >= {state.EPISODE_THRESHOLD}
+GROUP BY s.camera_id, s.grp, l.n_low
+HAVING s.grp < l.n_low
+ORDER BY s.camera_id, episode_start
+"""
+    ),
+)
+def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-camera congestion-episode detection: keyed state holds the
+    open episode (start/end/n/peak/total); a below-threshold
+    observation closes and emits it. Registered form uses
+    `applyInPandasWithState`; the Spark 4 arbitrary-state v2 twin
+    (`state.CongestionEpisodes`, transformWithStateInPandas) is
+    environment-gated on protobuf and equality-tested when available.
+
+    Hash-checked: on the time-ordered replay, closed episodes are
+    exactly the consecutive-high gap-islands that have a later
+    below-threshold row on the same camera (island index < per-camera
+    low-row count) — the oracle's HAVING clause; the still-open tail
+    episode stays in state and is correctly absent from both sides."""
+    stage, base = _staged(spark, sf_dir)
+    out = windows.run_to_memory(
+        spark,
+        state.congestion_episodes(simulate.read_stream(spark, stage)),
+        f"q_stream_episodes_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    return out.orderBy("camera_id", "episode_start")

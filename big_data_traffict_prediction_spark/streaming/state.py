@@ -25,6 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 IOU_THRESHOLD = 0.5
@@ -110,6 +111,159 @@ def stateful_dedup(stream: DataFrame) -> DataFrame:
         dedup_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- congestion episodes ------------------------------------------------
+#
+# Detect sustained congestion EPISODES per camera (consecutive
+# observations ≥ EPISODE_THRESHOLD) and emit one row when an episode
+# CLOSES (a below-threshold observation arrives). An episode still open
+# at end-of-stream stays in state — exactly the long-running-job
+# semantics: the next feed file resumes it from the checkpoint.
+#
+# Two implementations of the same semantics:
+# - `congestion_episodes` (registered, oracle-checked): the v1
+#   `applyInPandasWithState` API — works everywhere.
+# - `CongestionEpisodes` / `congestion_episodes_v2`: Spark 4's
+#   arbitrary-state v2 `transformWithStateInPandas` (typed state
+#   variables on a handle). Its state-server protocol needs
+#   `google.protobuf`, absent from this container, so it is
+#   environment-gated: exercised by a test that SKIPS when protobuf is
+#   missing, and equality with the v1 form is the test's assertion.
+
+EPISODE_THRESHOLD = 300
+
+EPISODE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("camera_id", T.StringType()),
+        T.StructField("episode_start", T.TimestampType()),
+        T.StructField("episode_end", T.TimestampType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+_EPISODE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+
+class CongestionEpisodes(StatefulProcessor):
+    """Per-camera episode tracker: ValueState = the open episode."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._ep = handle.getValueState("episode", _EPISODE_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (camera_id,) = key
+        cur = tuple(self._ep.get()) if self._ep.exists() else None
+        closed: list[tuple] = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "id"])
+            for ts, nc in zip(pdf["ts"], pdf["new_count"]):
+                us = ts.value // 1000  # pandas ns → µs (exact integers)
+                nc = int(nc)
+                if nc >= EPISODE_THRESHOLD:
+                    if cur is None:
+                        cur = (us, us, 1, nc, nc)
+                    else:
+                        cur = (cur[0], us, cur[2] + 1, max(cur[3], nc), cur[4] + nc)
+                elif cur is not None:
+                    closed.append(cur)
+                    cur = None
+        if cur is None:
+            self._ep.clear()
+        else:
+            self._ep.update(cur)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "camera_id": [camera_id] * len(closed),
+                    "episode_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+                    "episode_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+                    "n_obs": [c[2] for c in closed],
+                    "peak": [c[3] for c in closed],
+                    "total": [c[4] for c in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def congestion_episodes_v2(stream: DataFrame) -> DataFrame:
+    """Arbitrary-state v2 wiring (environment-gated; see section
+    comment)."""
+    return stream.groupBy("camera_id").transformWithStateInPandas(
+        statefulProcessor=CongestionEpisodes(),
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def episodes_fn(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """v1-API twin of CongestionEpisodes.handleInputRows: state =
+    (start_us, end_us, n_obs, peak, total) of the open episode."""
+    (camera_id,) = key
+    cur: tuple | None = None
+    if state.exists:
+        start_us, end_us, n_obs, peak, total, is_open = state.get
+        if is_open:
+            cur = (start_us, end_us, n_obs, peak, total)
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "id"])
+        for ts, nc in zip(pdf["ts"], pdf["new_count"]):
+            us = ts.value // 1000  # pandas ns → µs (exact integers)
+            nc = int(nc)
+            if nc >= EPISODE_THRESHOLD:
+                if cur is None:
+                    cur = (us, us, 1, nc, nc)
+                else:
+                    cur = (cur[0], us, cur[2] + 1, max(cur[3], nc), cur[4] + nc)
+            elif cur is not None:
+                closed.append(cur)
+                cur = None
+    if cur is None:
+        state.update((0, 0, 0, 0, 0, False))
+    else:
+        state.update((*cur, True))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "camera_id": [camera_id] * len(closed),
+                "episode_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+                "episode_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+                "n_obs": [c[2] for c in closed],
+                "peak": [c[3] for c in closed],
+                "total": [c[4] for c in closed],
+            }
+        )
+
+
+_EPISODE_V1_STATE_SCHEMA = T.StructType(
+    _EPISODE_STATE_SCHEMA.fields + [T.StructField("is_open", T.BooleanType())]
+)
+
+
+def congestion_episodes(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("camera_id").applyInPandasWithState(
+        episodes_fn,
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        stateStructType=_EPISODE_V1_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -297,3 +297,43 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got and got == batch
+
+
+def test_congestion_episodes_v2_twin_matches_v1(spark, sf_dir):
+    """The transformWithStateInPandas (arbitrary-state v2) episode
+    processor emits the same closed episodes as the registered
+    applyInPandasWithState form. The v2 state server speaks protobuf,
+    which this container lacks — skip there, run wherever it exists."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: v2 state server cannot start")
+
+    import tempfile
+    import uuid
+
+    from big_data_traffict_prediction_spark.streaming import (
+        simulate,
+        state,
+        windows,
+    )
+
+    base = tempfile.mkdtemp(prefix="tws_episodes_")
+    stage = simulate.stage_stream_dir(spark, sf_dir, f"{base}/stage", n_chunks=4)
+
+    def drain(builder):
+        return {
+            (r.camera_id, r.episode_start, r.episode_end, r.n_obs, r.peak, r.total)
+            for r in windows.run_to_memory(
+                spark,
+                builder(simulate.read_stream(spark, stage)),
+                f"tws_{uuid.uuid4().hex[:8]}",
+                f"{base}/ckpt_{uuid.uuid4().hex[:8]}",
+            ).collect()
+        }
+
+    v1 = drain(state.congestion_episodes)
+    v2 = drain(state.congestion_episodes_v2)
+    assert v1 and v1 == v2
