@@ -95,6 +95,8 @@ EXTENDED = [
     "q_tpch_q11",
     "q_semantic_dedup",
     "q_pack_sequences",
+    "q_mixture_sample",
+    "q_stream_congestion_episodes",
 ]
 
 

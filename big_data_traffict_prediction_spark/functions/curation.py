@@ -473,3 +473,85 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# --- temperature mixture sampling ---------------------------------------
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # temperature α = 0.5 (sqrt scaling)
+MIX_BUDGET_PCT = 30  # sample ≈30% of the corpus tokens
+MIX_RATE_SCALE = 1_000_000  # rates as exact ppm integers
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
+  FROM s
+), r AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
+           ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
+             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
+             / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
+  FROM s, g
+)
+SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm
+FROM t JOIN r USING (source)
+WHERE {hash60_sql("'mix#' || CAST(t.doc_id AS VARCHAR)")} % {MIX_RATE_SCALE}
+      < r.rate_ppm
+ORDER BY t.doc_id
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture sampling (the data-mixing step
+    of a pre-training pipeline): per-source keep rates ∝
+    tokens^α / Σ tokens^α with α = 0.5 (up-samples small sources,
+    down-samples dominant ones) scaled to a 30%-of-corpus token
+    budget, then DETERMINISTIC per-document selection — keep iff
+    md5-hash(doc_id) mod 1e6 < rate_ppm. No RNG: the sample is
+    reproducible across runs, engines and repartitionings (the reason
+    production pipelines hash-sample instead of rand()).
+
+    Shape: one token-count aggregate per source (dimension-sized), a
+    one-row scalar (total + α-mass) crossJoin-broadcast over it, and
+    the per-source ppm rates broadcast back onto the corpus scan —
+    facts shuffle zero times; selection is a pure filter. rate_ppm is
+    floored to an exact integer so the cross-engine comparison is
+    bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
+    )
+    s = t.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    g = s.agg(
+        F.sum("src_tokens").cast("long").alias("all_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
+    )
+    rate = F.floor(
+        MIX_RATE_SCALE
+        * F.least(
+            F.lit(1.0),
+            (MIX_BUDGET_PCT / F.lit(100.0))
+            * F.col("all_tokens").cast("double")
+            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
+            / F.col("src_tokens").cast("double"),
+        )
+    ).cast("long")
+    r = s.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
+    key = hash60(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    return (
+        t.join(F.broadcast(r), "source")
+        .filter(key % MIX_RATE_SCALE < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tokens", "rate_ppm")
+        .orderBy("doc_id")
+    )
