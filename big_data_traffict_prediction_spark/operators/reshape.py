@@ -78,3 +78,42 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.selectExpr("l_orderkey", "l_linenumber", stack_expr)
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+# ------------------------------------- F16 modern path: VariantType
+
+
+@register(
+    "q_props_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_present
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured props: parse the
+    JSON ONCE into a binary variant (`parse_json`), then typed path
+    reads (`try_variant_get`) — the open-format answer to re-parsing a
+    JSON string per extracted field. At 100 TB the variant column is
+    what you'd persist (shredded parquet), so every downstream path
+    read skips the text parse entirely; here parse + read fuse into the
+    same codegen stage. Same numeric results as the string-path twin
+    (q_props_json_extract's family), so DuckDB's JSON functions remain
+    the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count("k").cast("long").alias("k_present"),
+        )
+        .orderBy("event_type")
+    )
