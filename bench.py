@@ -97,6 +97,8 @@ EXTENDED = [
     "q_pack_sequences",
     "q_mixture_sample",
     "q_stream_congestion_episodes",
+    "q_training_manifest",
+    "q_props_variant_extract",
 ]
 
 

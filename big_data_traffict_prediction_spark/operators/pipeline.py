@@ -260,3 +260,161 @@ def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in counts[1:]:
         out = out.unionByName(x)
     return out.orderBy("stage_no")
+
+
+from ..functions.curation import (  # noqa: E402  (oracle constants)
+    MIX_BUDGET_PCT,
+    MIX_RATE_SCALE,
+    PACK_BUDGET,
+)
+from ..functions.text import hash60, hash60_sql  # noqa: E402
+
+_MANIFEST_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm,
+         CAST(len(regexp_extract_all({NORM_SQL}, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter(string_split({NORM_SQL}, ' '),
+              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words,
+         md5({NORM_SQL}) AS fingerprint
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, lang, n_tokens, fingerprint,
+         0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
+           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+  FROM m
+), keep AS (
+  SELECT fingerprint, MIN(doc_id) AS keep_doc_id FROM scored GROUP BY fingerprint
+), surv AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM scored s
+  JOIN keep k ON k.fingerprint = s.fingerprint AND k.keep_doc_id = s.doc_id
+  WHERE s.lang = '{CORPUS_LANG}' AND s.quality_score >= {QUALITY_MIN}
+), src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM surv GROUP BY source
+), g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
+  FROM src
+), r AS (
+  SELECT source,
+         CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
+           ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
+             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
+             / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
+  FROM src, g
+), sel AS (
+  SELECT s.doc_id, s.source, s.n_tokens, r.rate_ppm
+  FROM surv s JOIN r USING (source)
+  WHERE {hash60_sql("'mix#' || CAST(s.doc_id AS VARCHAR)")} % {MIX_RATE_SCALE} < r.rate_ppm
+), packed AS (
+  SELECT doc_id, source, n_tokens, rate_ppm,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM sel
+)
+SELECT doc_id, source, n_tokens, rate_ppm,
+       CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(tokens_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+ORDER BY source, doc_id
+"""
+
+
+@register("q_training_manifest", oracle=_MANIFEST_ORACLE)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data pipeline as ONE declarative plan:
+    exact-dedup keep-rule → language + quality filter → temperature
+    mixture sampling over the SURVIVING per-source token mass →
+    deterministic hash selection → sequence packing. The output is a
+    training manifest: which documents go into which fixed-budget
+    sequence, at which offset, and under which source sampling rate.
+
+    Every stage reuses an already-oracled operator's exact formula
+    (q_corpus_select scoring, q_dedup_exact keep, q_mixture_sample
+    rates, q_pack_sequences window), so this is the integration proof
+    that the pieces compose. Shuffle budget at 100 TB: fingerprint
+    groupBy (1), dimension-sized source aggregate + broadcast rates
+    (facts never move), packing window (1) — three key families total,
+    no driver-side step anywhere."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(norm_col(), " ")
+    n_tokens = F.size(tokens).cast("long")
+    n_chars_norm = F.length(norm_col()).cast("long")
+    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast(
+        "long"
+    )
+    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
+        + 0.3 * (stops.cast("double") / n_tokens.cast("double"))
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.md5(norm_col()).alias("fingerprint"),
+        quality.alias("quality_score"),
+    )
+    keep = (
+        scored.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .withColumnRenamed("fingerprint", "keep_fp")
+    )
+    surv = (
+        scored.join(
+            keep,
+            (F.col("fingerprint") == F.col("keep_fp"))
+            & (F.col("doc_id") == F.col("keep_doc_id")),
+        )
+        .filter(
+            (F.col("lang") == CORPUS_LANG) & (F.col("quality_score") >= QUALITY_MIN)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    src = surv.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    g = src.agg(
+        F.sum("src_tokens").cast("long").alias("all_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
+    )
+    rate = F.floor(
+        MIX_RATE_SCALE
+        * F.least(
+            F.lit(1.0),
+            (MIX_BUDGET_PCT / F.lit(100.0))
+            * F.col("all_tokens").cast("double")
+            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
+            / F.col("src_tokens").cast("double"),
+        )
+    ).cast("long")
+    r = src.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
+    key = hash60(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    sel = surv.join(F.broadcast(r), "source").filter(
+        key % MIX_RATE_SCALE < F.col("rate_ppm")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        sel.withColumn("tokens_before", before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "rate_ppm",
+            F.expr(f"tokens_before div {PACK_BUDGET}").cast("long").alias("seq_id"),
+            (F.col("tokens_before") % PACK_BUDGET).cast("long").alias("seq_offset"),
+        )
+        .orderBy("source", "doc_id")
+    )
