@@ -220,3 +220,36 @@ def test_tpch_q11_single_fact_shuffle(spark, sf_dir):
     assert "LeftSemi" in plan
     assert explain.broadcast_join_count(df) >= 2
     assert "Window" not in plan, "scalar total must broadcast, not window"
+
+
+def test_mixture_sample_facts_never_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.curation import q_mixture_sample
+
+    # the corpus scan meets only broadcast rate/scalar tables; Exchange
+    # nodes belong to the dimension-sized aggregates and the final sort
+    a = explain.audit(q_mixture_sample(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_pack_sequences_single_window_pass(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.curation import q_pack_sequences
+
+    plan = explain.formatted_plan(q_pack_sequences(spark, sf_dir))
+    assert plan.count("Window") <= 2, "one running-total window expected"
+    a = explain.audit(q_pack_sequences(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0 and a["broadcast_joins"] == 0
+
+
+def test_training_manifest_composes_bounded_shuffles(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_training_manifest,
+    )
+
+    # fingerprint agg + source agg + packing window + final sort, plus
+    # AQE bookkeeping — but never an unbounded join or Python stage
+    df = q_training_manifest(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["python_row_udfs"] == 0
+    assert a["shuffles"] <= 8, f"unexpected shuffle count: {a['shuffles']}"
+    assert a["broadcast_joins"] >= 2, "rates + scalar must broadcast"
