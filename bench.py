@@ -99,6 +99,7 @@ EXTENDED = [
     "q_stream_congestion_episodes",
     "q_training_manifest",
     "q_props_variant_extract",
+    "q_data_quality_report",
 ]
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import traffic_history, with_traffic
+from ..tables import load_table, traffic_history, with_traffic
 
 Z_THRESHOLD = 2.0
 MIN_BASELINE_DAYS = 3
@@ -440,3 +440,139 @@ def q_camera_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.ntile(N_QUARTILES).over(w).cast("long").alias("quartile"),
     ).orderBy("camera_id")
+
+
+# --------------------------------------------- data-quality expectations
+
+DQ_DISCOUNT_MAX = 0.1  # lineitem discounts above this violate the contract
+
+
+@register(
+    "q_data_quality_report",
+    oracle=f"""
+SELECT * FROM (
+  SELECT 'lineitem' AS tbl, 'orphan_orderkey' AS rule,
+         CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS violations,
+         CAST(COUNT(*) AS BIGINT) AS population
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders', 'orphan_custkey',
+         CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'discount_range',
+         CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > {DQ_DISCOUNT_MAX}) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'quantity_positive',
+         CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', 'props_parseable',
+         CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'value_non_negative',
+         CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'documents', 'n_chars_consistent',
+         CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+)
+ORDER BY tbl, rule
+""",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations as one report: referential
+    integrity (orphan lineitems/orders), range contracts (discount,
+    quantity, value), semi-structured parseability, and a derived-column
+    consistency check — (table, rule, violations, population) per rule.
+
+    Shapes that survive 100 TB: every in-table rule is a conditional
+    COUNT inside the table's ONE partial-aggregated scan (all
+    lineitem-local rules share a single pass, same for events); the
+    referential checks count via left-join-null over the natural join
+    key — at scale the same check co-locates for free on bucketed
+    tables (sources/bucketed.py) or falls to one SMJ keyed on the fact
+    key. Nothing collects; the report is 7 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def report(tbl, rule, violations, population):
+        return (
+            F.lit(tbl).alias("tbl"),
+            F.lit(rule).alias("rule"),
+            violations.cast("long").alias("violations"),
+            population.cast("long").alias("population"),
+        )
+
+    n = F.count(F.lit(1))
+    cnt_if = lambda cond: F.count(F.when(cond, F.lit(1)))  # noqa: E731
+
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
+        .agg(*report("lineitem", "orphan_orderkey", cnt_if(F.col("o_orderkey").isNull()), n))
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left")
+        .agg(*report("orders", "orphan_custkey", cnt_if(F.col("c_custkey").isNull()), n))
+    )
+    li_rules = li.agg(
+        *report(
+            "lineitem",
+            "discount_range",
+            cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISCOUNT_MAX)),
+            n,
+        )
+    ).unionByName(
+        li.agg(
+            *report(
+                "lineitem",
+                "quantity_positive",
+                cnt_if(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+                n,
+            )
+        )
+    )
+    e_rules = e.agg(
+        *report(
+            "events",
+            "props_parseable",
+            cnt_if(F.get_json_object("props", "$.k").isNull()),
+            n,
+        )
+    ).unionByName(
+        e.agg(
+            *report(
+                "events",
+                "value_non_negative",
+                cnt_if(F.col("value").isNull() | (F.col("value") < 0)),
+                n,
+            )
+        )
+    )
+    d_rules = d.agg(
+        *report(
+            "documents",
+            "n_chars_consistent",
+            cnt_if(F.col("n_chars") != F.length("text")),
+            n,
+        )
+    )
+    return (
+        orphan_li.unionByName(orphan_o)
+        .unionByName(li_rules)
+        .unionByName(e_rules)
+        .unionByName(d_rules)
+        .orderBy("tbl", "rule")
+    )
