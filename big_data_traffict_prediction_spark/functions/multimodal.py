@@ -318,3 +318,81 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.select("media_id", "n_frames", F.explode(frame_idx).alias("frame_no"))
         .orderBy("media_id", "frame_no")
     )
+
+
+# ------------------------------------------------- perceptual-hash dedup
+
+PHASH_BITS = 56  # 8 rows × 7 adjacent-pixel comparisons (dHash)
+
+
+def _phash_col() -> F.Column:
+    """56-bit dHash from the 64-d thumbnail/envelope feature: bit
+    r*7+c = feature[r*8+c+1] > feature[r*8+c]. Pure JVM expression —
+    Python stops at decode; hashing/bucketing stay in codegen."""
+    bits = [
+        F.when(
+            F.col("feature")[r * THUMB + c + 1] > F.col("feature")[r * THUMB + c],
+            F.lit(1 << (r * (THUMB - 1) + c)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for r in range(THUMB)
+        for c in range(THUMB - 1)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+PHASH_REPLICA_EVERY = 25  # plant a byte-identical replica of every 25th media
+PHASH_REPLICA_OFFSET = 1_000_000
+
+
+def media_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media fixture plus deterministic byte-identical replicas
+    (media_id + {PHASH_REPLICA_OFFSET} for every
+    {PHASH_REPLICA_EVERY}th id) — the re-upload/copy phenomenon image
+    dedup exists to catch; this synthetic corpus has no organic
+    payload duplicates (verified: zero duplicate normalized texts at
+    test SFs), so the duplicates are planted where a crawl would have
+    them."""
+    m = media_table(spark, sf_dir)
+    replicas = m.filter(F.col("media_id") % PHASH_REPLICA_EVERY == 0).withColumn(
+        "media_id", F.col("media_id") + PHASH_REPLICA_OFFSET
+    )
+    return m.unionByName(replicas)
+
+
+@register("q_multimodal_phash_dedup", oracle=None)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over decoded media:
+    dHash (adjacent-pixel gradient sign) of each payload's 8×8
+    thumbnail / envelope, exact-hash bucket group-and-expand into
+    duplicate pairs — the image-dedup step of a multimodal training
+    corpus (identical or near-identical frames collapse to one
+    representative). Runs over the fixture + planted replicas
+    (`media_with_replicas`), which every pair must trace back to.
+
+    Decode is the one Python (mapInPandas) stage; the hash is a static
+    56-comparison codegen expression and candidate generation is the
+    same capped bucket expand as q_dedup_simhash — work ∝ duplicate
+    clusters, never all-pairs. Python feature extraction → no SQL
+    oracle (rows-only); tests pin that every planted replica pairs
+    with its source."""
+    feats = decode_features(encode_media(media_with_replicas(spark, sf_dir)))
+    sig = feats.select("media_id", "kind", _phash_col().alias("phash"))
+    members = sig.groupBy("kind", "phash").agg(
+        F.slice(F.sort_array(F.collect_list("media_id")), 1, 1024).alias("ms")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ms", lambda a: F.transform("ms", lambda b: F.struct(a.alias("m1"), b.alias("m2")))
+            )
+        ),
+        lambda p: p["m1"] < p["m2"],
+    )
+    return (
+        members.select("kind", "phash", F.explode(pairs).alias("p"))
+        .select("kind", "phash", F.col("p.m1").alias("m1"), F.col("p.m2").alias("m2"))
+        .orderBy("kind", "m1", "m2")
+    )

@@ -173,3 +173,21 @@ def test_prefix_filter_jaccard_equals_naive_all_pairs(spark, sf_dir):
     }
     assert naive, "no near-dup pairs in testdata"
     assert fast == naive
+
+
+def test_phash_dedup_recovers_planted_replicas(spark, sf_dir):
+    """Every planted byte-identical replica must pair with its source
+    under the dHash bucket expand — and nothing else should pair (the
+    synthetic corpus has no organic payload duplicates)."""
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        PHASH_REPLICA_EVERY,
+        PHASH_REPLICA_OFFSET,
+        q_multimodal_phash_dedup,
+    )
+
+    pairs = q_multimodal_phash_dedup(spark, sf_dir).collect()
+    assert pairs, "no duplicate pairs found"
+    planted = {(r.m1, r.m2) for r in pairs if r.m2 - r.m1 == PHASH_REPLICA_OFFSET}
+    n_docs = len(pairs)  # every pair must be a planted one
+    assert len(planted) == n_docs, "unexpected non-planted pairs"
+    assert all(m1 % PHASH_REPLICA_EVERY == 0 for m1, _ in planted)
