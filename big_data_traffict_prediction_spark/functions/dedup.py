@@ -290,10 +290,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_pair_jaccard`) is retained as the in-repo verification twin
     (tests pin set-equality) and the DuckDB oracle uses it too."""
     pj = threshold_jaccard_pairs(spark, sf_dir)
-    return (
-        pj.select(
-            "d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
-        ).orderBy("d1", "d2")
+    # Pair-SET semantics: no final global sort — at corpus scale an
+    # orderBy over the pair list is a pointless range-exchange+sort of
+    # the whole output (the driver gate and all tests compare
+    # order-insensitively).
+    return pj.select(
+        "d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -466,8 +468,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             F.round(jaccard, 6).alias("jaccard"),
             (jaccard >= JACCARD_THRESHOLD).alias("is_duplicate"),
-        )
-        .orderBy("d1", "d2")
+        )  # pair-set semantics: no global output sort (see ngram twin)
     )
 
 
@@ -620,7 +621,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("d1", "d2")
+        # pair-set semantics: no global output sort — saves a full
+        # range-exchange + sort of the (large) pair list; the driver
+        # compare and tests are order-insensitive
     )
 
 

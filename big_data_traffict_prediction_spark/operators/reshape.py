@@ -67,17 +67,17 @@ _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15: wide→long unpivot of the lineitem measures via stack() —
     the engine form of querying the reference's wide toll-gate CSV
-    (scripts/syntetic.py:7-29). One projection, zero shuffles until
-    the output sort; rows fan out 4× inside codegen."""
+    (scripts/syntetic.py:7-29). One projection, ZERO shuffles end to
+    end; rows fan out 4× inside codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     stack_expr = "stack({n}, {args}) AS (measure, value)".format(
         n=len(_MEASURES),
         args=", ".join(f"'{m}', {m}" for m in _MEASURES),
     )
-    return (
-        li.selectExpr("l_orderkey", "l_linenumber", stack_expr)
-        .orderBy("l_orderkey", "l_linenumber", "measure")
-    )
+    # row-set semantics: no output sort — a global sort of the 4×
+    # fan-out is the single most expensive node at scale and buys
+    # nothing (order-insensitive compare)
+    return li.selectExpr("l_orderkey", "l_linenumber", stack_expr)
 
 
 # ------------------------------------- F16 modern path: VariantType
