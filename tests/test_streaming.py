@@ -337,3 +337,39 @@ def test_congestion_episodes_v2_twin_matches_v1(spark, sf_dir):
     v1 = drain(state.congestion_episodes)
     v2 = drain(state.congestion_episodes_v2)
     assert v1 and v1 == v2
+
+
+def test_frame_stream_sink_round_trips(spark, sf_dir, tmp_path):
+    """S14: the multipart frame-stream sink writes boundary-delimited
+    parts in (media_id, frame_idx) order and a consumer-side parse
+    recovers every payload byte-exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        encode_media,
+        media_table,
+    )
+    from big_data_traffict_prediction_spark.streaming.framesink import (
+        read_frame_stream,
+        write_frame_stream,
+    )
+
+    frames = (
+        encode_media(media_table(spark, sf_dir))
+        .filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            F.lit(0).alias("frame_idx"),
+            F.col("payload").alias("frame_payload"),
+        )
+    )
+    out = str(tmp_path / "stream.mjpeg")
+    n = write_frame_stream(frames, out)
+    parts = read_frame_stream(out)
+    expected = [
+        bytes(r.frame_payload)
+        for r in frames.orderBy("media_id", "frame_idx").collect()
+    ]
+    assert n == len(expected) == len(parts) and n > 0
+    assert parts == expected
+    assert all(p[:2] == b"P5" for p in parts), "parts must be the PGM frames"
