@@ -100,6 +100,7 @@ EXTENDED = [
     "q_training_manifest",
     "q_props_variant_extract",
     "q_data_quality_report",
+    "q_multimodal_phash_dedup",
 ]
 
 

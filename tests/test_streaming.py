@@ -373,3 +373,33 @@ def test_frame_stream_sink_round_trips(spark, sf_dir, tmp_path):
     assert n == len(expected) == len(parts) and n > 0
     assert parts == expected
     assert all(p[:2] == b"P5" for p in parts), "parts must be the PGM frames"
+
+
+def test_tumbling_counts_chunking_invariant(spark, sf_dir):
+    """The oracle claim for the hash-checked streaming queries is that
+    the drained output is a pure function of the INPUT SET, not the
+    micro-batch boundaries. Replay the same data as 2 and as 7 chunks:
+    identical result sets."""
+    import tempfile
+    import uuid
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"chunkinv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        out = windows.run_to_memory(
+            spark,
+            windows.tumbling_counts(simulate.read_stream(spark, stage), "1 hour"),
+            f"chunkinv_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+        )
+        return {
+            (r.window_start, r.window_end, r.camera_id, r.total_new_count, r.n_samples)
+            for r in out.collect()
+        }
+
+    a, b = drained(2), drained(7)
+    assert a and a == b
