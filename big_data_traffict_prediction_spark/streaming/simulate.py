@@ -60,17 +60,35 @@ def stage_stream_dir(
     spark: SparkSession, sf_dir: str, stage_dir: str, n_chunks: int = 5
 ) -> str:
     """Materialize the detection frame as n time-ordered parquet chunks
-    under stage_dir (a scratch directory) for file-stream replay."""
-    df = detections_frame(spark, sf_dir).orderBy("ts", "id")
+    under stage_dir (a scratch directory) for file-stream replay.
+
+    Chunks are cut engine-side: a global (ts, id) row_number assigns
+    each row its chunk (the unpartitioned window is fine here — this is
+    a TEST-scale staging helper, not a registered operator), and each
+    chunk writes as one file in chunk order (the file stream source
+    replays files oldest-modification-first, so sequential writes
+    preserve event-time order). No driver round-trip — the old
+    toPandas staging serialized the whole fact slice through the
+    driver twice."""
+    from pyspark.sql import Window
+
+    df = detections_frame(spark, sf_dir)
     total = df.count()
     rows_per_chunk = max(1, (total + n_chunks - 1) // n_chunks)
-    pdf = df.toPandas()  # test scale only: sf0.001/sf0.01 fixtures
+    rn = F.row_number().over(Window.orderBy("ts", "id")) - 1
+    indexed = df.withColumn(
+        "chunk", (rn / rows_per_chunk).cast("int")
+    ).localCheckpoint(eager=True)  # one sort, n filtered writes
     os.makedirs(stage_dir, exist_ok=True)
-    for i in range(0, len(pdf), rows_per_chunk):
-        chunk = pdf.iloc[i : i + rows_per_chunk]
-        spark.createDataFrame(chunk, schema=STREAM_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage_dir, f"chunk_{i // rows_per_chunk:04d}"))
+    n = (total + rows_per_chunk - 1) // rows_per_chunk
+    for i in range(n):
+        (
+            indexed.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"chunk_{i:04d}"))
+        )
     return stage_dir
 
 
