@@ -101,6 +101,7 @@ EXTENDED = [
     "q_props_variant_extract",
     "q_data_quality_report",
     "q_multimodal_phash_dedup",
+    "q_ann_pq",
 ]
 
 

@@ -13,6 +13,9 @@
   Model-based → Spark-only (rows-only driver check).
 - **MLlib MinHashLSH**: library twin of functions/dedup's hand-rolled
   LSH; Spark-only.
+- **Product quantization + exact re-rank**: the 100 TB storage answer
+  (8-byte codes, ADC shortlist, faiss-style refine); recall-bounded
+  against the brute force.
 
 At scale the brute-force variant is a broadcast of the (small) query
 set against a partitioned candidate table — no shuffle of candidates;
@@ -540,3 +543,187 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx, 6).alias("q_max"),
         q.alias("q"),
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------ product quantization
+
+PQ_SUBSPACES = 8  # 64-d → 8 subvectors of 8 dims
+PQ_CODES = 64  # centroids per subspace → 6 bits/code
+PQ_SHORTLIST = 50  # ADC shortlist size before the exact re-rank (10×TOP_K)
+PQ_TRAIN_ITERS = 10
+PQ_SEED = 7
+
+
+def _pq_codebooks(vecs_np):
+    """Per-subspace Lloyd k-means codebooks trained driver-side on the
+    (sampled) vector matrix — the faiss shape: codebooks are model
+    state learned on a sample, then broadcast. Deterministic: seeded
+    init, fixed iteration count, ties to the lowest centroid id."""
+    import numpy as np
+
+    n, d = vecs_np.shape
+    sub_d = d // PQ_SUBSPACES
+    rng = np.random.RandomState(PQ_SEED)
+    books = []
+    for m in range(PQ_SUBSPACES):
+        X = vecs_np[:, m * sub_d : (m + 1) * sub_d]
+        C = X[rng.choice(n, size=PQ_CODES, replace=False)].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_CODES):
+                mask = assign == k
+                if mask.any():
+                    C[k] = X[mask].mean(axis=0)
+        books.append(C)
+    return books
+
+
+@register("q_ann_pq", oracle=None)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the 100 TB STORAGE answer for vector
+    search (faiss's PQ): each 64-d float vector compresses to
+    {PQ_SUBSPACES} 4-bit codes (8 small ints, a ~32x reduction) and
+    queries score candidates through an asymmetric-distance lookup
+    table (exact query subvector vs the candidate's centroid).
+
+    Spark shape: codebooks are MODEL STATE trained driver-side on a
+    sample (here the full sf candidate set; at 100 TB an actual
+    sample) and broadcast; candidate ENCODING is one Arrow-batched
+    kernel over the candidate scan (runs once, never per query);
+    SCORING is pure JVM — per-query LUTs (queries are a small set by
+    construction) broadcast-join the 8-byte codes and the ADC distance
+    is a static 8-term element_at sum inside codegen. Candidates never
+    shuffle; per-query top-k is the same ranking window as
+    q_ann_bruteforce. Model-based -> rows-only driver check;
+    tests/test_llm_ops.py bounds recall vs the exact brute force."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = _vecs(spark, sf_dir)
+    # L2-normalize everything: on the unit sphere ||a-b||^2 = 2-2cos,
+    # so ADC's L2 ranking matches the brute-force cosine ranking.
+    sample = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in vecs.select("embedding").collect()
+        ]
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_codebooks(sample)
+    bbooks = spark.sparkContext.broadcast([b.tolist() for b in books])
+    sub_d = sample.shape[1] // PQ_SUBSPACES
+
+    cands = vecs.filter(F.col("vec_id") % QUERY_MOD != 0).select(
+        "vec_id", "label", "embedding"
+    )
+
+    def encode(batches):
+        C = [np.asarray(b) for b in bbooks.value]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), PQ_SUBSPACES), dtype=np.int32)
+            for m in range(PQ_SUBSPACES):
+                Xm = X[:, m * sub_d : (m + 1) * sub_d]
+                d2 = ((Xm[:, None, :] - C[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "codes": list(codes),
+                }
+            )
+
+    coded = cands.mapInPandas(
+        encode, schema="vec_id long, label int, codes array<int>"
+    )
+
+    # Per-query ADC lookup tables: queries are a small set by
+    # construction (the ANN contract — a query batch scoring a huge
+    # candidate corpus), so the LUTs (PQ_SUBSPACES*PQ_CODES doubles
+    # per query) build driver-side and broadcast.
+    q_rows = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        lut = np.concatenate(
+            [
+                ((q[m * sub_d : (m + 1) * sub_d][None, :] - books[m]) ** 2).sum(
+                    axis=1
+                )
+                for m in range(PQ_SUBSPACES)
+            ]
+        )
+        lut_rows.append((r.vec_id, [float(x) for x in lut]))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+
+    # ADC distance = sum over subspaces of lut[m*PQ_CODES + code_m]:
+    # a static 8-term element_at sum, evaluated inside codegen.
+    dist = None
+    for m in range(PQ_SUBSPACES):
+        term = F.element_at(
+            "lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1)
+        )
+        dist = term if dist is None else dist + term
+    scored = coded.crossJoin(F.broadcast(luts)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        dist.alias("adc_dist"),
+    )
+    # Stage 2 — exact re-rank (faiss's "refine"): ADC keeps only a
+    # PQ_SHORTLIST-deep shortlist per query (the lossy-but-cheap scan
+    # over 8-byte codes), then the shortlist — queries × 50 rows,
+    # independent of corpus size — re-scores with the exact
+    # fixed-point cosine and the final top-k ranks on that.
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "neighbor_label", "adc_dist")
+    )
+    n_emb = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm_fp").alias("n_norm_fp"),
+    )
+    q_emb = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fp").alias("q_norm_fp"),
+    )
+    exact = (
+        shortlist.join(n_emb, "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "adc_dist",
+            _cosine(
+                _dot_fp(F.col("q_emb"), F.col("n_emb")),
+                F.col("q_norm_fp"),
+                F.col("n_norm_fp"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -191,3 +191,23 @@ def test_phash_dedup_recovers_planted_replicas(spark, sf_dir):
     n_docs = len(pairs)  # every pair must be a planted one
     assert len(planted) == n_docs, "unexpected non-planted pairs"
     assert all(m1 % PHASH_REPLICA_EVERY == 0 for m1, _ in planted)
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """PQ (6-bit × 8 subspaces) + exact re-rank must recover ≥0.8 of
+    the exact brute-force top-5 per query on average — the standard
+    quality bar for a compressed-storage ANN with a refine stage."""
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_ann_bruteforce,
+        q_ann_pq,
+    )
+
+    bf: dict = {}
+    for r in q_ann_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq: dict = {}
+    for r in q_ann_pq(spark, sf_dir).collect():
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert bf.keys() == pq.keys()
+    recall = sum(len(bf[q] & pq[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= 0.8, f"PQ+rerank recall {recall:.3f} below bound"
