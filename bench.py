@@ -102,6 +102,7 @@ EXTENDED = [
     "q_data_quality_report",
     "q_multimodal_phash_dedup",
     "q_ann_pq",
+    "q_ses_forecast",
 ]
 
 

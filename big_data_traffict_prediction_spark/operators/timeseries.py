@@ -370,3 +370,60 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id", "session_id")
     )
+
+
+# ------------------------------------------ exponential smoothing (SES)
+
+SES_ALPHA = 0.3
+
+
+@register(
+    "q_ses_forecast",
+    oracle=with_traffic(f"""
+, daily AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d, CAST(SUM(new_count) AS DOUBLE) AS y
+  FROM traffic GROUP BY 1, 2
+), arr AS (
+  SELECT camera_id, list(y ORDER BY d) AS ys FROM daily GROUP BY camera_id
+)
+SELECT camera_id, CAST(len(ys) AS BIGINT) AS n_days,
+       ROUND(list_reduce(ys, (acc, x) ->
+         x * CAST({SES_ALPHA} AS DOUBLE)
+           + acc * (CAST(1.0 AS DOUBLE) - CAST({SES_ALPHA} AS DOUBLE))), 6)
+         AS forecast_next
+FROM arr ORDER BY camera_id
+"""),
+)
+def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-camera simple exponential smoothing (α = {SES_ALPHA}) over
+    the daily totals — an inherently SEQUENTIAL per-key recurrence
+    (level' = α·y + (1-α)·level) expressed as a higher-order
+    ``aggregate`` fold over the date-sorted array: one shuffle to
+    build the per-camera series, the recurrence runs in-row, no
+    iteration driver-side (contrast q_dedup_clusters, whose recurrence
+    is over the whole GRAPH and must iterate in rounds).
+
+    Cross-engine exactness: both engines left-fold the identical
+    double expression over the identical ordering, so every bit
+    matches (hash-checked). State is deliberately SCALAR: DuckDB's
+    struct-typed ``list_reduce`` evaluates struct fields
+    non-atomically (found empirically — a Holt level+trend state
+    diverges), so multi-component state is not oracle-safe."""
+    h = traffic_history(spark, sf_dir)
+    daily = h.groupBy("camera_id", F.to_date("ts").alias("d")).agg(
+        F.sum("new_count").cast("double").alias("y")
+    )
+    arr = daily.groupBy("camera_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("srt")
+    )
+    ys = F.transform("srt", lambda s: s["y"])
+    level = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        F.element_at(ys, 1),
+        lambda acc, x: x * SES_ALPHA + acc * (1.0 - SES_ALPHA),
+    )
+    return arr.select(
+        "camera_id",
+        F.size("srt").cast("long").alias("n_days"),
+        F.round(level, 6).alias("forecast_next"),
+    ).orderBy("camera_id")
