@@ -297,3 +297,39 @@ def compact_lake_day(
         .parquet(path)
     )
     return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_shard: int = 10_000,
+    partition_cols: tuple[str, ...] = (),
+) -> list[tuple[str, int]]:
+    """Shard a training-ready frame into size-bounded parquet files and
+    return the shard manifest [(relative_path, rows)].
+
+    The dataloader contract of a training run: no shard exceeds
+    ``max_records_per_shard`` (Spark's ``maxRecordsPerFile`` rolls
+    files at the bound — enforced per writer task, so it holds at any
+    parallelism), shards list deterministically, and the manifest is
+    derived from the written footers (row counts read back from
+    parquet metadata, not trusted from the writer)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    writer = df.write.option("maxRecordsPerFile", max_records_per_shard).mode(
+        "overwrite"
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+    manifest: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                rows = pq.read_metadata(full).num_rows
+                manifest.append((os.path.relpath(full, path), rows))
+    return sorted(manifest)

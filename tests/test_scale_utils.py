@@ -97,3 +97,22 @@ def test_salted_join_equals_plain_join_on_skew(spark):
     plain_left = left.join(right, "k", "left").count()
     salted_left = salted_join(left, right, "k", n_salts=8, how="left").count()
     assert plain_left == salted_left
+
+
+def test_training_shards_bounded_and_complete(spark, sf_dir, tmp_path):
+    """Every shard ≤ the record bound; manifest row counts (read back
+    from parquet footers) sum to the input row count."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_training_manifest,
+    )
+    from big_data_traffict_prediction_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    df = q_training_manifest(spark, sf_dir)
+    total = df.count()
+    bound = max(1, total // 7)
+    manifest = write_training_shards(df, str(tmp_path / "shards"), bound)
+    assert manifest and all(rows <= bound for _, rows in manifest)
+    assert sum(rows for _, rows in manifest) == total
+    assert len(manifest) >= 7
