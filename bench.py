@@ -103,6 +103,8 @@ EXTENDED = [
     "q_multimodal_phash_dedup",
     "q_ann_pq",
     "q_ses_forecast",
+    "q_holt_forecast",
+    "q_quality_percentile_filter",
 ]
 
 

@@ -418,3 +418,83 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+QUALITY_PCT = 0.25  # drop the bottom quartile by quality score
+
+
+_QUALITY_CTES = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm,
+         CAST(len(regexp_extract_all({NORM_SQL}, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter(string_split({NORM_SQL}, ' '),
+              w -> list_contains({{EN_LIST}}, w))) AS BIGINT) AS stop_words
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
+           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+  FROM m
+), thr AS (
+  SELECT ROUND(quantile_cont(quality_score, {QUALITY_PCT}), 6) AS p_low FROM scored
+)
+""".replace("{EN_LIST}", _in_list_sql(EN_MARKERS))
+
+
+@register(
+    "q_quality_percentile_filter",
+    oracle=_QUALITY_CTES
+    + """
+SELECT s.doc_id, s.source, s.n_tokens,
+       ROUND(s.quality_score, 6) AS quality_score, t.p_low
+FROM scored s, thr t
+WHERE s.quality_score >= t.p_low
+ORDER BY s.doc_id
+""",
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering against a GLOBAL percentile instead of a fixed
+    threshold (the corpus-adaptive form real pipelines use: drop the
+    bottom quartile wherever the quartile lands). The exact p25 comes
+    from one scalar aggregate over the scored scan, broadcast back as
+    a one-row cross join — the q15/q11 scalar pattern; facts never
+    shuffle for the filter itself.
+
+    Cross-engine exactness: Spark's exact `percentile` and DuckDB's
+    `quantile_cont` interpolate identically over identical score
+    doubles; the threshold is rounded to 6 places in BOTH engines
+    before the comparison so the boundary decision can't diverge."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(norm_col(), " ")
+    n_tokens = F.size(tokens).cast("long")
+    n_chars_norm = F.length(norm_col()).cast("long")
+    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast(
+        "long"
+    )
+    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
+        + 0.3 * (stops.cast("double") / n_tokens.cast("double"))
+    )
+    scored = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), quality.alias("quality_score")
+    )
+    thr = scored.agg(
+        F.round(F.percentile("quality_score", F.lit(QUALITY_PCT)), 6).alias("p_low")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("p_low"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("quality_score", 6).alias("quality_score"),
+            "p_low",
+        )
+        .orderBy("doc_id")
+    )

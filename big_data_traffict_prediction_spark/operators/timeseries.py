@@ -427,3 +427,47 @@ def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("srt").cast("long").alias("n_days"),
         F.round(level, 6).alias("forecast_next"),
     ).orderBy("camera_id")
+
+
+HOLT_BETA = 0.1
+
+
+@register("q_holt_forecast", oracle=None)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per camera: (level, trend) state
+    folded over the date-sorted daily series, forecast = level + trend.
+    Same in-row higher-order fold as q_ses_forecast, but the state is a
+    STRUCT — which DuckDB's list_reduce cannot fold atomically (see
+    q_ses_forecast docstring), so this one is rows-only for the driver
+    and pinned against a NumPy reference implementation in
+    tests/test_llm_ops.py instead."""
+    h = traffic_history(spark, sf_dir)
+    daily = h.groupBy("camera_id", F.to_date("ts").alias("d")).agg(
+        F.sum("new_count").cast("double").alias("y")
+    )
+    arr = daily.groupBy("camera_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("srt")
+    )
+    ys = F.transform("srt", lambda s: s["y"])
+
+    def step(acc, x):
+        new_level = x * SES_ALPHA + (acc["level"] + acc["trend"]) * (1.0 - SES_ALPHA)
+        return F.struct(
+            new_level.alias("level"),
+            ((new_level - acc["level"]) * HOLT_BETA + acc["trend"] * (1.0 - HOLT_BETA)).alias(
+                "trend"
+            ),
+        )
+
+    state = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        F.struct(F.element_at(ys, 1).alias("level"), F.lit(0.0).alias("trend")),
+        step,
+    )
+    return arr.select(
+        "camera_id",
+        F.size("srt").cast("long").alias("n_days"),
+        F.round(state["level"], 6).alias("level"),
+        F.round(state["trend"], 6).alias("trend"),
+        F.round(state["level"] + state["trend"], 6).alias("forecast_next"),
+    ).orderBy("camera_id")

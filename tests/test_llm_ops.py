@@ -211,3 +211,43 @@ def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     assert bf.keys() == pq.keys()
     recall = sum(len(bf[q] & pq[q]) / len(bf[q]) for q in bf) / len(bf)
     assert recall >= 0.8, f"PQ+rerank recall {recall:.3f} below bound"
+
+
+def test_holt_forecast_matches_numpy_reference(spark, sf_dir):
+    """The struct-state Holt fold (not oracle-safe in DuckDB — see
+    q_ses_forecast) must match a plain Python reference recurrence on
+    every camera's series, bit-for-bit at the rounded precision."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.timeseries import (
+        HOLT_BETA,
+        SES_ALPHA,
+        q_holt_forecast,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    daily = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id", F.to_date("ts").alias("d"))
+        .agg(F.sum("new_count").cast("double").alias("y"))
+        .orderBy("camera_id", "d")
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.camera_id, []).append(r.y)
+
+    def ref(ys):
+        level, trend = ys[0], 0.0
+        for y in ys[1:]:
+            nl = y * SES_ALPHA + (level + trend) * (1.0 - SES_ALPHA)
+            trend = (nl - level) * HOLT_BETA + trend * (1.0 - HOLT_BETA)
+            level = nl
+        return round(level, 6), round(trend, 6)
+
+    got = {
+        r.camera_id: (r.level, r.trend) for r in q_holt_forecast(spark, sf_dir).collect()
+    }
+    assert got.keys() == series.keys()
+    for cam, ys in series.items():
+        assert got[cam] == ref(ys), f"camera {cam} diverges"
