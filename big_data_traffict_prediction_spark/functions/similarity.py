@@ -550,6 +550,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SUBSPACES = 8  # 64-d → 8 subvectors of 8 dims
 PQ_CODES = 64  # centroids per subspace → 6 bits/code
 PQ_SHORTLIST = 50  # ADC shortlist size before the exact re-rank (10×TOP_K)
+PQ_TRAIN_CAP = 4096  # codebook training sample bound (collect must not scale with corpus)
 PQ_TRAIN_ITERS = 10
 PQ_SEED = 7
 
@@ -603,10 +604,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     # L2-normalize everything: on the unit sphere ||a-b||^2 = 2-2cos,
     # so ADC's L2 ranking matches the brute-force cosine ranking.
+    # Codebooks train on a BOUNDED deterministic sample (the PQ_TRAIN_CAP
+    # lowest vec_ids) — at corpus scale the training collect must not
+    # grow with the data; faiss trains the same way.
     sample = np.stack(
         [
             np.asarray(r.embedding, dtype=np.float64)
-            for r in vecs.select("embedding").collect()
+            for r in vecs.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(PQ_TRAIN_CAP)
+            .collect()
         ]
     )
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
