@@ -372,3 +372,43 @@ def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     return out.orderBy("camera_id", "episode_start")
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    oracle=with_traffic(
+        """
+SELECT camera_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(new_count) AS BIGINT) AS total_new_count
+FROM traffic GROUP BY camera_id ORDER BY camera_id
+"""
+    ),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` twin of q_stream_dedup_delivery —
+    the recommended modern form: state for a key is dropped once the
+    watermark passes its event time plus the delay, so the dedup
+    buffer is bounded WITHOUT requiring exact-duplicate event times to
+    land in the same window (the classic dropDuplicates-with-watermark
+    pitfall). Identical exactly-once contract, hash-checked against
+    the single-delivery batch counts."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    once = simulate.read_stream(spark, stage)
+    twice = once.unionByName(simulate.read_stream(spark, stage))
+    deduped = twice.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+    counts = deduped.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_count").alias("total_new_count"),
+    )
+    out = windows.run_to_memory(
+        spark,
+        counts,
+        f"q_stream_dedup_ww_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    return out.orderBy("camera_id")

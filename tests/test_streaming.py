@@ -403,3 +403,56 @@ def test_tumbling_counts_chunking_invariant(spark, sf_dir):
 
     a, b = drained(2), drained(7)
     assert a and a == b
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Stop a windowed streaming query after half the input, then
+    resume from the SAME checkpoint once the rest arrives: the
+    fault-tolerant parquet sink must end up exactly equal to the
+    uninterrupted replay — no lost windows, no duplicates."""
+    import shutil
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    staged = simulate.stage_stream_dir(
+        spark, sf_dir, str(tmp_path / "all"), n_chunks=4
+    )
+    live = tmp_path / "live"
+    live.mkdir()
+    chunks = sorted(p for p in (tmp_path / "all").iterdir())
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            windows.tumbling_counts(simulate.read_stream(spark, str(live)), "1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for c in chunks[:2]:
+        shutil.copytree(c, live / c.name)
+    drain()
+    for c in chunks[2:]:
+        shutil.copytree(c, live / c.name)
+    drain()
+
+    got = [
+        ((r.window_start, r.window_end, r.camera_id), (r.total_new_count, r.n_samples))
+        for r in spark.read.parquet(out).collect()
+    ]
+    keys = [k for k, _ in got]
+    assert len(keys) == len(set(keys)), "duplicate windows after restart"
+
+    full = {
+        ((r.window_start, r.window_end, r.camera_id), (r.total_new_count, r.n_samples))
+        for r in __import__(
+            "big_data_traffict_prediction_spark.streaming.queries",
+            fromlist=["q_stream_tumbling_counts"],
+        ).q_stream_tumbling_counts(spark, sf_dir).collect()
+    }
+    assert set(got) == full
