@@ -158,15 +158,22 @@ def main() -> None:
     # Extended set: same interleaved median-of-3 discipline — a single
     # measured run lets one transient host-load spike (observed 10× on
     # a shared box) masquerade as a 10× operator regression.
-    for name in EXTENDED:
-        run_one(spark, queries[name], sf_dir)  # warm
-    ext_sweeps = [
-        {name: run_one(spark, queries[name], sf_dir) for name in EXTENDED}
-        for _ in range(3)
-    ]
-    extended = {
-        name: round(sorted(s[name] for s in ext_sweeps)[1], 3) for name in EXTENDED
-    }
+    # SPARK_BENCH_WARMUP=0 means "cold pass only" for this set too.
+    if warm_runs:
+        for name in EXTENDED:
+            run_one(spark, queries[name], sf_dir)  # warm
+        ext_sweeps = [
+            {name: run_one(spark, queries[name], sf_dir) for name in EXTENDED}
+            for _ in range(3)
+        ]
+        extended = {
+            name: round(sorted(s[name] for s in ext_sweeps)[1], 3)
+            for name in EXTENDED
+        }
+    else:
+        extended = {
+            name: round(run_one(spark, queries[name], sf_dir), 3) for name in EXTENDED
+        }
 
     print(
         json.dumps(

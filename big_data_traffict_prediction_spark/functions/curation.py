@@ -456,21 +456,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     return (
-        t.withColumn("tokens_before", before)
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.expr(f"tokens_before div {PACK_BUDGET}").cast("long").alias("seq_id"),
-            (F.col("tokens_before") % PACK_BUDGET).cast("long").alias("seq_offset"),
-        )
+        pack_positions(t)
+        .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
         .orderBy("source", "doc_id")
     )
 
@@ -480,6 +468,71 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # temperature α = 0.5 (sqrt scaling)
 MIX_BUDGET_PCT = 30  # sample ≈30% of the corpus tokens
 MIX_RATE_SCALE = 1_000_000  # rates as exact ppm integers
+
+
+def mixture_rates(src: DataFrame) -> DataFrame:
+    """(source, src_tokens) → (source, rate_ppm): temperature-α keep
+    rates scaled to the MIX_BUDGET_PCT token budget. THE mixture-rate
+    formula — q_mixture_sample and q_training_manifest both call this,
+    so the two can never drift."""
+    g = src.agg(
+        F.sum("src_tokens").cast("long").alias("all_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
+    )
+    rate = F.floor(
+        MIX_RATE_SCALE
+        * F.least(
+            F.lit(1.0),
+            (MIX_BUDGET_PCT / F.lit(100.0))
+            * F.col("all_tokens").cast("double")
+            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
+            / F.col("src_tokens").cast("double"),
+        )
+    ).cast("long")
+    return src.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
+
+
+def mixture_key() -> F.Column:
+    """Deterministic per-document selection key (md5-based, no RNG)."""
+    return hash60(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+
+
+# SQL twin of mixture_rates(): CTEs g + r over a source-tokens CTE
+# named {SRC}; substitute the name with .replace("{SRC}", ...).
+MIX_RATES_SQL = f"""g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
+  FROM {{SRC}}
+), r AS (
+  SELECT source,
+         CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
+           ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
+             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
+             / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
+  FROM {{SRC}}, g
+)"""
+
+MIX_KEY_SQL = hash60_sql("'mix#' || CAST({D}.doc_id AS VARCHAR)")
+
+
+def pack_positions(df: DataFrame) -> DataFrame:
+    """Append (seq_id, seq_offset) to a (doc_id, source, n_tokens, ...)
+    frame: the concat-then-chunk packing window. THE packing formula —
+    q_pack_sequences and q_training_manifest both call this."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("tokens_before", before)
+        .withColumn(
+            "seq_id", F.expr(f"tokens_before div {PACK_BUDGET}").cast("long")
+        )
+        .withColumn("seq_offset", (F.col("tokens_before") % PACK_BUDGET).cast("long"))
+        .drop("tokens_before")
+    )
 
 
 @register(
@@ -533,25 +586,10 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
     )
     s = t.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
-    g = s.agg(
-        F.sum("src_tokens").cast("long").alias("all_tokens"),
-        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
-    )
-    rate = F.floor(
-        MIX_RATE_SCALE
-        * F.least(
-            F.lit(1.0),
-            (MIX_BUDGET_PCT / F.lit(100.0))
-            * F.col("all_tokens").cast("double")
-            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
-            / F.col("src_tokens").cast("double"),
-        )
-    ).cast("long")
-    r = s.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
-    key = hash60(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    r = mixture_rates(s)
     return (
         t.join(F.broadcast(r), "source")
-        .filter(key % MIX_RATE_SCALE < F.col("rate_ppm"))
+        .filter(mixture_key() % MIX_RATE_SCALE < F.col("rate_ppm"))
         .select("doc_id", "source", "n_tokens", "rate_ppm")
         .orderBy("doc_id")
     )

@@ -349,8 +349,8 @@ PHASH_REPLICA_OFFSET = 1_000_000
 
 def media_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media fixture plus deterministic byte-identical replicas
-    (media_id + {PHASH_REPLICA_OFFSET} for every
-    {PHASH_REPLICA_EVERY}th id) — the re-upload/copy phenomenon image
+    (media_id + 1,000,000 for every
+    25th id — PHASH_REPLICA_OFFSET / PHASH_REPLICA_EVERY) — the re-upload/copy phenomenon image
     dedup exists to catch; this synthetic corpus has no organic
     payload duplicates (verified: zero duplicate normalized texts at
     test SFs), so the duplicates are planted where a crawl would have

@@ -360,7 +360,7 @@ ORDER BY v.vec_id
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style keep/drop list: a vector is DROPPED when some
-    smaller-id vector sits within cosine ≥ {NEARDUP_COS} of it
+    smaller-id vector sits within cosine ≥ 0.45 (NEARDUP_COS) of it
     (`shadowed_by` = the smallest such neighbor — the representative a
     trainer keeps). Deterministic min-id tie-break, so the keep set is
     reproducible across runs and engines.
@@ -564,15 +564,16 @@ def _pq_codebooks(vecs_np):
 
     n, d = vecs_np.shape
     sub_d = d // PQ_SUBSPACES
+    k_eff = min(PQ_CODES, n)  # degrade gracefully on tiny corpora
     rng = np.random.RandomState(PQ_SEED)
     books = []
     for m in range(PQ_SUBSPACES):
         X = vecs_np[:, m * sub_d : (m + 1) * sub_d]
-        C = X[rng.choice(n, size=PQ_CODES, replace=False)].copy()
+        C = X[rng.choice(n, size=k_eff, replace=False)].copy()
         for _ in range(PQ_TRAIN_ITERS):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for k in range(PQ_CODES):
+            for k in range(k_eff):
                 mask = assign == k
                 if mask.any():
                     C[k] = X[mask].mean(axis=0)
@@ -583,21 +584,26 @@ def _pq_codebooks(vecs_np):
 @register("q_ann_pq", oracle=None)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the 100 TB STORAGE answer for vector
-    search (faiss's PQ): each 64-d float vector compresses to
-    {PQ_SUBSPACES} 4-bit codes (8 small ints, a ~32x reduction) and
-    queries score candidates through an asymmetric-distance lookup
-    table (exact query subvector vs the candidate's centroid).
+    search (faiss's PQ): each 64-d float vector compresses to 8
+    6-bit codes (PQ_CODES=64 centroids per subspace; packed storage is
+    6 bytes/vector vs 256 bytes of floats, a ~42x reduction — this
+    demo keeps the codes as array<int> for plan readability and packs
+    nothing) and queries score candidates through an
+    asymmetric-distance lookup table (exact query subvector vs the
+    candidate's centroid).
 
     Spark shape: codebooks are MODEL STATE trained driver-side on a
-    sample (here the full sf candidate set; at 100 TB an actual
-    sample) and broadcast; candidate ENCODING is one Arrow-batched
-    kernel over the candidate scan (runs once, never per query);
-    SCORING is pure JVM — per-query LUTs (queries are a small set by
-    construction) broadcast-join the 8-byte codes and the ADC distance
-    is a static 8-term element_at sum inside codegen. Candidates never
-    shuffle; per-query top-k is the same ranking window as
-    q_ann_bruteforce. Model-based -> rows-only driver check;
-    tests/test_llm_ops.py bounds recall vs the exact brute force."""
+    bounded sample (PQ_TRAIN_CAP) and broadcast; candidate ENCODING is
+    one Arrow-batched kernel over the candidate scan (runs once, never
+    per query); SCORING is pure JVM — per-query LUTs (queries are a
+    small set by construction) broadcast-join the codes and the ADC
+    distance is a static 8-term element_at sum inside codegen. The
+    candidate universe is every vector except the query itself — the
+    SAME universe as q_ann_bruteforce, so recall compares like for
+    like. Candidates never shuffle; per-query top-k is the same
+    ranking window as q_ann_bruteforce. Model-based -> rows-only
+    driver check; tests/test_llm_ops.py bounds recall vs the exact
+    brute force."""
     import numpy as np
     import pandas as pd
 
@@ -621,9 +627,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbooks = spark.sparkContext.broadcast([b.tolist() for b in books])
     sub_d = sample.shape[1] // PQ_SUBSPACES
 
-    cands = vecs.filter(F.col("vec_id") % QUERY_MOD != 0).select(
-        "vec_id", "label", "embedding"
-    )
+    cands = vecs.select("vec_id", "label", "embedding")
 
     def encode(batches):
         C = [np.asarray(b) for b in bbooks.value]
@@ -679,11 +683,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1)
         )
         dist = term if dist is None else dist + term
-    scored = coded.crossJoin(F.broadcast(luts)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        dist.alias("adc_dist"),
+    scored = (
+        coded.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))  # self is not a neighbor
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            dist.alias("adc_dist"),
+        )
     )
     # Stage 2 — exact re-rank (faiss's "refine"): ADC keeps only a
     # PQ_SHORTLIST-deep shortlist per query (the lossy-but-cheap scan

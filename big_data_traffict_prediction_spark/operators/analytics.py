@@ -527,38 +527,47 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left")
         .agg(*report("orders", "orphan_custkey", cnt_if(F.col("c_custkey").isNull()), n))
     )
-    li_rules = li.agg(
-        *report(
-            "lineitem",
-            "discount_range",
-            cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISCOUNT_MAX)),
-            n,
-        )
-    ).unionByName(
+    # All in-table rules for one table fold into ONE aggregate pass;
+    # the single aggregated row unpivots to per-rule rows with stack()
+    # (re-aggregating per rule would rescan the fact table per rule).
+    li_rules = (
         li.agg(
-            *report(
-                "lineitem",
-                "quantity_positive",
-                cnt_if(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
-                n,
-            )
+            cnt_if(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISCOUNT_MAX)
+            ).alias("v_discount"),
+            cnt_if(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+                "v_quantity"
+            ),
+            n.alias("pop"),
+        )
+        .selectExpr(
+            "stack(2, 'discount_range', v_discount, 'quantity_positive', v_quantity)"
+            " AS (rule, violations)",
+            "pop",
+        )
+        .select(
+            F.lit("lineitem").alias("tbl"),
+            "rule",
+            F.col("violations").cast("long"),
+            F.col("pop").cast("long").alias("population"),
         )
     )
-    e_rules = e.agg(
-        *report(
-            "events",
-            "props_parseable",
-            cnt_if(F.get_json_object("props", "$.k").isNull()),
-            n,
-        )
-    ).unionByName(
+    e_rules = (
         e.agg(
-            *report(
-                "events",
-                "value_non_negative",
-                cnt_if(F.col("value").isNull() | (F.col("value") < 0)),
-                n,
-            )
+            cnt_if(F.get_json_object("props", "$.k").isNull()).alias("v_props"),
+            cnt_if(F.col("value").isNull() | (F.col("value") < 0)).alias("v_value"),
+            n.alias("pop"),
+        )
+        .selectExpr(
+            "stack(2, 'props_parseable', v_props, 'value_non_negative', v_value)"
+            " AS (rule, violations)",
+            "pop",
+        )
+        .select(
+            F.lit("events").alias("tbl"),
+            "rule",
+            F.col("violations").cast("long"),
+            F.col("pop").cast("long").alias("population"),
         )
     )
     d_rules = d.agg(

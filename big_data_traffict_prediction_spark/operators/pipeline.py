@@ -27,25 +27,47 @@ QUALITY_MIN = 0.45
 CORPUS_LANG = "en"
 
 
+def quality_score_col() -> F.Column:
+    """THE corpus quality score (length / punctuation / stopword mix).
+    q_corpus_select, q_quality_percentile_filter and
+    q_training_manifest all call this one definition."""
+    tokens = F.split(norm_col(), " ")
+    n_words = F.size(tokens).cast("long")
+    n_chars_norm = F.length(norm_col()).cast("long")
+    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast(
+        "long"
+    )
+    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
+    return (
+        0.4 * F.least(F.lit(1.0), n_words.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
+        + 0.3 * (stops.cast("double") / n_words.cast("double"))
+    )
+
+
+# SQL twin: the m-CTE body (raw counts) and the score expression over it.
+QUALITY_M_SQL = f"""SELECT doc_id, source, lang,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_words,
+         CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm,
+         CAST(len(regexp_extract_all({NORM_SQL}, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter(string_split({NORM_SQL}, ' '),
+              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words,
+         md5({NORM_SQL}) AS fingerprint
+  FROM documents"""
+
+QUALITY_SCORE_SQL = """0.4 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
+           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE))"""
+
+
 @register(
     "q_corpus_select",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang, {NORM_SQL} AS norm FROM documents
-), m AS (
-  SELECT doc_id, lang, norm,
-         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
-         CAST(length(norm) AS BIGINT) AS n_chars_norm,
-         CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
-         CAST(len(list_filter(string_split(norm, ' '),
-              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words,
-         md5(norm) AS fingerprint
-  FROM t
+WITH m AS (
+  {QUALITY_M_SQL}
 ), scored AS (
   SELECT doc_id, lang, n_words, fingerprint,
-         0.4 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
-           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
-           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE)) AS quality_score
+         {QUALITY_SCORE_SQL} AS quality_score
   FROM m
 ), keep AS (
   SELECT fingerprint, MIN(doc_id) AS keep_doc_id
@@ -66,22 +88,12 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is pure codegen; the only shuffle is the fingerprint
     grouping."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(norm_col(), " ")
-    n_words = F.size(tokens).cast("long")
-    n_chars_norm = F.length(norm_col()).cast("long")
-    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast("long")
-    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
-    quality = (
-        0.4 * F.least(F.lit(1.0), n_words.cast("double") / 100.0)
-        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
-        + 0.3 * (stops.cast("double") / n_words.cast("double"))
-    )
     scored = d.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
+        F.size(F.split(norm_col(), " ")).cast("long").alias("n_words"),
         F.md5(norm_col()).alias("fingerprint"),
-        quality.alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
     # The keep side re-derives from ``scored``; rename its columns before the
     # join so the equi-condition binds unambiguously (avoids Spark's
@@ -262,28 +274,22 @@ def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage_no")
 
 
-from ..functions.curation import (  # noqa: E402  (oracle constants)
-    MIX_BUDGET_PCT,
+from ..functions.curation import (  # noqa: E402  (shared stage logic)
+    MIX_KEY_SQL,
     MIX_RATE_SCALE,
+    MIX_RATES_SQL,
     PACK_BUDGET,
+    mixture_key,
+    mixture_rates,
+    pack_positions,
 )
-from ..functions.text import hash60, hash60_sql  # noqa: E402
 
 _MANIFEST_ORACLE = f"""
 WITH m AS (
-  SELECT doc_id, source, lang,
-         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
-         CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm,
-         CAST(len(regexp_extract_all({NORM_SQL}, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
-         CAST(len(list_filter(string_split({NORM_SQL}, ' '),
-              w -> list_contains({_in_list_sql(EN_MARKERS)}, w))) AS BIGINT) AS stop_words,
-         md5({NORM_SQL}) AS fingerprint
-  FROM documents
+  {QUALITY_M_SQL}
 ), scored AS (
-  SELECT doc_id, source, lang, n_tokens, fingerprint,
-         0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
-           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+  SELECT doc_id, source, lang, n_words AS n_tokens, fingerprint,
+         {QUALITY_SCORE_SQL} AS quality_score
   FROM m
 ), keep AS (
   SELECT fingerprint, MIN(doc_id) AS keep_doc_id FROM scored GROUP BY fingerprint
@@ -294,21 +300,10 @@ WITH m AS (
   WHERE s.lang = '{CORPUS_LANG}' AND s.quality_score >= {QUALITY_MIN}
 ), src AS (
   SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM surv GROUP BY source
-), g AS (
-  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
-         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
-  FROM src
-), r AS (
-  SELECT source,
-         CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
-           ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
-             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
-             / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
-  FROM src, g
-), sel AS (
+), {MIX_RATES_SQL.replace("{SRC}", "src")}, sel AS (
   SELECT s.doc_id, s.source, s.n_tokens, r.rate_ppm
   FROM surv s JOIN r USING (source)
-  WHERE {hash60_sql("'mix#' || CAST(s.doc_id AS VARCHAR)")} % {MIX_RATE_SCALE} < r.rate_ppm
+  WHERE {MIX_KEY_SQL.replace("{D}", "s")} % {MIX_RATE_SCALE} < r.rate_ppm
 ), packed AS (
   SELECT doc_id, source, n_tokens, rate_ppm,
          CAST(COALESCE(SUM(n_tokens) OVER (
@@ -341,28 +336,14 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (1), dimension-sized source aggregate + broadcast rates
     (facts never move), packing window (1) — three key families total,
     no driver-side step anywhere."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(norm_col(), " ")
-    n_tokens = F.size(tokens).cast("long")
-    n_chars_norm = F.length(norm_col()).cast("long")
-    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast(
-        "long"
-    )
-    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
-    quality = (
-        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
-        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
-        + 0.3 * (stops.cast("double") / n_tokens.cast("double"))
-    )
     scored = d.select(
         "doc_id",
         "source",
         "lang",
-        n_tokens.alias("n_tokens"),
+        F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
         F.md5(norm_col()).alias("fingerprint"),
-        quality.alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
     keep = (
         scored.groupBy("fingerprint")
@@ -381,41 +362,13 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
     )
     src = surv.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
-    g = src.agg(
-        F.sum("src_tokens").cast("long").alias("all_tokens"),
-        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
-    )
-    rate = F.floor(
-        MIX_RATE_SCALE
-        * F.least(
-            F.lit(1.0),
-            (MIX_BUDGET_PCT / F.lit(100.0))
-            * F.col("all_tokens").cast("double")
-            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
-            / F.col("src_tokens").cast("double"),
-        )
-    ).cast("long")
-    r = src.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
-    key = hash60(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    r = mixture_rates(src)
     sel = surv.join(F.broadcast(r), "source").filter(
-        key % MIX_RATE_SCALE < F.col("rate_ppm")
+        mixture_key() % MIX_RATE_SCALE < F.col("rate_ppm")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     return (
-        sel.withColumn("tokens_before", before)
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "rate_ppm",
-            F.expr(f"tokens_before div {PACK_BUDGET}").cast("long").alias("seq_id"),
-            (F.col("tokens_before") % PACK_BUDGET).cast("long").alias("seq_offset"),
-        )
+        pack_positions(sel)
+        .select("doc_id", "source", "n_tokens", "rate_ppm", "seq_id", "seq_offset")
         .orderBy("source", "doc_id")
     )
 
@@ -425,23 +378,15 @@ QUALITY_PCT = 0.25  # drop the bottom quartile by quality score
 
 _QUALITY_CTES = f"""
 WITH m AS (
-  SELECT doc_id, source,
-         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
-         CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm,
-         CAST(len(regexp_extract_all({NORM_SQL}, '[^a-z0-9 ]')) AS BIGINT) AS punct_chars,
-         CAST(len(list_filter(string_split({NORM_SQL}, ' '),
-              w -> list_contains({{EN_LIST}}, w))) AS BIGINT) AS stop_words
-  FROM documents
+  {QUALITY_M_SQL}
 ), scored AS (
-  SELECT doc_id, source, n_tokens,
-         0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-           + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_norm AS DOUBLE))
-           + 0.3 * (CAST(stop_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+  SELECT doc_id, source, n_words AS n_tokens,
+         {QUALITY_SCORE_SQL} AS quality_score
   FROM m
 ), thr AS (
   SELECT ROUND(quantile_cont(quality_score, {QUALITY_PCT}), 6) AS p_low FROM scored
 )
-""".replace("{EN_LIST}", _in_list_sql(EN_MARKERS))
+"""
 
 
 @register(
@@ -468,20 +413,11 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles; the threshold is rounded to 6 places in BOTH engines
     before the comparison so the boundary decision can't diverge."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(norm_col(), " ")
-    n_tokens = F.size(tokens).cast("long")
-    n_chars_norm = F.length(norm_col()).cast("long")
-    punct = F.size(F.regexp_extract_all(norm_col(), F.lit(r"[^a-z0-9 ]"), 0)).cast(
-        "long"
-    )
-    stops = F.size(F.filter(tokens, lambda w: w.isin(*EN_MARKERS))).cast("long")
-    quality = (
-        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
-        + 0.3 * (1.0 - punct.cast("double") / n_chars_norm.cast("double"))
-        + 0.3 * (stops.cast("double") / n_tokens.cast("double"))
-    )
     scored = d.select(
-        "doc_id", "source", n_tokens.alias("n_tokens"), quality.alias("quality_score")
+        "doc_id",
+        "source",
+        F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
+        quality_score_col().alias("quality_score"),
     )
     thr = scored.agg(
         F.round(F.percentile("quality_score", F.lit(QUALITY_PCT)), 6).alias("p_low")

@@ -395,7 +395,7 @@ FROM arr ORDER BY camera_id
 """),
 )
 def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-camera simple exponential smoothing (α = {SES_ALPHA}) over
+    """Per-camera simple exponential smoothing (α = 0.3, SES_ALPHA) over
     the daily totals — an inherently SEQUENTIAL per-key recurrence
     (level' = α·y + (1-α)·level) expressed as a higher-order
     ``aggregate`` fold over the date-sorted array: one shuffle to

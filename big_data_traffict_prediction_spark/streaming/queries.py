@@ -29,6 +29,7 @@ batch-equivalence is pinned in tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -62,6 +63,7 @@ def q_stream_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "id")
 
 
@@ -95,6 +97,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_tumbling_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("window_start", "camera_id")
 
 @register(
@@ -129,6 +132,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_sliding_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("window_start")
 
 
@@ -174,6 +178,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_session_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("session_start", "camera_id")
 
 
@@ -212,6 +217,7 @@ def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
         output_mode="complete",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id")
 
 
@@ -273,6 +279,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_stream_join_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "alert_id", "id")
 
 
@@ -319,6 +326,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_static_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "id")
 
 
@@ -371,6 +379,7 @@ def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_episodes_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "episode_start")
 
 
@@ -411,4 +420,5 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         f"{base}/ckpt",
         output_mode="complete",
     )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id")
