@@ -253,3 +253,16 @@ def test_training_manifest_composes_bounded_shuffles(spark, sf_dir):
     assert a["python_row_udfs"] == 0
     assert a["shuffles"] <= 8, f"unexpected shuffle count: {a['shuffles']}"
     assert a["broadcast_joins"] >= 2, "rates + scalar must broadcast"
+
+
+def test_data_quality_report_scans_each_table_minimally(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_data_quality_report,
+    )
+
+    # in-table rules fold into ONE aggregate pass per table: lineitem
+    # appears once for the orphan join + once for its rule aggregate,
+    # never once per rule
+    plan = explain.formatted_plan(q_data_quality_report(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2 * 2  # (tree + detail) x 2 scans
+    assert plan.count("events.parquet") <= 2 * 1

@@ -456,3 +456,57 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
         ).q_stream_tumbling_counts(spark, sf_dir).collect()
     }
     assert set(got) == full
+
+
+def test_query_listener_observes_progress(spark, sf_dir):
+    """Observability: a StreamingQueryListener attached to the session
+    sees the drained query's progress events with real row counts —
+    the monitoring hook a production deployment wires to metrics."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    rows_seen = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            rows_seen.append(event.progress.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        base = tempfile.mkdtemp(prefix="listener_")
+        stage = simulate.stage_stream_dir(spark, sf_dir, f"{base}/stage", n_chunks=3)
+        out = windows.run_to_memory(
+            spark,
+            windows.tumbling_counts(simulate.read_stream(spark, stage), "1 hour"),
+            f"listener_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+        )
+        out.count()
+        total_rows = simulate.detections_frame(spark, sf_dir).count()
+        # listener delivery is asynchronous; progress events may lag the
+        # drain briefly
+        import time
+
+        for _ in range(20):
+            if sum(rows_seen) >= total_rows:
+                break
+            time.sleep(0.5)
+        assert sum(rows_seen) == total_rows, (
+            f"progress rows {sum(rows_seen)} != input rows {total_rows}"
+        )
+    finally:
+        spark.streams.removeListener(listener)
