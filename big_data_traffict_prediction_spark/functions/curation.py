@@ -474,10 +474,22 @@ def mixture_rates(src: DataFrame) -> DataFrame:
     """(source, src_tokens) → (source, rate_ppm): temperature-α keep
     rates scaled to the MIX_BUDGET_PCT token budget. THE mixture-rate
     formula — q_mixture_sample and q_training_manifest both call this,
-    so the two can never drift."""
-    g = src.agg(
+    so the two can never drift.
+
+    The α-mass is summed as FIXED-POINT integers (floor(√tokens · 1e6)
+    per source), never raw doubles: a double sum's value depends on
+    accumulation order, which differs between Spark's partial
+    aggregation and DuckDB (and between repartitionings), and a 1-ulp
+    wobble through floor() at ppm precision would flip boundary
+    documents. Integer sums are order-free; the final rate expression
+    is one fixed-order double chain over integer inputs."""
+    sqrt_fp = F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    with_fp = src.withColumn("sqrt_fp", sqrt_fp)
+    g = with_fp.agg(
         F.sum("src_tokens").cast("long").alias("all_tokens"),
-        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("alpha_mass"),
+        F.sum("sqrt_fp").cast("long").alias("alpha_mass_fp"),
     )
     rate = F.floor(
         MIX_RATE_SCALE
@@ -485,11 +497,15 @@ def mixture_rates(src: DataFrame) -> DataFrame:
             F.lit(1.0),
             (MIX_BUDGET_PCT / F.lit(100.0))
             * F.col("all_tokens").cast("double")
-            * (F.sqrt(F.col("src_tokens").cast("double")) / F.col("alpha_mass"))
+            * F.col("sqrt_fp").cast("double")
+            / F.col("alpha_mass_fp").cast("double")
             / F.col("src_tokens").cast("double"),
         )
     ).cast("long")
-    return src.crossJoin(F.broadcast(g)).select("source", rate.alias("rate_ppm"))
+    return (
+        with_fp.crossJoin(F.broadcast(g))
+        .select("source", rate.alias("rate_ppm"))
+    )
 
 
 def mixture_key() -> F.Column:
@@ -499,17 +515,22 @@ def mixture_key() -> F.Column:
 
 # SQL twin of mixture_rates(): CTEs g + r over a source-tokens CTE
 # named {SRC}; substitute the name with .replace("{SRC}", ...).
-MIX_RATES_SQL = f"""g AS (
-  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
-         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
+MIX_RATES_SQL = f"""gfp AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_fp
   FROM {{SRC}}
+), g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+         CAST(SUM(sqrt_fp) AS BIGINT) AS alpha_mass_fp
+  FROM gfp
 ), r AS (
   SELECT source,
          CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
            ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
-             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
+             * CAST(sqrt_fp AS DOUBLE)
+             / CAST(alpha_mass_fp AS DOUBLE)
              / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
-  FROM {{SRC}}, g
+  FROM gfp, g
 )"""
 
 MIX_KEY_SQL = hash60_sql("'mix#' || CAST({D}.doc_id AS VARCHAR)")
@@ -544,21 +565,10 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
-), g AS (
-  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
-         SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS alpha_mass
-  FROM s
-), r AS (
-  SELECT source, src_tokens,
-         CAST(FLOOR({MIX_RATE_SCALE} * LEAST(1.0,
-           ({MIX_BUDGET_PCT} / 100.0) * CAST(all_tokens AS DOUBLE)
-             * (sqrt(CAST(src_tokens AS DOUBLE)) / alpha_mass)
-             / CAST(src_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
-  FROM s, g
-)
+), {MIX_RATES_SQL.replace("{SRC}", "s")}
 SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm
 FROM t JOIN r USING (source)
-WHERE {hash60_sql("'mix#' || CAST(t.doc_id AS VARCHAR)")} % {MIX_RATE_SCALE}
+WHERE {MIX_KEY_SQL.replace("{D}", "t")} % {MIX_RATE_SCALE}
       < r.rate_ppm
 ORDER BY t.doc_id
 """,

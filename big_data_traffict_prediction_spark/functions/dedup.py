@@ -45,6 +45,33 @@ HAMMING_MAX = 3
 # Test SFs never approach the cap, so oracles stay exact.
 MAX_BUCKET_EXPAND = 1024
 
+
+def bucket_pair_expand(df, bucket_cols, member_col, lt):
+    """THE capped group-and-expand pair emitter, shared by the LSH,
+    simhash and perceptual-hash dedups: group by the bucket key(s),
+    collect members sorted + capped at MAX_BUCKET_EXPAND, expand the
+    ordered i<j pairs in-row. Returns (bucket_cols..., p) where
+    p = struct<a, b> of member values and ``lt(a, b)`` is the ordering
+    predicate. One definition so the cap / tie-break / pair-dedup
+    semantics cannot drift between the three."""
+    members = df.groupBy(*bucket_cols).agg(
+        F.slice(
+            F.sort_array(F.collect_list(member_col)), 1, MAX_BUCKET_EXPAND
+        ).alias("ms")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda a: F.transform(
+                    "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda pr: lt(pr["a"], pr["b"]),
+    )
+    return members.select(*bucket_cols, F.explode(pairs).alias("p"))
+
 # ---------------------------------------------------------------- shared
 
 _SHINGLE_CTE = f"""
@@ -430,25 +457,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once more per branch in the pushed isnotnull join-key filters).
     # One grouping computes it once; bucket member lists are small by
     # LSH construction, so the in-bucket pair expansion is cheap.
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET_EXPAND
-        ).alias("ms")
-    )
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda a: F.transform(
-                    "ms", lambda b: F.struct(a.alias("d1"), b.alias("d2"))
-                ),
-            )
-        ),
-        lambda p: p["d1"] < p["d2"],
-    )
     cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        bucket_pair_expand(
+            bands, ("band", "band_key"), F.col("doc_id"), lambda a, b: a < b
+        )
+        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
         .distinct()
     )
     # Exact-Jaccard verification restricted to CANDIDATES (not the full
@@ -590,25 +603,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(spark, sf_dir).withColumn(
         "bucket", F.expr(f"simhash >> {SIMHASH_BUCKET_SHIFT}")
     )
-    members = sig.groupBy("bucket").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))),
-            1,
-            MAX_BUCKET_EXPAND,
-        ).alias("ms")
+    exploded = bucket_pair_expand(
+        sig,
+        ("bucket",),
+        F.struct("doc_id", "simhash"),
+        lambda a, b: a["doc_id"] < b["doc_id"],
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda a: F.transform(
-                    "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
-    )
-    exploded = members.select(F.explode(pairs).alias("p"))
     hamming = F.bit_count(
         F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
     ).cast("long")

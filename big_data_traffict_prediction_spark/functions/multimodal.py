@@ -378,21 +378,14 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, never all-pairs. Python feature extraction → no SQL
     oracle (rows-only); tests pin that every planted replica pairs
     with its source."""
+    from .dedup import bucket_pair_expand
+
     feats = decode_features(encode_media(media_with_replicas(spark, sf_dir)))
     sig = feats.select("media_id", "kind", _phash_col().alias("phash"))
-    members = sig.groupBy("kind", "phash").agg(
-        F.slice(F.sort_array(F.collect_list("media_id")), 1, 1024).alias("ms")
-    )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ms", lambda a: F.transform("ms", lambda b: F.struct(a.alias("m1"), b.alias("m2")))
-            )
-        ),
-        lambda p: p["m1"] < p["m2"],
-    )
     return (
-        members.select("kind", "phash", F.explode(pairs).alias("p"))
-        .select("kind", "phash", F.col("p.m1").alias("m1"), F.col("p.m2").alias("m2"))
+        bucket_pair_expand(
+            sig, ("kind", "phash"), F.col("media_id"), lambda a, b: a < b
+        )
+        .select("kind", "phash", F.col("p.a").alias("m1"), F.col("p.b").alias("m2"))
         .orderBy("kind", "m1", "m2")
     )

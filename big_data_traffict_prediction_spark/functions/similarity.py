@@ -664,14 +664,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in q_rows:
         q = np.asarray(r.embedding, dtype=np.float64)
         q = q / np.linalg.norm(q)
-        lut = np.concatenate(
-            [
-                ((q[m * sub_d : (m + 1) * sub_d][None, :] - books[m]) ** 2).sum(
-                    axis=1
-                )
-                for m in range(PQ_SUBSPACES)
-            ]
-        )
+        # Every subspace block is PQ_CODES wide even when the codebook
+        # degraded to k_eff < PQ_CODES centroids (tiny corpora): the
+        # unused tail pads with +inf, codes never reference it, and the
+        # fixed m*PQ_CODES stride in the scoring expression stays valid.
+        blocks = []
+        for m in range(PQ_SUBSPACES):
+            d2 = ((q[m * sub_d : (m + 1) * sub_d][None, :] - books[m]) ** 2).sum(
+                axis=1
+            )
+            block = np.full(PQ_CODES, np.inf)
+            block[: d2.size] = d2
+            blocks.append(block)
+        lut = np.concatenate(blocks)
         lut_rows.append((r.vec_id, [float(x) for x in lut]))
     luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
 

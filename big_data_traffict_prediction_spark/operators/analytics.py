@@ -519,19 +519,15 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     cnt_if = lambda cond: F.count(F.when(cond, F.lit(1)))  # noqa: E731
 
-    orphan_li = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
-        .agg(*report("lineitem", "orphan_orderkey", cnt_if(F.col("o_orderkey").isNull()), n))
-    )
-    orphan_o = (
-        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left")
-        .agg(*report("orders", "orphan_custkey", cnt_if(F.col("c_custkey").isNull()), n))
-    )
-    # All in-table rules for one table fold into ONE aggregate pass;
-    # the single aggregated row unpivots to per-rule rows with stack()
-    # (re-aggregating per rule would rescan the fact table per rule).
+    # EVERY lineitem rule — referential orphan included — rides ONE
+    # scan: the orphan left join preserves all lineitem rows, so the
+    # range rules fold into the same aggregate and the single result
+    # row unpivots to per-rule rows with stack() (re-aggregating per
+    # rule would rescan the fact table per rule).
     li_rules = (
-        li.agg(
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
+        .agg(
+            cnt_if(F.col("o_orderkey").isNull()).alias("v_orphan"),
             cnt_if(
                 (F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISCOUNT_MAX)
             ).alias("v_discount"),
@@ -541,8 +537,8 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("pop"),
         )
         .selectExpr(
-            "stack(2, 'discount_range', v_discount, 'quantity_positive', v_quantity)"
-            " AS (rule, violations)",
+            "stack(3, 'orphan_orderkey', v_orphan, 'discount_range', v_discount,"
+            " 'quantity_positive', v_quantity) AS (rule, violations)",
             "pop",
         )
         .select(
@@ -551,6 +547,10 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("violations").cast("long"),
             F.col("pop").cast("long").alias("population"),
         )
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left")
+        .agg(*report("orders", "orphan_custkey", cnt_if(F.col("c_custkey").isNull()), n))
     )
     e_rules = (
         e.agg(
@@ -579,8 +579,7 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        orphan_li.unionByName(orphan_o)
-        .unionByName(li_rules)
+        li_rules.unionByName(orphan_o)
         .unionByName(e_rules)
         .unionByName(d_rules)
         .orderBy("tbl", "rule")

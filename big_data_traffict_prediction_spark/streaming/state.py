@@ -75,9 +75,13 @@ def dedup_fn(
         prev, accumulated = None, 0
 
     out: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "id"])
-        for row in pdf.itertuples(index=False):
+    # Buffer the whole micro-batch and sort ONCE: Arrow chunk order
+    # within a group is not guaranteed, and per-chunk sorting would
+    # dedup against the wrong "previous" frame across chunk seams.
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts", "id"])
+        for row in batch.itertuples(index=False):
             box = (int(row.x1), int(row.y1), int(row.x2), int(row.y2))
             iou_prev = _iou(box, prev) if prev is not None else 0.0
             suppressed = iou_prev > IOU_THRESHOLD
@@ -158,6 +162,42 @@ _EPISODE_STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold_episodes(cur, pdfs):
+    """THE episode fold, shared by both state APIs: buffer the whole
+    micro-batch and sort ONCE — Arrow delivers a group as multiple
+    chunks in no guaranteed order, so per-chunk sorting would
+    mis-segment episodes whenever a batch spans chunks. Returns
+    (open_episode_or_None, closed_episode_tuples)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "id"])
+    closed: list[tuple] = []
+    for ts, nc in zip(batch["ts"], batch["new_count"]):
+        us = ts.value // 1000  # pandas ns → µs (exact integers)
+        nc = int(nc)
+        if nc >= EPISODE_THRESHOLD:
+            if cur is None:
+                cur = (us, us, 1, nc, nc)
+            else:
+                cur = (cur[0], us, cur[2] + 1, max(cur[3], nc), cur[4] + nc)
+        elif cur is not None:
+            closed.append(cur)
+            cur = None
+    return cur, closed
+
+
+def _closed_frame(camera_id, closed):
+    return pd.DataFrame(
+        {
+            "camera_id": [camera_id] * len(closed),
+            "episode_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+            "episode_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+            "n_obs": [c[2] for c in closed],
+            "peak": [c[3] for c in closed],
+            "total": [c[4] for c in closed],
+        }
+    )
+
+
 class CongestionEpisodes(StatefulProcessor):
     """Per-camera episode tracker: ValueState = the open episode."""
 
@@ -167,35 +207,13 @@ class CongestionEpisodes(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         (camera_id,) = key
         cur = tuple(self._ep.get()) if self._ep.exists() else None
-        closed: list[tuple] = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "id"])
-            for ts, nc in zip(pdf["ts"], pdf["new_count"]):
-                us = ts.value // 1000  # pandas ns → µs (exact integers)
-                nc = int(nc)
-                if nc >= EPISODE_THRESHOLD:
-                    if cur is None:
-                        cur = (us, us, 1, nc, nc)
-                    else:
-                        cur = (cur[0], us, cur[2] + 1, max(cur[3], nc), cur[4] + nc)
-                elif cur is not None:
-                    closed.append(cur)
-                    cur = None
+        cur, closed = _fold_episodes(cur, rows)
         if cur is None:
             self._ep.clear()
         else:
             self._ep.update(cur)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "camera_id": [camera_id] * len(closed),
-                    "episode_start": [pd.Timestamp(c[0] * 1000) for c in closed],
-                    "episode_end": [pd.Timestamp(c[1] * 1000) for c in closed],
-                    "n_obs": [c[2] for c in closed],
-                    "peak": [c[3] for c in closed],
-                    "total": [c[4] for c in closed],
-                }
-            )
+            yield _closed_frame(camera_id, closed)
 
     def close(self) -> None:
         pass
@@ -223,35 +241,13 @@ def episodes_fn(
         start_us, end_us, n_obs, peak, total, is_open = state.get
         if is_open:
             cur = (start_us, end_us, n_obs, peak, total)
-    closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "id"])
-        for ts, nc in zip(pdf["ts"], pdf["new_count"]):
-            us = ts.value // 1000  # pandas ns → µs (exact integers)
-            nc = int(nc)
-            if nc >= EPISODE_THRESHOLD:
-                if cur is None:
-                    cur = (us, us, 1, nc, nc)
-                else:
-                    cur = (cur[0], us, cur[2] + 1, max(cur[3], nc), cur[4] + nc)
-            elif cur is not None:
-                closed.append(cur)
-                cur = None
+    cur, closed = _fold_episodes(cur, pdfs)
     if cur is None:
         state.update((0, 0, 0, 0, 0, False))
     else:
         state.update((*cur, True))
     if closed:
-        yield pd.DataFrame(
-            {
-                "camera_id": [camera_id] * len(closed),
-                "episode_start": [pd.Timestamp(c[0] * 1000) for c in closed],
-                "episode_end": [pd.Timestamp(c[1] * 1000) for c in closed],
-                "n_obs": [c[2] for c in closed],
-                "peak": [c[3] for c in closed],
-                "total": [c[4] for c in closed],
-            }
-        )
+        yield _closed_frame(camera_id, closed)
 
 
 _EPISODE_V1_STATE_SCHEMA = T.StructType(

@@ -260,9 +260,8 @@ def test_data_quality_report_scans_each_table_minimally(spark, sf_dir):
         q_data_quality_report,
     )
 
-    # in-table rules fold into ONE aggregate pass per table: lineitem
-    # appears once for the orphan join + once for its rule aggregate,
-    # never once per rule
+    # every lineitem rule (orphan included) rides ONE scan through the
+    # row-preserving left join; events likewise one scan
     plan = explain.formatted_plan(q_data_quality_report(spark, sf_dir))
-    assert plan.count("lineitem.parquet") <= 2 * 2  # (tree + detail) x 2 scans
+    assert plan.count("lineitem.parquet") <= 2 * 1  # (tree + detail) x 1 scan
     assert plan.count("events.parquet") <= 2 * 1
