@@ -78,7 +78,8 @@ def dedup_fn(
     # Buffer the whole micro-batch and sort ONCE: Arrow chunk order
     # within a group is not guaranteed, and per-chunk sorting would
     # dedup against the wrong "previous" frame across chunk seams.
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    chunks = list(pdfs)
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     if len(batch):
         batch = batch.sort_values(["ts", "id"])
         for row in batch.itertuples(index=False):
@@ -168,8 +169,10 @@ def _fold_episodes(cur, pdfs):
     chunks in no guaranteed order, so per-chunk sorting would
     mis-segment episodes whenever a batch spans chunks. Returns
     (open_episode_or_None, closed_episode_tuples)."""
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values(["ts", "id"])
+    chunks = list(pdfs)
+    if not chunks:  # state fn can fire without rows (e.g. timeout modes)
+        return cur, []
+    batch = pd.concat(chunks, ignore_index=True).sort_values(["ts", "id"])
     closed: list[tuple] = []
     for ts, nc in zip(batch["ts"], batch["new_count"]):
         us = ts.value // 1000  # pandas ns → µs (exact integers)
