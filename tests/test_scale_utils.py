@@ -116,3 +116,22 @@ def test_training_shards_bounded_and_complete(spark, sf_dir, tmp_path):
     assert manifest and all(rows <= bound for _, rows in manifest)
     assert sum(rows for _, rows in manifest) == total
     assert len(manifest) >= 7
+
+
+def test_training_shards_partitioned_layout(spark, sf_dir, tmp_path):
+    """partition_cols produces hive-style shard directories and the
+    manifest still accounts for every row."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_training_manifest,
+    )
+    from big_data_traffict_prediction_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    df = q_training_manifest(spark, sf_dir)
+    total = df.count()
+    manifest = write_training_shards(
+        df, str(tmp_path / "shards"), 10_000, partition_cols=("source",)
+    )
+    assert sum(rows for _, rows in manifest) == total
+    assert all(rel.startswith("source=") for rel, _ in manifest), manifest[:3]
