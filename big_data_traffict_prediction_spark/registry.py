@@ -79,6 +79,7 @@ def _load_modules() -> None:
         curation,
         dedup,
         multimodal,
+        pretrain,
         similarity,
         text,
     )

@@ -265,3 +265,39 @@ def test_data_quality_report_scans_each_table_minimally(spark, sf_dir):
     plan = explain.formatted_plan(q_data_quality_report(spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 2 * 1  # (tree + detail) x 1 scan
     assert plan.count("events.parquet") <= 2 * 1
+
+
+def test_substring_dedup_one_full_stream_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.pretrain import (
+        q_substring_dedup,
+    )
+
+    # the repartition(h) is the ONLY exchange over the exploded span
+    # stream: groupBy(h, doc) and the PARTITION BY h window both reuse
+    # it (h ⊆ grouping keys satisfies the clustering requirement);
+    # per-doc rollup + final sort shuffle the reduced set only
+    a = explain.audit(q_substring_dedup(spark, sf_dir))
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["python_row_udfs"] == 0
+
+
+def test_bigram_familiarity_one_full_stream_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.pretrain import (
+        q_bigram_familiarity,
+    )
+
+    a = explain.audit(q_bigram_familiarity(spark, sf_dir))
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["python_row_udfs"] == 0
+
+
+def test_domain_cap_single_window_pass(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.pretrain import q_domain_cap
+
+    # quality computed pre-shuffle; one window by source + final sort,
+    # no joins at all
+    a = explain.audit(q_domain_cap(spark, sf_dir))
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
