@@ -105,6 +105,10 @@ EXTENDED = [
     "q_ses_forecast",
     "q_holt_forecast",
     "q_quality_percentile_filter",
+    "q_substring_dedup",
+    "q_bigram_familiarity",
+    "q_domain_cap",
+    "q_camera_reconcile_full",
 ]
 
 

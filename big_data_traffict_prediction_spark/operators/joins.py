@@ -580,3 +580,66 @@ def q_interval_join_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id", "alert_id", "id")
     )
+
+
+@register(
+    "q_camera_reconcile_full",
+    oracle=with_traffic(
+        """
+, tot AS (
+  SELECT camera_id, CAST(sum(new_count) AS BIGINT) AS total_count,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM traffic GROUP BY camera_id
+)
+SELECT COALESCE(t.camera_id, CAST(d.cam_key AS VARCHAR)) AS camera_id,
+       COALESCE(t.total_count, 0) AS total_count,
+       COALESCE(t.n_rows, 0) AS n_rows,
+       d.cam_name,
+       CASE WHEN t.camera_id IS NOT NULL AND d.cam_key IS NOT NULL THEN 'both'
+            WHEN t.camera_id IS NOT NULL THEN 'history_only'
+            ELSE 'config_only' END AS status
+FROM tot t FULL OUTER JOIN camera_dim d ON d.cam_key = CAST(t.camera_id AS BIGINT)
+ORDER BY camera_id
+""",
+        extra_ctes=_DIM_CTE,
+    ),
+)
+def q_camera_reconcile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric store reconciliation in ONE pass: FULL OUTER join of
+    per-camera history totals against the camera config, classifying
+    every camera as both / history_only / config_only.
+
+    Generalizes the reference's two set differences (zombie cleanup +
+    configured check, app/utils.py:513-521 — q_zombie_cameras and
+    q_configured_cameras each produce one direction) into a single
+    join that also carries the matched totals.
+
+    Scale: the fact side collapses to per-camera totals BEFORE the
+    join, so the full-outer runs over two dimension-sized inputs (full
+    outer cannot broadcast — it must see both sides' unmatched rows —
+    but post-aggregation both sides are ~cameras rows, so the one
+    sort-merge exchange is trivial)."""
+    t = traffic_history(spark, sf_dir)
+    tot = t.groupBy("camera_id").agg(
+        F.sum("new_count").alias("total_count"),
+        F.count("*").alias("n_rows"),
+    )
+    d = camera_dim(spark, sf_dir)
+    return (
+        tot.join(d, d.cam_key == tot.camera_id.cast("long"), "full_outer")
+        .select(
+            F.coalesce(tot.camera_id, d.cam_key.cast("string")).alias("camera_id"),
+            F.coalesce(F.col("total_count"), F.lit(0).cast("long")).alias(
+                "total_count"
+            ),
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+            F.col("cam_name"),
+            F.when(
+                tot.camera_id.isNotNull() & d.cam_key.isNotNull(), F.lit("both")
+            )
+            .when(tot.camera_id.isNotNull(), F.lit("history_only"))
+            .otherwise(F.lit("config_only"))
+            .alias("status"),
+        )
+        .orderBy("camera_id")
+    )
