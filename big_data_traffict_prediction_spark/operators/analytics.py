@@ -584,3 +584,90 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d_rules)
         .orderBy("tbl", "rule")
     )
+
+
+# --------------------------------------------- chronological ML splits
+
+TRAIN_PCT10 = 8  # train = first 80% of days
+VAL_PCT10 = 9  # val = next 10%; test = the rest
+
+
+@register(
+    "q_time_split",
+    oracle=with_traffic(
+        """
+, p AS (
+  SELECT CAST(ts AS DATE) AS d, camera_id, count(*) AS cnt,
+         min(ts) AS min_ts, max(ts) AS max_ts
+  FROM traffic GROUP BY 1, 2
+), dd AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+  FROM (SELECT DISTINCT d FROM p)
+), sm AS (
+  SELECT d, CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                 WHEN rn * 10 <= n * 9 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM dd
+)
+SELECT split,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT camera_id) AS BIGINT) AS n_cameras,
+       min(min_ts) AS min_ts, max(max_ts) AS max_ts
+FROM p JOIN sm USING (d)
+GROUP BY split ORDER BY split
+"""
+    ),
+)
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological train/val/test split manifest: the first 80% of
+    DAYS train, the next 10% validate, the rest test — per-split row
+    counts, distinct cameras, and time bounds.
+
+    Splitting time-series training data by random row sampling leaks
+    the future into training; splitting by calendar day is the
+    leakage-free form every forecasting pipeline needs (the
+    q_ml_forecast/q_ses_forecast training frames assume it). All
+    boundary math is integer (rn·10 ≤ n·8), so the assignment is
+    bit-identical across engines.
+
+    Scale: ONE fact shuffle to (day, camera) granularity; the date
+    spine is calendar-sized, so its global rank window (same
+    documented pattern as q_camera_quartiles) and the broadcast join
+    back onto the pre-aggregate are both trivial. Per-split distinct
+    cameras come from the distinct (day, camera) pairs — facts are
+    never rescanned.
+    """
+    pairs = (
+        traffic_history(spark, sf_dir)
+        .select("camera_id", "ts", F.to_date("ts").alias("d"))
+        .groupBy("d", "camera_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+    dates = pairs.select("d").distinct()
+    n = dates.agg(F.count("*").alias("n_dates"))
+    ranked = (
+        dates.withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        .crossJoin(F.broadcast(n))
+    )
+    sm = ranked.select(
+        "d",
+        F.when(F.col("rn") * 10 <= F.col("n_dates") * TRAIN_PCT10, F.lit("train"))
+        .when(F.col("rn") * 10 <= F.col("n_dates") * VAL_PCT10, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        pairs.join(F.broadcast(sm), "d")
+        .groupBy("split")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.countDistinct("camera_id").alias("n_cameras"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )

@@ -283,6 +283,59 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id", "alert_id", "id")
 
 
+@register("q_stream_stream_left_join", oracle=None)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every detection flows
+    through; those with no congestion alert in the next 15 minutes
+    emit null-extended ONCE their join state is evicted by the
+    watermark (obs row evictable when watermark > ts + lookback).
+
+    Rows-only by design: unlike the inner join (whose output is
+    eviction-independent and therefore hash-checked), outer-join null
+    emission is gated on per-micro-batch watermark advancement — the
+    drained null set depends on the replay chunking, which is an
+    engine-scheduling artifact, not data semantics. The STABLE
+    invariants are pinned in tests/test_streaming.py instead: the
+    matched subset equals the batch inner join exactly, and every
+    emitted null row is a row the batch LEFT join also leaves
+    unmatched. At 100 TB this is the same state-bounded interval-join
+    plan as q_stream_stream_join — both sides watermarked, both event
+    times bounded, state ∝ (watermark window × arrival rate), never
+    history."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    obs = simulate.read_stream(spark, stage).withWatermark("ts", "30 minutes")
+    alerts = (
+        simulate.read_stream(spark, stage)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("ts").alias("alert_ts"),
+            F.col("id").alias("alert_id"),
+            F.col("new_count").alias("alert_count"),
+        )
+        .withWatermark("alert_ts", "30 minutes")
+    )
+    joined = obs.join(
+        alerts,
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
+        & (F.col("ts") <= F.col("alert_ts")),
+        "left_outer",
+    ).select(
+        "camera_id", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count"
+    )
+    out = windows.run_to_memory(
+        spark,
+        joined,
+        f"q_stream_stream_left_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return out.orderBy("camera_id", "id", "alert_id")
+
+
 @register(
     "q_stream_static_join",
     oracle=with_traffic(

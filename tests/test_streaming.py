@@ -510,3 +510,47 @@ def test_query_listener_observes_progress(spark, sf_dir):
         )
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_left_join_invariants(spark, sf_dir):
+    """LEFT OUTER stream-stream join: the matched subset equals the
+    batch inner join exactly; every null-extended row the stream emits
+    is a row the batch LEFT join also leaves unmatched (the null SET
+    depends on per-batch watermark eviction, so only the subset
+    relation is chunking-stable — see the query docstring)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        ALERT_THRESHOLD,
+        q_stream_stream_left_join,
+    )
+
+    out = q_stream_stream_left_join(spark, sf_dir).collect()
+    got_matched = {
+        (r.camera_id, r.alert_id, r.id) for r in out if r.alert_id is not None
+    }
+    got_null_ids = {r.id for r in out if r.alert_id is None}
+
+    d = simulate.detections_frame(spark, sf_dir)
+    alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
+        F.col("camera_id").alias("a_camera"),
+        F.col("ts").alias("alert_ts"),
+        F.col("id").alias("alert_id"),
+    )
+    cond = (
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
+        & (F.col("ts") <= F.col("alert_ts"))
+    )
+    batch_matched = {
+        (r.camera_id, r.alert_id, r.id) for r in d.join(alerts, cond).collect()
+    }
+    batch_null_ids = {
+        r.id
+        for r in d.join(alerts, cond, "left_outer")
+        .filter(F.col("alert_id").isNull())
+        .collect()
+    }
+    assert got_matched == batch_matched
+    assert got_null_ids, "no unmatched rows were ever evicted/emitted"
+    assert got_null_ids <= batch_null_ids
+    # no row appears both matched and null-extended
+    assert not (got_null_ids & {i for (_, _, i) in got_matched})
