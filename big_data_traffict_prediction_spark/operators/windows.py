@@ -306,3 +306,57 @@ def q_camera_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_s") > GAP_MIN_S)
         .orderBy("camera_id", "resumed_ts")
     )
+
+
+# --------------------------------------------- time-RANGE frame
+
+RANGE_TRAIL_US = 3_600 * 1_000_000  # trailing 1 hour, in microseconds
+
+
+@register(
+    "q_trailing_range_sum",
+    oracle=with_traffic(
+        f"""
+SELECT camera_id, id, ts, new_count,
+       CAST(sum(new_count) OVER w AS BIGINT) AS trailing_sum_1h,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_n_1h
+FROM traffic
+WINDOW w AS (PARTITION BY camera_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_TRAIL_US} PRECEDING AND CURRENT ROW)
+ORDER BY camera_id, id
+"""
+    ),
+)
+def q_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour totals via a time-RANGE window frame —
+    the frame type every other window in the registry (ROWS /
+    unbounded) doesn't exercise. Range frames are VALUE-based: all
+    rows whose event time falls in [ts − 1 h, ts] join the frame, so
+    timestamp ties are included symmetrically and the result is
+    deterministic without a tie-break.
+
+    Both engines order by exact integer epoch-MICROseconds
+    (`unix_micros` / `epoch_us`) — ordering by raw timestamps would
+    tie the frame boundary to each engine's sub-second truncation.
+
+    Scale: one window pass partitioned by camera_id (high cardinality,
+    skew-safe); Spark evaluates a sliding range frame incrementally
+    (add/remove at the boundary), so per-row cost is amortized O(1),
+    not O(frame)."""
+    t = traffic_history(spark, sf_dir)
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_TRAIL_US, 0)
+    )
+    return (
+        t.select(
+            "camera_id",
+            "id",
+            "ts",
+            "new_count",
+            F.sum("new_count").over(w).alias("trailing_sum_1h"),
+            F.count("*").over(w).alias("trailing_n_1h"),
+        )
+        .orderBy("camera_id", "id")
+    )
