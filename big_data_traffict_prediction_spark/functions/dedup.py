@@ -720,3 +720,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )
+
+
+# -------------------------------------------- edit-distance verification
+
+LEV_RATIO_MAX = 0.3  # pairs within 30% relative edit distance are dups
+
+
+@register(
+    "q_dedup_levenshtein",
+    oracle=f"""
+WITH {_SIMHASH_CTE},
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a
+  JOIN sig b ON a.simhash >> {SIMHASH_BUCKET_SHIFT} = b.simhash >> {SIMHASH_BUCKET_SHIFT}
+            AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+),
+norm AS (
+  SELECT doc_id, {NORM_SQL} AS n FROM documents
+)
+SELECT c.d1, c.d2,
+       CAST(levenshtein(n1.n, n2.n) AS BIGINT) AS lev,
+       ROUND(CAST(levenshtein(n1.n, n2.n) AS DOUBLE)
+             / greatest(length(n1.n), length(n2.n)), 6) AS edit_ratio,
+       CAST(levenshtein(n1.n, n2.n) AS DOUBLE)
+             / greatest(length(n1.n), length(n2.n)) <= {LEV_RATIO_MAX} AS is_duplicate
+FROM cand c
+JOIN norm n1 ON n1.doc_id = c.d1
+JOIN norm n2 ON n2.doc_id = c.d2
+ORDER BY c.d1, c.d2
+""",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification as a CASCADE: the cheap
+    filters run first (simhash bucket equi-candidates, then the
+    bit_count hamming gate — both from q_dedup_simhash's plan), and
+    only the surviving pairs pay the O(len²)-per-pair ``levenshtein``
+    — the standard cheap-sieve→expensive-verify shape for metrics too
+    costly to run on raw candidate sets. Work ∝ hamming-confirmed
+    near-dups, never n²; the text join is two hash joins keyed on
+    doc_id. The relative edit ratio (lev / max len) ≤ {LEV_RATIO_MAX}
+    makes the final call."""
+    cand = q_dedup_simhash(spark, sf_dir).select("d1", "d2")
+    norm = load_table(spark, sf_dir, "documents").select(
+        "doc_id", norm_col().alias("n")
+    )
+    lev = F.levenshtein("n1", "n2").cast("long")
+    ratio = lev.cast("double") / F.greatest(F.length("n1"), F.length("n2"))
+    return (
+        cand.join(norm.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(norm.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            lev.alias("lev"),
+            F.round(ratio, 6).alias("edit_ratio"),
+            (ratio <= LEV_RATIO_MAX).alias("is_duplicate"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -380,3 +380,137 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ----------------------------------------------------------- BM25 search
+
+BM25_TERMS = ("spark", "join", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    # Exactly the Spark expression tree: idf * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+    term_scores = "\n       + ".join(
+        f"(CAST(s.n_docs AS DOUBLE) - s.df_{t} + 0.5) / (s.df_{t} + 0.5)"
+        f" * b.tf_{t} * ({BM25_K1} + 1.0)"
+        f" / (b.tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))"
+        for t in BM25_TERMS
+    )
+    tf_list = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    tf_sum = " + ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents)
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl, {tf_list}, ROUND(score, 6) AS bm25
+FROM (
+  SELECT b.doc_id, b.dl, {tf_list},
+         {term_scores} AS score
+  FROM base b CROSS JOIN s
+)
+WHERE {tf_sum} > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+@register("q_bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP} retrieval for a fixed {BM25_TERMS} query —
+    the ranked-search primitive over the corpus, composed shuffle-free:
+    per-term tf and doclen are in-row array ops over the let-bound
+    token array (no explode, no (doc,term) shuffle — the query term
+    set is tiny and fixed, so tf-per-term is a column, not a row); the
+    corpus stats (N, Σdl, per-term df) are ONE scalar-aggregate row
+    broadcast back; the top-k is a TakeOrderedAndProject. At 100 TB
+    the only non-map work is the one-row stats aggregate and the final
+    top-k — this is the right shape wherever the query set is small
+    (classic search serving); a large query WORKLOAD would batch
+    through the (doc,term) explode instead (q_tfidf_top_terms shape).
+
+    The idf is the RAW rarity ratio (N-df+0.5)/(df+0.5), not its log:
+    same determinism trade as q_tfidf_top_terms — every factor is then
+    integers through correctly-rounded IEEE ops written in the
+    identical association order in both engines, so scores (and the
+    top-k cut) are bit-reproducible; a libm log could diverge in the
+    last ulp and flip a rank."""
+    from ..compat import let
+
+    def _tf(ts: F.Column, term: str) -> F.Column:
+        # NB: a one-arg lambda is required — F.filter treats a second
+        # lambda parameter (even a defaulted one) as the array index.
+        return F.size(F.filter(ts, lambda w: w == term)).cast("long")
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        let(
+            F.split(norm_col(), " "),
+            lambda ts: F.struct(
+                F.size(ts).cast("long").alias("dl"),
+                *[_tf(ts, t).alias(f"tf_{t}") for t in BM25_TERMS],
+            ),
+        ).alias("s"),
+    ).select("doc_id", "s.*")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> F.Column:
+        n = F.col("n_docs").cast("double")
+        df = F.col(f"df_{t}")
+        tf = F.col(f"tf_{t}")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        idf = (n - df + 0.5) / (df + 0.5)
+        return (
+            idf
+            * tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl)))
+        )
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    matched = F.lit(0)
+    for t in BM25_TERMS:
+        matched = matched + F.col(f"tf_{t}")
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .filter(matched > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            F.round("score", 6).alias("bm25"),
+        )
+    )

@@ -1228,6 +1228,23 @@ Q11_NATION = "NATION_7"
 Q11_FRACTION_DEN = 1000  # keep parts holding > 1/1000 of the nation's value
 
 
+def _q11_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's per-part value aggregate: nation suppliers broadcast-
+    semi-prune lineitem before its one aggregate shuffle."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    nat_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_rev_col()).cast("long").alias("value_fp"))
+    )
+
+
 @register(
     "q_tpch_q11",
     oracle=f"""
@@ -1258,18 +1275,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     test is exact integer math (``value_fp * {Q11_FRACTION_DEN} >
     total_fp``) so both engines agree bit-for-bit. Nation suppliers
     broadcast-semi-prune lineitem before its only shuffle."""
-    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
-    nat_supp = (
-        load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    pv = (
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
-        .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum(_rev_col()).cast("long").alias("value_fp"))
-    )
+    # pv feeds BOTH the grand total and the filter; Spark's exchange
+    # reuse does not fire across the broadcast boundary, so without
+    # the checkpoint the semi-join + aggregate over lineitem would run
+    # twice. A lazy localCheckpoint materializes the per-part
+    # aggregate once (dimension-sized — |part| rows, never facts) and
+    # both consumers read the materialized partitions (the semi-join
+    # shape itself is plan-asserted on _q11_pv pre-checkpoint).
+    pv = _q11_pv(spark, sf_dir).localCheckpoint(eager=False)
     total = pv.agg(F.sum("value_fp").cast("long").alias("total_fp"))
     return (
         pv.crossJoin(F.broadcast(total))

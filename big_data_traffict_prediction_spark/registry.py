@@ -80,6 +80,7 @@ def _load_modules() -> None:
         dedup,
         multimodal,
         pretrain,
+        scrub,
         similarity,
         text,
     )

@@ -210,15 +210,23 @@ def test_tpch_q2_semi_prunes_before_aggregate(spark, sf_dir):
 
 
 def test_tpch_q11_single_fact_shuffle(spark, sf_dir):
-    from big_data_traffict_prediction_spark.operators.tpch import q_tpch_q11
+    from big_data_traffict_prediction_spark.operators.tpch import _q11_pv, q_tpch_q11
 
     # nation suppliers semi-prune lineitem before its one aggregate
-    # shuffle; the HAVING-fraction scalar arrives via broadcast, never
-    # an unpartitioned window
+    # shuffle (asserted on the pre-checkpoint pv — the checkpoint hides
+    # the subtree from the final explain)
+    pv_plan = explain.formatted_plan(_q11_pv(spark, sf_dir))
+    assert "LeftSemi" in pv_plan
+    assert explain.broadcast_join_count(_q11_pv(spark, sf_dir)) >= 1
+
+    # the final plan reads pv ONCE from the materialized checkpoint
+    # (both the grand total and the filter consume ExistingRDD, so
+    # lineitem is scanned exactly once per execution); the
+    # HAVING-fraction scalar arrives via broadcast, never a window
     df = q_tpch_q11(spark, sf_dir)
     plan = explain.formatted_plan(df)
-    assert "LeftSemi" in plan
-    assert explain.broadcast_join_count(df) >= 2
+    assert "ExistingRDD" in plan, "pv must be checkpoint-materialized"
+    assert "Scan parquet" not in plan, "no second fact scan in the final plan"
     assert "Window" not in plan, "scalar total must broadcast, not window"
 
 
