@@ -1,0 +1,530 @@
+"""Hypertable-style time-series analytics (beyond the reference surface).
+
+The reference's charts are plain tumbling-bucket sums (SURVEY.md §2.4
+A9/A10). A time-series *engine* serving the same fact table at 100 TB
+needs the operator family TimescaleDB/Prometheus users reach for next:
+time-weighted averages over irregular samples, gap filling (LOCF and
+linear interpolation), OHLC candles, finite-difference deltas/rates, a
+cold-rollup + hot-raw serving union, and heavy-hitter extraction.
+Each is one or two shuffles on (camera_id[, bucket]) — high-cardinality
+keys first, no driver-side loops, every aggregate exact-integer so the
+DuckDB oracle hash-matches bit-for-bit (compat.py rules).
+
+All operate on the trailing windows ending at the pinned NOW
+(compat.NOW_EPOCH) like every other trailing query in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import NOW_EPOCH, bucket_epoch, epoch_s, fixed_point
+from ..registry import register
+from ..tables import traffic_history, with_traffic
+
+TWA_SPAN_S = 7 * 86400
+TWA_SCALE = 10_000
+
+# Day-aligned previous full day (same instant as timeseries.py's
+# custom-day chart): NOW is midnight in the testdata.
+DAY_START = NOW_EPOCH - (NOW_EPOCH % 86400) - 86400
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=with_traffic(f"""
+, f AS (
+  SELECT camera_id, id, ts,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS e,
+         CAST(FLOOR(value * {TWA_SCALE}) AS BIGINT) AS v_fp
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - TWA_SPAN_S} AS BIGINT) * 1000000)
+),
+wgt AS (
+  SELECT camera_id, v_fp,
+         COALESCE(LEAD(e) OVER (PARTITION BY camera_id ORDER BY ts, id),
+                  {NOW_EPOCH}) - e AS w_s
+  FROM f
+)
+SELECT camera_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(w_s) AS BIGINT) AS covered_s,
+       ROUND(CAST(SUM(v_fp * w_s) AS DOUBLE)
+             / ({TWA_SCALE} * CAST(SUM(w_s) AS DOUBLE)), 6) AS twa
+FROM wgt
+GROUP BY camera_id
+ORDER BY camera_id
+"""),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the density gauge over the trailing 7
+    days, LOCF weighting: each sample holds until the next sample (or
+    NOW), so irregular sampling doesn't bias the mean toward busy
+    periods — the aggregate a plain AVG gets wrong on event streams.
+
+    One window pass per camera (lead) + one grouped aggregate; weights
+    are integer seconds and values fixed-point ints, so the single
+    final division is the only floating-point op (bit-exact cross
+    engine). At 100 TB both the window and the groupBy partition on
+    camera_id — high cardinality, one shuffle total.
+    """
+    h = traffic_history(spark, sf_dir)
+    start = NOW_EPOCH - TWA_SPAN_S
+    f = h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(start))).select(
+        "camera_id",
+        "id",
+        "ts",
+        epoch_s("ts").alias("e"),
+        fixed_point("value", TWA_SCALE).alias("v_fp"),
+    )
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    wgt = f.select(
+        "camera_id",
+        "v_fp",
+        (F.coalesce(F.lead("e").over(w), F.lit(NOW_EPOCH)) - F.col("e")).alias("w_s"),
+    )
+    return (
+        wgt.groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("w_s").cast("long").alias("covered_s"),
+            F.round(
+                F.sum(F.col("v_fp") * F.col("w_s")).cast("double")
+                / (F.lit(TWA_SCALE) * F.sum("w_s").cast("double")),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("camera_id")
+    )
+
+
+OHLC_SPAN_S = 86400
+OHLC_INTERVAL_S = 3600
+
+
+@register(
+    "q_ohlc_candles",
+    oracle=with_traffic(f"""
+, f AS (
+  SELECT camera_id, id, ts, value,
+         CAST(FLOOR(epoch_us(ts) // 1000000 / {OHLC_INTERVAL_S}) * {OHLC_INTERVAL_S} AS BIGINT)
+           AS bucket_epoch
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - OHLC_SPAN_S} AS BIGINT) * 1000000)
+),
+seq AS (
+  SELECT camera_id, bucket_epoch, value,
+         first_value(value) OVER (PARTITION BY camera_id, bucket_epoch
+                                  ORDER BY ts, id) AS o,
+         first_value(value) OVER (PARTITION BY camera_id, bucket_epoch
+                                  ORDER BY ts DESC, id DESC) AS c
+  FROM f
+)
+SELECT camera_id, bucket_epoch,
+       MIN(o) AS open, MAX(value) AS high, MIN(value) AS low, MIN(c) AS close,
+       COUNT(*) AS n_samples
+FROM seq
+GROUP BY camera_id, bucket_epoch
+ORDER BY camera_id, bucket_epoch
+"""),
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-camera hourly OHLC candles of the density gauge over the
+    trailing 24 h — the downsampling shape every charting stack asks a
+    time-series store for. Open/close are ORDER-based picks, not
+    aggregates of doubles, so they hash exactly.
+
+    Spark side: one grouped aggregate; open/close via lexicographic
+    struct min/max on (ts, id, value) — no window, no self-join, one
+    shuffle on the high-cardinality (camera, bucket) key. The oracle
+    reproduces the same picks with first_value windows.
+    """
+    h = traffic_history(spark, sf_dir)
+    start = NOW_EPOCH - OHLC_SPAN_S
+    f = h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(start))).select(
+        "camera_id",
+        "id",
+        "ts",
+        "value",
+        bucket_epoch("ts", OHLC_INTERVAL_S).alias("bucket_epoch"),
+    )
+    return (
+        f.groupBy("camera_id", "bucket_epoch")
+        .agg(
+            F.min(F.struct("ts", "id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .orderBy("camera_id", "bucket_epoch")
+    )
+
+
+def _gap_fill_base(spark: SparkSession, sf_dir: str):
+    """Shared spine-join for the gap-fill family: distinct cameras ×
+    24 hourly buckets of the previous full day, left-joined with the
+    bucket totals. Spine stays the preserved side; the aggregated side
+    broadcasts (≤ cameras × 24 rows post-groupBy)."""
+    h = traffic_history(spark, sf_dir)
+    cams = h.select("camera_id").distinct()
+    buckets = spark.range(0, 24).select(
+        (F.lit(DAY_START) + F.col("id") * 3600).cast("long").alias("bucket_epoch")
+    )
+    spine = cams.crossJoin(F.broadcast(buckets))
+    agg = (
+        h.filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(DAY_START)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(DAY_START + 86400)))
+        )
+        .groupBy("camera_id", bucket_epoch("ts", 3600).alias("bucket_epoch"))
+        .agg(F.sum("new_count").alias("total"))
+    )
+    return spine.join(F.broadcast(agg), ["camera_id", "bucket_epoch"], "left")
+
+
+_GAP_FILL_ORACLE_BASE = f"""
+, spine AS (
+  SELECT c.camera_id, CAST(g AS BIGINT) AS bucket_epoch
+  FROM (SELECT DISTINCT camera_id FROM traffic) c
+  CROSS JOIN (SELECT unnest(generate_series(
+    {DAY_START}, {DAY_START + 86400 - 1}, 3600)) AS g)
+),
+agg AS (
+  SELECT camera_id,
+         CAST(FLOOR(epoch_us(ts) // 1000000 / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+         CAST(SUM(new_count) AS BIGINT) AS total
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({DAY_START} AS BIGINT) * 1000000)
+    AND ts <  make_timestamp(CAST({DAY_START + 86400} AS BIGINT) * 1000000)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT s.camera_id, s.bucket_epoch, a.total
+  FROM spine s LEFT JOIN agg a
+    ON a.camera_id = s.camera_id AND a.bucket_epoch = s.bucket_epoch
+)
+"""
+
+
+@register(
+    "q_gap_fill_locf",
+    oracle=with_traffic(_GAP_FILL_ORACLE_BASE + """
+SELECT camera_id, bucket_epoch,
+       COALESCE(last_value(total IGNORE NULLS) OVER (
+         PARTITION BY camera_id ORDER BY bucket_epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS value_locf,
+       CAST(total IS NULL AS INT) AS is_gap
+FROM j
+ORDER BY camera_id, bucket_epoch
+"""),
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling, last-observation-carried-forward: dense per-camera
+    hourly spine over the previous full day; empty buckets inherit the
+    most recent observed total (leading gaps → 0) and are flagged.
+    TimescaleDB's ``locf(time_bucket_gapfill(...))`` shape.
+
+    One (camera, bucket) aggregate shuffle + a per-camera ordered
+    window over ≤24 rows; the spine join broadcasts both tiny sides.
+    """
+    j = _gap_fill_base(spark, sf_dir)
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "camera_id",
+        "bucket_epoch",
+        F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("value_locf"),
+        F.col("total").isNull().cast("int").alias("is_gap"),
+    ).orderBy("camera_id", "bucket_epoch")
+
+
+@register(
+    "q_gap_fill_interp",
+    oracle=with_traffic(_GAP_FILL_ORACLE_BASE + """
+, marked AS (
+  SELECT camera_id, bucket_epoch, total,
+         last_value(total IGNORE NULLS) OVER (
+           PARTITION BY camera_id ORDER BY bucket_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN total IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+           OVER (PARTITION BY camera_id ORDER BY bucket_epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(total IGNORE NULLS) OVER (
+           PARTITION BY camera_id ORDER BY bucket_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN total IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+           OVER (PARTITION BY camera_id ORDER BY bucket_epoch
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j
+)
+SELECT camera_id, bucket_epoch,
+       ROUND(CASE
+         WHEN total IS NOT NULL THEN CAST(total AS DOUBLE)
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           CAST(prev_v AS DOUBLE)
+             + CAST(next_v - prev_v AS DOUBLE)
+               * CAST(bucket_epoch - prev_b AS DOUBLE)
+               / CAST(next_b - prev_b AS DOUBLE)
+         WHEN prev_v IS NOT NULL THEN CAST(prev_v AS DOUBLE)
+         WHEN next_v IS NOT NULL THEN CAST(next_v AS DOUBLE)
+         ELSE 0.0 END, 6) AS value_interp,
+       CAST(total IS NULL AS INT) AS is_gap
+FROM marked
+ORDER BY camera_id, bucket_epoch
+"""),
+)
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling, linear interpolation: empty buckets take the value
+    linearly interpolated between the nearest observed buckets on each
+    side (edges fall back to LOCF/NOCB, fully-empty cameras to 0) —
+    TimescaleDB's ``interpolate(time_bucket_gapfill(...))``.
+
+    Two per-camera ordered windows (backward and forward ignore-null
+    scans) over the ≤24-row dense series; all interpolation inputs are
+    exact integers so the one double expression hashes identically.
+    """
+    j = _gap_fill_base(spark, sf_dir)
+    wb = (
+        Window.partitionBy("camera_id")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("camera_id")
+        .orderBy("bucket_epoch")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    non_null_b = F.when(F.col("total").isNotNull(), F.col("bucket_epoch"))
+    marked = j.select(
+        "camera_id",
+        "bucket_epoch",
+        "total",
+        F.last("total", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(non_null_b, ignorenulls=True).over(wb).alias("prev_b"),
+        F.first("total", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(non_null_b, ignorenulls=True).over(wf).alias("next_b"),
+    )
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total").cast("double"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v").cast("double")
+            + (F.col("next_v") - F.col("prev_v")).cast("double")
+            * (F.col("bucket_epoch") - F.col("prev_b")).cast("double")
+            / (F.col("next_b") - F.col("prev_b")).cast("double"),
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v").cast("double"))
+        .when(F.col("next_v").isNotNull(), F.col("next_v").cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return marked.select(
+        "camera_id",
+        "bucket_epoch",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("total").isNull().cast("int").alias("is_gap"),
+    ).orderBy("camera_id", "bucket_epoch")
+
+
+DELTA_SPAN_S = 86400
+
+
+@register(
+    "q_delta_series",
+    oracle=with_traffic(f"""
+, f AS (
+  SELECT camera_id, id, ts, value,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS e,
+         CAST(FLOOR(value * {TWA_SCALE}) AS BIGINT) AS v_fp
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - DELTA_SPAN_S} AS BIGINT) * 1000000)
+),
+d AS (
+  SELECT camera_id, id, ts, value,
+         v_fp - LAG(v_fp) OVER (PARTITION BY camera_id ORDER BY ts, id) AS d_fp,
+         e - LAG(e) OVER (PARTITION BY camera_id ORDER BY ts, id) AS dt_s
+  FROM f
+)
+SELECT camera_id, id, ts, value,
+       ROUND(CAST(d_fp AS DOUBLE) / {TWA_SCALE}, 6) AS delta,
+       CAST(dt_s AS BIGINT) AS dt_s,
+       CASE WHEN dt_s > 0
+            THEN ROUND(CAST(d_fp AS DOUBLE) / ({TWA_SCALE} * CAST(dt_s AS DOUBLE)), 6)
+            END AS rate_per_s
+FROM d
+ORDER BY camera_id, ts, id
+"""),
+)
+def q_delta_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-difference series over the trailing 24 h: per-sample
+    delta of the density gauge and its per-second rate (Timescale
+    ``delta()``/``rate()``; Prometheus ``deriv`` ancestor). First
+    sample per camera → NULL delta; dt == 0 (same-second pair) → NULL
+    rate rather than a division blow-up.
+
+    One lag window per camera — single shuffle, no join; deltas are
+    computed on the fixed-point image so they hash exactly.
+    """
+    h = traffic_history(spark, sf_dir)
+    start = NOW_EPOCH - DELTA_SPAN_S
+    f = h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(start))).select(
+        "camera_id",
+        "id",
+        "ts",
+        "value",
+        epoch_s("ts").alias("e"),
+        fixed_point("value", TWA_SCALE).alias("v_fp"),
+    )
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    d = f.select(
+        "camera_id",
+        "id",
+        "ts",
+        "value",
+        (F.col("v_fp") - F.lag("v_fp").over(w)).alias("d_fp"),
+        (F.col("e") - F.lag("e").over(w)).alias("dt_s"),
+    )
+    return d.select(
+        "camera_id",
+        "id",
+        "ts",
+        "value",
+        F.round(F.col("d_fp").cast("double") / TWA_SCALE, 6).alias("delta"),
+        F.col("dt_s").cast("long").alias("dt_s"),
+        F.when(
+            F.col("dt_s") > 0,
+            F.round(F.col("d_fp").cast("double") / (TWA_SCALE * F.col("dt_s").cast("double")), 6),
+        ).alias("rate_per_s"),
+    ).orderBy("camera_id", "ts", "id")
+
+
+ROLLUP_SPAN_S = 30 * 86400
+# Cold/hot boundary: day-aligned NOW-7d — older days come from the
+# (conceptually materialized) daily rollup, newer from raw facts.
+ROLLUP_CUTOFF = NOW_EPOCH - (NOW_EPOCH % 86400) - 7 * 86400
+
+
+@register(
+    "q_hybrid_rollup",
+    oracle=with_traffic(f"""
+, cold AS (
+  SELECT camera_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+         COUNT(*) AS n_events, 'rollup' AS source_tier
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - ROLLUP_SPAN_S} AS BIGINT) * 1000000)
+    AND ts <  make_timestamp(CAST({ROLLUP_CUTOFF} AS BIGINT) * 1000000)
+  GROUP BY 1, 2
+),
+hot AS (
+  SELECT camera_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+         COUNT(*) AS n_events, 'raw' AS source_tier
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({ROLLUP_CUTOFF} AS BIGINT) * 1000000)
+  GROUP BY 1, 2
+)
+SELECT * FROM cold UNION ALL SELECT * FROM hot
+ORDER BY camera_id, d
+"""),
+)
+def q_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered serving union (continuous-aggregate pattern): the 30-day
+    per-camera daily series is answered from a COLD pre-aggregated
+    daily rollup for days older than the cutoff and from HOT raw facts
+    for the last 7 days, `unionByName`d into one frame. At 100 TB the
+    cold branch reads the (cameras × days)-sized rollup table instead
+    of re-scanning history — here both branches derive from the fact
+    view so the oracle can check the stitched result exactly; the tier
+    tag makes the split observable.
+    """
+    h = traffic_history(spark, sf_dir)
+
+    def daily(df: DataFrame, tier: str) -> DataFrame:
+        return df.groupBy(
+            "camera_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).agg(
+            F.sum("new_count").alias("total_new_count"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit(tier).alias("source_tier"),
+        )
+
+    cold = daily(
+        h.filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(NOW_EPOCH - ROLLUP_SPAN_S)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(ROLLUP_CUTOFF)))
+        ),
+        "rollup",
+    )
+    hot = daily(
+        h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(ROLLUP_CUTOFF))),
+        "raw",
+    )
+    return cold.unionByName(hot).orderBy("camera_id", "d")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=with_traffic("""
+, per_cam AS (
+  SELECT camera_id,
+         CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+         COUNT(*) AS n_events
+  FROM traffic GROUP BY camera_id
+),
+tot AS (
+  SELECT camera_id, total_new_count, n_events,
+         SUM(total_new_count) OVER () AS grand_total,
+         COUNT(*) OVER () AS n_cameras
+  FROM per_cam
+)
+SELECT camera_id, total_new_count, n_events,
+       ROUND(100.0 * CAST(total_new_count AS DOUBLE)
+             / CAST(grand_total AS DOUBLE), 4) AS share_pct
+FROM tot
+WHERE total_new_count * n_cameras > grand_total
+ORDER BY total_new_count DESC, camera_id
+"""),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter cameras: those contributing more than the average
+    per-camera share of lifetime volume (share > 1/n_cameras — a
+    scale-free threshold, no magic constant). One fact shuffle on
+    camera_id; the grand total comes from an empty-frame window over
+    the already-aggregated per-camera table (≤ cameras rows — the
+    single-partition exchange is over the small dim, never the facts).
+    """
+    h = traffic_history(spark, sf_dir)
+    per_cam = h.groupBy("camera_id").agg(
+        F.sum("new_count").cast("long").alias("total_new_count"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy()
+    tot = per_cam.select(
+        "camera_id",
+        "total_new_count",
+        "n_events",
+        F.sum("total_new_count").over(w).alias("grand_total"),
+        F.count(F.lit(1)).over(w).alias("n_cameras"),
+    )
+    return (
+        tot.filter(F.col("total_new_count") * F.col("n_cameras") > F.col("grand_total"))
+        .select(
+            "camera_id",
+            "total_new_count",
+            "n_events",
+            F.round(
+                100.0
+                * F.col("total_new_count").cast("double")
+                / F.col("grand_total").cast("double"),
+                4,
+            ).alias("share_pct"),
+        )
+        .orderBy(F.desc("total_new_count"), "camera_id")
+    )

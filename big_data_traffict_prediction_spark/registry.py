@@ -73,6 +73,7 @@ def _load_modules() -> None:
         scans,
         timeseries,
         tpch,
+        tsdb,
         windows,
     )
     from .functions import (  # noqa: F401

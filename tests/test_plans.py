@@ -309,3 +309,47 @@ def test_domain_cap_single_window_pass(spark, sf_dir):
     a = explain.audit(q_domain_cap(spark, sf_dir))
     assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+
+
+def test_twa_single_shuffle_no_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_time_weighted_avg
+
+    # lead window and groupBy both partition on camera_id: one fact
+    # shuffle + the final tiny sort, no joins
+    a = explain.audit(q_time_weighted_avg(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+    assert a["pushed_filters"], "trailing-window predicate must reach the scan"
+
+
+def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_ohlc_candles
+
+    # struct min/max open/close: no Window/Sort pass, no join — one
+    # (camera, bucket) aggregate + final sort
+    a = explain.audit(q_ohlc_candles(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_gap_fill_spine_joins_broadcast(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_gap_fill_locf
+
+    df = q_gap_fill_locf(spark, sf_dir)
+    # buckets×cameras spine cross-join + aggregated side both broadcast;
+    # facts never sort-merge
+    a = explain.audit(df)
+    assert a["broadcast_joins"] >= 1, "aggregated side must broadcast"
+    assert a["sort_merge_joins"] == 0
+    assert explain.nested_loop_join_count(df) <= 1  # tiny bucket spine only
+
+
+def test_heavy_hitters_windows_over_aggregate_only(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_heavy_hitters
+
+    # the single-partition window runs over the per-camera aggregate
+    # (≤ cameras rows), never the raw facts: fact shuffle + dim-sized
+    # single-partition exchange + final sort
+    a = explain.audit(q_heavy_hitters(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
