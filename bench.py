@@ -109,6 +109,13 @@ EXTENDED = [
     "q_bigram_familiarity",
     "q_domain_cap",
     "q_camera_reconcile_full",
+    "q_time_weighted_avg",
+    "q_ohlc_candles",
+    "q_gap_fill_locf",
+    "q_gap_fill_interp",
+    "q_delta_series",
+    "q_hybrid_rollup",
+    "q_heavy_hitters",
 ]
 
 

@@ -747,3 +747,74 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------- label centroids
+
+CENTROID_SCALE = 1_000_000
+
+
+@register(
+    "q_embedding_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, pos, SUM(v) AS s, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       list(FLOOR(CAST(s AS DOUBLE) / n) / {CENTROID_SCALE} ORDER BY pos) AS centroid
+FROM comp
+GROUP BY label
+ORDER BY label
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the aggregation
+    behind semantic clustering, IVF coarse training, and
+    label-prototype classification over the corpus. Mean of float
+    vectors is partition-order-dependent in raw doubles, so each
+    component goes through the fixed-point image first (compat rules):
+    the sums are exact BIGINTs and the single final division is
+    bit-reproducible.
+
+    Shape: posexplode to (label, pos) — 64× row fan-out but the
+    shuffle key (label, pos) is uniformly distributed and the partial
+    aggregation combines map-side, so the exchange carries one row per
+    (label, pos) per task, NOT the fan-out. Reassembly is a dim-sized
+    (labels × 64) collect_list."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * CENTROID_SCALE).cast("long").alias("v"),
+    )
+    comp = ex.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # Floor-divide in fixed-point, THEN widen: the mean stays an exact
+    # integer until one final division by the scale, so there is no
+    # round() whose half-way tie-breaking differs between engines
+    # (Spark HALF_UP vs DuckDB — observed divergence at the 6th
+    # decimal). floor(s/n) is exact: the true quotient is ≥ 1/n away
+    # from any other integer, far beyond double ULP at this magnitude.
+    mean = F.floor(F.col("s") / F.col("n")).cast("double") / CENTROID_SCALE
+    return (
+        comp.select("label", "pos", "n", mean.alias("m"))
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

@@ -671,3 +671,130 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_peak_hours",
+    oracle=with_traffic("""
+, hourly AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d,
+         CAST(strftime(ts, '%H') AS INT) AS hour,
+         CAST(SUM(new_count) AS BIGINT) AS hourly_total
+  FROM traffic GROUP BY 1, 2, 3
+),
+slot AS (
+  SELECT camera_id, hour,
+         CAST(SUM(hourly_total) AS BIGINT) AS total,
+         COUNT(*) AS n_days,
+         CAST(SUM(hourly_total) AS DOUBLE) / COUNT(*) AS avg_hourly
+  FROM hourly GROUP BY 1, 2
+),
+ranked AS (
+  SELECT camera_id, hour, total, n_days, avg_hourly,
+         row_number() OVER (PARTITION BY camera_id
+                            ORDER BY avg_hourly DESC, hour) AS rn
+  FROM slot
+)
+SELECT camera_id, CAST(hour AS INT) AS peak_hour,
+       ROUND(avg_hourly, 6) AS avg_hourly, n_days
+FROM ranked WHERE rn = 1
+ORDER BY camera_id
+"""),
+)
+def q_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak hour per camera: the hour-of-day with the highest average
+    hourly volume across all observed days — the per-camera argmax over
+    the flagship's (camera, hour) prediction matrix (reference computes
+    single slots on demand, app/database.py:109-145; this materializes
+    the maximum of all 24). Average = exact-int sum / day count, so
+    ranking doubles are bit-identical cross-engine; ties break to the
+    earliest hour.
+
+    Two aggregates reusing one shuffle family (camera,date,hour →
+    camera,hour) + a 24-row-per-camera ranking window — the fact scan
+    shuffles once."""
+    h = traffic_history(spark, sf_dir)
+    hourly = h.groupBy(
+        "camera_id",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.sum("new_count").alias("hourly_total"))
+    slot = hourly.groupBy("camera_id", "hour").agg(
+        F.sum("hourly_total").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    slot = slot.withColumn(
+        "avg_hourly", F.col("total").cast("double") / F.col("n_days").cast("double")
+    )
+    w = Window.partitionBy("camera_id").orderBy(F.desc("avg_hourly"), "hour")
+    return (
+        slot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "camera_id",
+            F.col("hour").cast("int").alias("peak_hour"),
+            F.round("avg_hourly", 6).alias("avg_hourly"),
+            "n_days",
+        )
+        .orderBy("camera_id")
+    )
+
+
+@register(
+    "q_skyline_pareto",
+    oracle=with_traffic("""
+, agg AS (
+  SELECT camera_id,
+         CAST(SUM(new_count) AS BIGINT) AS total,
+         CAST(MAX(new_count) AS BIGINT) AS peak
+  FROM traffic GROUP BY camera_id
+)
+SELECT a.camera_id, a.total, a.peak
+FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.total >= a.total AND b.peak <= a.peak
+    AND (b.total > a.total OR b.peak < a.peak)
+)
+ORDER BY a.total DESC, a.camera_id
+"""),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of cameras MAXIMIZING lifetime volume while
+    MINIMIZING the worst single-sample burst: keep every camera no
+    other camera beats on both axes (busier AND smoother; ties on both
+    axes keep both — dominance requires a strict edge). The serving
+    query behind "high-throughput but well-behaved" dashboards.
+
+    The naive form is an all-pairs NOT-EXISTS theta join (the oracle).
+    The Spark plan is the 2-D skyline SORT trick instead: order by
+    total desc, then a camera is dominated iff the running MIN peak
+    over STRICTLY-greater totals is already ≤ its peak (range frame
+    to -1), or a same-total camera has a strictly lower peak (group
+    min) — two window passes over the per-camera aggregate, no
+    quadratic join at any scale."""
+    h = traffic_history(spark, sf_dir)
+    agg = h.groupBy("camera_id").agg(
+        F.sum("new_count").cast("long").alias("total"),
+        F.max("new_count").cast("long").alias("peak"),
+    )
+    w_gt = (
+        Window.orderBy(F.col("total").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy("total")
+    marked = agg.select(
+        "camera_id",
+        "total",
+        "peak",
+        F.min("peak").over(w_gt).alias("m_gt"),
+        F.min("peak").over(w_grp).alias("m_grp"),
+    )
+    return (
+        marked.filter(
+            (F.col("m_gt").isNull() | (F.col("m_gt") > F.col("peak")))
+            & (F.col("peak") == F.col("m_grp"))
+        )
+        .select("camera_id", "total", "peak")
+        .orderBy(F.desc("total"), "camera_id")
+    )

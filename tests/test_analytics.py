@@ -87,3 +87,69 @@ def test_approx_quantile_within_exact_envelope(spark, sf_dir):
         assert lo45 <= a.p50_approx <= hi55, (r.camera_id, a.p50_approx, r.e)
         assert lo85 <= a.p90_approx <= hi95, (r.camera_id, a.p90_approx, r.e)
         assert lo94 <= a.p99_approx <= hi100, (r.camera_id, a.p99_approx, r.e)
+
+
+def test_skyline_keeps_nondominated_only(spark, tmp_path):
+    """cam1 (total 100, peak 90), cam2 (90, 85), cam3 (80, 72): peaks
+    fall strictly as totals fall, so nobody is both busier and
+    smoother — all three are the skyline."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.analytics import q_skyline_pareto
+
+    rows, eid = [], 0
+    for cam, samples in ((1, [90.0, 10.9]), (2, [85.0, 5.2]), (3, [72.0, 8.3])):
+        for k, v in enumerate(samples):
+            rows.append((eid, datetime(2024, 1, 10, 8, k), cam, "click", v, "{}"))
+            eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {r.camera_id: (r.total, r.peak) for r in q_skyline_pareto(spark, path).collect()}
+    assert out == {"1": (100, 90), "2": (90, 85), "3": (80, 72)}
+
+
+def test_skyline_drops_dominated_camera(spark, tmp_path):
+    """cam1 (total 100, peak 50), cam2 (total 90, peak 40),
+    cam3 (total 80, peak 45): cam3 is dominated by cam2."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.analytics import q_skyline_pareto
+
+    plant = {1: [50.0, 50.9], 2: [40.0, 40.2, 10.3], 3: [45.0, 35.3]}
+    rows, eid = [], 0
+    for cam, samples in plant.items():
+        for k, v in enumerate(samples):
+            rows.append((eid, datetime(2024, 1, 10, 8, k), cam, "click", v, "{}"))
+            eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {r.camera_id for r in q_skyline_pareto(spark, path).collect()}
+    assert out == {"1", "2"}
+
+
+def test_embedding_centroids_hand_mean(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_embedding_centroids,
+    )
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, -2.0], [3.0, -4.0], [10.0, 10.0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    path = str(emb_dir)
+    pq.write_table(tbl, f"{path}/embeddings.parquet")
+    out = {r.label: (r.n_vectors, list(r.centroid)) for r in
+           q_embedding_centroids(spark, path).collect()}
+    assert out[0] == (2, [2.0, -3.0])
+    assert out[1] == (1, [10.0, 10.0])

@@ -353,3 +353,35 @@ def test_heavy_hitters_windows_over_aggregate_only(spark, sf_dir):
     a = explain.audit(q_heavy_hitters(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_embedding_centroids_bounded_shuffles_no_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_embedding_centroids,
+    )
+
+    # posexplode → (label,pos) partial-agg shuffle → label reassembly →
+    # final sort; map-side combine keeps the exchange at one row per
+    # (label, pos) per task
+    a = explain.audit(q_embedding_centroids(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_skyline_is_window_passes_not_theta_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_skyline_pareto
+
+    df = q_skyline_pareto(spark, sf_dir)
+    # the dominance check must be the sort-based window form, never the
+    # oracle's quadratic NOT-EXISTS join
+    assert explain.nested_loop_join_count(df) == 0
+    a = explain.audit(df)
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+
+
+def test_peak_hours_one_fact_shuffle_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_peak_hours
+
+    a = explain.audit(q_peak_hours(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
