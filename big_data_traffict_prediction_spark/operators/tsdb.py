@@ -528,3 +528,90 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_new_count"), "camera_id")
     )
+
+
+# ------------------------------------------- count-min sketch
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 512  # buckets per row
+
+
+@register(
+    "q_heavy_hitters_sketch",
+    oracle=with_traffic(f"""
+, ex AS (
+  SELECT camera_id, new_count, d
+  FROM traffic, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d)
+),
+sk AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || camera_id), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS bucket,
+         CAST(SUM(new_count) AS BIGINT) AS cell
+  FROM ex GROUP BY 1, 2
+),
+cams AS (
+  SELECT camera_id, CAST(SUM(new_count) AS BIGINT) AS exact_total
+  FROM traffic GROUP BY camera_id
+),
+probe AS (
+  SELECT c.camera_id, c.exact_total, g.d,
+         CAST(('0x' || substr(md5(CAST(g.d AS VARCHAR) || '#' || c.camera_id), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS bucket
+  FROM cams c, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d) g
+)
+SELECT p.camera_id, p.exact_total,
+       CAST(MIN(s.cell) AS BIGINT) AS cm_estimate,
+       CAST(MIN(s.cell) - p.exact_total AS BIGINT) AS overcount
+FROM probe p JOIN sk s ON s.d = p.d AND s.bucket = p.bucket
+GROUP BY p.camera_id, p.exact_total
+ORDER BY p.camera_id
+"""),
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation next to the exact answer:
+    a {CM_DEPTH}×{CM_WIDTH} counter grid (md5-derived row hashes —
+    identical in both engines) estimates each camera's lifetime volume
+    as the MIN over its {CM_DEPTH} cells; overcount ≥ 0 always (the
+    sketch never underestimates — pinned in tests).
+
+    The 100 TB point: the sketch is FIXED-SIZE regardless of key
+    cardinality — the grid aggregate's exchange carries at most
+    depth×width rows per task (map-side combine), and the estimate
+    probe joins against a broadcast 2k-cell table. The exact_total
+    column is the verification twin a production run would drop.
+    """
+    h = traffic_history(spark, sf_dir)
+    d_col = F.explode(F.array(*[F.lit(d) for d in range(CM_DEPTH)])).alias("d")
+
+    def bucket(d, cam):
+        from ..functions.text import hash60
+
+        return F.pmod(
+            hash60(F.concat(d.cast("string"), F.lit("#"), cam)), F.lit(CM_WIDTH)
+        )
+
+    ex = h.select("camera_id", "new_count", d_col)
+    sk = (
+        ex.withColumn("bucket", bucket(F.col("d"), F.col("camera_id")))
+        .groupBy("d", "bucket")
+        .agg(F.sum("new_count").cast("long").alias("cell"))
+    )
+    cams = h.groupBy("camera_id").agg(
+        F.sum("new_count").cast("long").alias("exact_total")
+    )
+    probe = cams.select("camera_id", "exact_total", d_col).withColumn(
+        "bucket", bucket(F.col("d"), F.col("camera_id"))
+    )
+    return (
+        probe.join(F.broadcast(sk), ["d", "bucket"])
+        .groupBy("camera_id", "exact_total")
+        .agg(F.min("cell").cast("long").alias("cm_estimate"))
+        .select(
+            "camera_id",
+            "exact_total",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_total")).cast("long").alias("overcount"),
+        )
+        .orderBy("camera_id")
+    )

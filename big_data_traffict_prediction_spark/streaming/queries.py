@@ -475,3 +475,43 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id")
+
+
+@register(
+    "q_stream_continuous_rollup",
+    oracle=with_traffic(
+        """
+SELECT camera_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM traffic GROUP BY 1, 2 ORDER BY camera_id, d
+"""
+    ),
+)
+def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate: foreachBatch reduces each epoch
+    to per-(camera, day) partial sums landed as idempotent epoch_id
+    partitions (windows.run_rollup_partials); the serving query
+    re-aggregates the partials. HASH-CHECKED against the plain batch
+    daily aggregate — partial sums over disjoint epochs are chunking-
+    invariant, so the streaming path must reproduce the batch answer
+    exactly. This is the maintenance loop behind q_hybrid_rollup's
+    cold tier."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    part_dir = windows.run_rollup_partials(
+        simulate.read_stream(spark, stage), base, f"{base}/ckpt"
+    )
+    rollup = (
+        spark.read.parquet(part_dir)
+        .groupBy("camera_id", "d")
+        .agg(
+            F.sum("partial_total").cast("long").alias("total_new_count"),
+            F.sum("partial_n").cast("long").alias("n_events"),
+        )
+        .orderBy("camera_id", "d")
+    )
+    out = rollup.toPandas()  # materialize before the scratch dir is removed
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, schema=rollup.schema)

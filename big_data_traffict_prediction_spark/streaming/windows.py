@@ -141,3 +141,50 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, checkpoint_dir:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def land_rollup_partial(batch: DataFrame, epoch_id: int, part_dir: str) -> None:
+    """Reduce one micro-batch to (camera, day) partial sums and land
+    them as THIS epoch's partition with dynamic overwrite — replaying
+    the same epoch replaces its own partition byte-for-byte instead of
+    appending duplicates (idempotency pinned in tests)."""
+    (
+        batch.groupBy("camera_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.sum("new_count").alias("partial_total"),
+            F.count(F.lit(1)).alias("partial_n"),
+        )
+        .withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(part_dir)
+    )
+
+
+def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str) -> str:
+    """Streaming continuous aggregate (the streaming twin of the batch
+    q_hybrid_rollup's cold tier): every epoch reduces its micro-batch
+    to per-(camera, day) partial sums and lands them as an epoch_id
+    partition with DYNAMIC overwrite — idempotent under foreachBatch's
+    at-least-once replay, exactly like run_dual_sink's fact write. The
+    serving rollup is the re-aggregation of the partials (a compaction
+    job folds old epochs in production); partial sums over disjoint
+    epochs equal the batch aggregate REGARDLESS of chunking, which is
+    what makes the result oracle-checkable."""
+    part_dir = os.path.join(out_dir, "rollup_partials")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        land_rollup_partial(batch, epoch_id, part_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return part_dir

@@ -385,3 +385,15 @@ def test_peak_hours_one_fact_shuffle_family(spark, sf_dir):
     a = explain.audit(q_peak_hours(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_cm_sketch_probe_broadcasts_fixed_grid(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_heavy_hitters_sketch
+
+    df = q_heavy_hitters_sketch(spark, sf_dir)
+    # the depth×width grid is fixed-size → it must broadcast to the
+    # probe; neither side sort-merges
+    a = explain.audit(df)
+    assert a["broadcast_joins"] >= 1, "sketch grid must broadcast"
+    assert a["sort_merge_joins"] == 0
+    assert explain.nested_loop_join_count(df) == 0

@@ -554,3 +554,39 @@ def test_stream_stream_left_join_invariants(spark, sf_dir):
     assert got_null_ids <= batch_null_ids
     # no row appears both matched and null-extended
     assert not (got_null_ids & {i for (_, _, i) in got_matched})
+
+
+def test_rollup_partial_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: landing the SAME epoch twice must
+    leave the partials — and therefore the served rollup — unchanged."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.streaming.windows import (
+        land_rollup_partial,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "c1", datetime(2024, 1, 5, 10), 7),
+            (2, "c1", datetime(2024, 1, 5, 11), 3),
+            (3, "c2", datetime(2024, 1, 6, 9), 5),
+        ],
+        "id long, camera_id string, ts timestamp, new_count long",
+    )
+    part_dir = str(tmp_path / "partials")
+    land_rollup_partial(batch, 0, part_dir)
+    land_rollup_partial(batch, 0, part_dir)  # simulated epoch retry
+
+    served = (
+        spark.read.parquet(part_dir)
+        .groupBy("camera_id", "d")
+        .agg(F.sum("partial_total").alias("total"), F.sum("partial_n").alias("n"))
+        .collect()
+    )
+    got = {(r.camera_id, r.d): (r.total, r.n) for r in served}
+    assert got == {
+        ("c1", "2024-01-05"): (10, 2),
+        ("c2", "2024-01-06"): (5, 1),
+    }

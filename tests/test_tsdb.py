@@ -112,3 +112,12 @@ def test_delta_series_first_row_null_and_rate(spark, tmp_path):
     assert r[0].delta is None and r[0].rate_per_s is None
     assert r[1].delta == 15.5 and r[1].dt_s == 100
     assert abs(r[1].rate_per_s - 0.155) < 1e-9
+
+
+def test_cm_sketch_never_underestimates(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tsdb import q_heavy_hitters_sketch
+
+    rows = q_heavy_hitters_sketch(spark, sf_dir).collect()
+    assert rows, "no cameras"
+    assert all(r.overcount >= 0 for r in rows), "count-min underestimated"
+    assert all(r.cm_estimate == r.exact_total + r.overcount for r in rows)
