@@ -116,6 +116,13 @@ EXTENDED = [
     "q_delta_series",
     "q_hybrid_rollup",
     "q_heavy_hitters",
+    "q_embedding_centroids",
+    "q_peak_hours",
+    "q_skyline_pareto",
+    "q_heavy_hitters_sketch",
+    "q_stream_continuous_rollup",
+    "q_first_touch_attribution",
+    "q_markov_transitions",
 ]
 
 

@@ -360,3 +360,126 @@ def q_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id", "id")
     )
+
+
+ATTRIB_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q_first_touch_attribution",
+    oracle=with_traffic(f"""
+, seq AS (
+  SELECT camera_id, id, ts, event_type,
+         epoch_us(ts) AS e,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+           PARTITION BY camera_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {ATTRIB_WINDOW_US} PRECEDING AND CURRENT ROW
+         ) AS first_view_e
+  FROM traffic
+)
+SELECT camera_id, id, ts,
+       CASE WHEN first_view_e IS NOT NULL
+            THEN make_timestamp(first_view_e) END AS first_view_ts,
+       CAST(first_view_e IS NOT NULL AS INT) AS attributed,
+       CASE WHEN first_view_e IS NOT NULL
+            THEN CAST((e - first_view_e) // 1000000 AS BIGINT) END AS lag_s
+FROM seq
+WHERE event_type = 'purchase'
+ORDER BY camera_id, id
+"""),
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the
+    EARLIEST view by the same user inside the trailing 7-day window —
+    the classic marketing-attribution shape, and a window form nothing
+    else in the registry exercises: a CONDITIONAL min over a
+    value-based time-RANGE frame (compare q_trailing_range_sum's
+    unconditional sum). Ordering on exact epoch micros keeps the frame
+    tie-symmetric and deterministic without a tie-break column.
+
+    One window pass partitioned by the high-cardinality user key, then
+    a filter to purchases — no join, no second scan; the candidate
+    views never materialize as rows."""
+    h = traffic_history(spark, sf_dir)
+    e = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy(e)
+        .rangeBetween(-ATTRIB_WINDOW_US, 0)
+    )
+    seq = h.select(
+        "camera_id",
+        "id",
+        "ts",
+        "event_type",
+        e.alias("e"),
+        F.min(F.when(F.col("event_type") == "view", e)).over(w).alias("first_view_e"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            "camera_id",
+            "id",
+            "ts",
+            F.timestamp_micros("first_view_e").alias("first_view_ts"),
+            F.col("first_view_e").isNotNull().cast("int").alias("attributed"),
+            F.when(
+                F.col("first_view_e").isNotNull(),
+                F.floor((F.col("e") - F.col("first_view_e")) / 1_000_000).cast("long"),
+            ).alias("lag_s"),
+        )
+        .orderBy("camera_id", "id")
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle=with_traffic("""
+, seq AS (
+  SELECT camera_id, event_type,
+         LAG(event_type) OVER (PARTITION BY camera_id ORDER BY ts, id) AS prev_type
+  FROM traffic
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(n * 1000000.0 / SUM(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_ppm
+FROM cnt
+ORDER BY prev_type, next_type
+"""),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) — the behavioral-modeling
+    prep step (session intent, anomaly priors) for event-stream
+    corpora. One lag window on the user key, one (prev, next) count
+    aggregate (≤ |types|² groups), and the row-normalization window
+    runs over that dimension-sized matrix, never the facts. The
+    probability ships as exact integer ppm (floor of n·10⁶/total) —
+    a round()ed double can land on a half-tie where Spark (HALF_UP)
+    and DuckDB (banker's) disagree; floor of an exact quotient cannot.
+    """
+    h = traffic_history(spark, sf_dir)
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    seq = h.select(
+        "camera_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * F.lit(1_000_000.0) / F.sum("n").over(wp))
+        .cast("long")
+        .alias("p_ppm"),
+    ).orderBy("prev_type", "next_type")

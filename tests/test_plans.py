@@ -397,3 +397,25 @@ def test_cm_sketch_probe_broadcasts_fixed_grid(spark, sf_dir):
     assert a["broadcast_joins"] >= 1, "sketch grid must broadcast"
     assert a["sort_merge_joins"] == 0
     assert explain.nested_loop_join_count(df) == 0
+
+
+def test_attribution_single_window_no_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import (
+        q_first_touch_attribution,
+    )
+
+    a = explain.audit(q_first_touch_attribution(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_markov_normalization_over_matrix_only(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import (
+        q_markov_transitions,
+    )
+
+    # lag window on camera_id → (prev,next) count agg → normalization
+    # window over the dimension-sized matrix + final sort
+    a = explain.audit(q_markov_transitions(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"

@@ -121,3 +121,57 @@ def test_cm_sketch_never_underestimates(spark, sf_dir):
     assert rows, "no cameras"
     assert all(r.overcount >= 0 for r in rows), "count-min underestimated"
     assert all(r.cm_estimate == r.exact_total + r.overcount for r in rows)
+
+
+def test_first_touch_attribution_window_edges(spark, tmp_path):
+    """user 1: view 100 s before the purchase → attributed, lag 100;
+    a second view 50 s before must NOT steal credit (first touch =
+    earliest in window). user 2: only a view AFTER the purchase →
+    unattributed. user 3: the view is 8 days old → outside the 7-day
+    window → unattributed."""
+    from big_data_traffict_prediction_spark.operators.windows import (
+        q_first_touch_attribution,
+    )
+
+    T = NOW_EPOCH - 86400
+    rows = [
+        (1, _utc(T - 100), 1, "view", 1.0, "{}"),
+        (2, _utc(T - 50), 1, "view", 1.0, "{}"),
+        (3, _utc(T), 1, "purchase", 1.0, "{}"),
+        (4, _utc(T + 60), 2, "purchase", 1.0, "{}"),
+        (5, _utc(T + 120), 2, "view", 1.0, "{}"),
+        (6, _utc(T - 8 * 86400), 3, "view", 1.0, "{}"),
+        (7, _utc(T), 3, "purchase", 1.0, "{}"),
+    ]
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {r.id: (r.attributed, r.lag_s) for r in
+           q_first_touch_attribution(spark, path).collect()}
+    assert out == {3: (1, 100), 4: (0, None), 7: (0, None)}
+
+
+def test_markov_transitions_hand_counts(spark, tmp_path):
+    """user 1 sequence view→click→click: transitions (view,click) and
+    (click,click); user 2 click→view: (click,view). From 'click' the
+    next is click or view, 1 each → 500000 ppm."""
+    from big_data_traffict_prediction_spark.operators.windows import (
+        q_markov_transitions,
+    )
+
+    T = NOW_EPOCH - 86400
+    rows = [
+        (1, _utc(T), 1, "view", 1.0, "{}"),
+        (2, _utc(T + 10), 1, "click", 1.0, "{}"),
+        (3, _utc(T + 20), 1, "click", 1.0, "{}"),
+        (4, _utc(T), 2, "click", 1.0, "{}"),
+        (5, _utc(T + 10), 2, "view", 1.0, "{}"),
+    ]
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {(r.prev_type, r.next_type): (r.n, r.p_ppm) for r in
+           q_markov_transitions(spark, path).collect()}
+    assert out == {
+        ("view", "click"): (1, 1_000_000),
+        ("click", "click"): (1, 500_000),
+        ("click", "view"): (1, 500_000),
+    }
