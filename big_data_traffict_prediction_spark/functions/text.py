@@ -514,3 +514,71 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("bm25"),
         )
     )
+
+
+VOCAB_COVERAGE_PCT = 90
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split({NORM_SQL}, ' ') AS toks FROM documents
+),
+cnt AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1
+),
+ranked AS (
+  SELECT token, CAST(n AS BIGINT) AS n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM cnt
+)
+SELECT CAST(rank AS INT) AS rank, token, n,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(cum * 100 // total AS BIGINT) AS coverage_pct
+FROM ranked
+WHERE (cum - n) * 100 < total * {VOCAB_COVERAGE_PCT}
+ORDER BY rank
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary builder: corpus tokens by descending
+    frequency with running coverage, truncated to the prefix that
+    reaches {VOCAB_COVERAGE_PCT}% of the token mass (the standard
+    vocab-size-vs-coverage decision for a word-level tokenizer; the
+    truncation predicate ``(cum - n)·100 < total·pct`` keeps exactly
+    the rows whose PRECEDING mass is still short of the target, in
+    exact integer math — no percentage double anywhere).
+
+    One (token) count shuffle — tokens move as grouped counts, not
+    text occurrences (map-side combine); the ranking/cumsum window
+    runs over the vocabulary (dimension-sized), with the total as a
+    window over the same frame, never a second corpus scan.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(norm_col(), " ")).alias("token")
+    )
+    cnt = t.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    wo = Window.orderBy(F.desc("n"), "token")
+    ranked = cnt.select(
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(wo).cast("int").alias("rank"),
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.filter((F.col("cum") - F.col("n")) * 100 < F.col("total") * VOCAB_COVERAGE_PCT)
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.col("cum").cast("long").alias("cum_tokens"),
+            F.floor(F.col("cum") * 100 / F.col("total")).cast("long").alias("coverage_pct"),
+        )
+        .orderBy("rank")
+    )

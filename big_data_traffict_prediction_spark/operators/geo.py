@@ -1,0 +1,154 @@
+"""Geospatial operators over the camera dimension.
+
+The reference's cameras carry real lat/lng coordinates
+(``data/cctv_config.json``, Bandung city; loaded at
+``app/utils.py:386-394``) but the app never computes with them — they
+go straight to the dashboard map. An analytics engine over the same
+data model should answer the two geo questions a camera network asks:
+"which cameras are near this one" (k-NN) and "where are cameras
+concentrated" (grid density). Both are implemented here over a
+DETERMINISTIC pseudo-coordinate assignment derived from the camera
+key (the driver testdata has no coordinate column), with the exact
+arithmetic twin in the DuckDB oracle.
+
+Distance uses the squared planar (equirectangular) metric in degree
+space — a polynomial over exact inputs, so both engines produce
+bit-identical doubles. Haversine would be the production metric at
+continental extents, but libm trig differs across engines at the ULP
+level (not hash-safe) and at city scale (<0.1°) the planar ranking is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table, with_traffic
+
+# Pseudo-coordinates: a deterministic scatter inside a Bandung-sized
+# bounding box (the reference's city), exact rationals of cam_key.
+LAT0, LNG0 = -7.0, 107.55
+_COORD_CTE = """
+camera_geo AS (
+  SELECT c_custkey AS cam_key,
+         -7.0 + CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10000 AS lat,
+         107.55 + CAST(c_custkey * 73 % 1000 AS DOUBLE) / 10000 AS lng
+  FROM customer WHERE c_custkey % 4 <> 0
+)
+""".strip()
+
+K_NEIGHBORS = 3
+CELL_DEG = 0.01  # ~1.1 km grid cell
+
+
+def camera_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camera-config dimension with deterministic pseudo lat/lng
+    (same subset predicate as joins.camera_dim)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 != 0)
+    return c.select(
+        F.col("c_custkey").alias("cam_key"),
+        (F.lit(LAT0) + (F.col("c_custkey") * 37 % 1000).cast("double") / 10000).alias("lat"),
+        (F.lit(LNG0) + (F.col("c_custkey") * 73 % 1000).cast("double") / 10000).alias("lng"),
+    )
+
+
+@register(
+    "q_camera_neighbors",
+    oracle=f"""
+WITH {_COORD_CTE},
+pairs AS (
+  SELECT a.cam_key, b.cam_key AS neighbor_key,
+         (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lng - b.lng) * (a.lng - b.lng) AS d2
+  FROM camera_geo a JOIN camera_geo b ON a.cam_key <> b.cam_key
+),
+ranked AS (
+  SELECT cam_key, neighbor_key, d2,
+         row_number() OVER (PARTITION BY cam_key ORDER BY d2, neighbor_key) AS rank
+  FROM pairs
+)
+SELECT cam_key, neighbor_key, d2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K_NEIGHBORS}
+ORDER BY cam_key, rank
+""",
+)
+def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN over the camera map: each camera's {K} nearest others by
+    squared planar distance, ties broken by neighbor key. The pair
+    join runs over the camera DIMENSION (config-sized, broadcast —
+    never the fact table), so the quadratic step is bounded by the
+    network size exactly like q_profile_correlation's matrix. At
+    continental scale the candidate set would come from the grid cells
+    of q_geo_cell_density (3×3 neighborhood equi-join) with this exact
+    form as its verification oracle — same blocked-candidates pattern
+    as the dedup family.
+    """
+    g = camera_geo(spark, sf_dir)
+    a, b = g.alias("a"), g.alias("b")
+    d2 = (F.col("a.lat") - F.col("b.lat")) * (F.col("a.lat") - F.col("b.lat")) + (
+        F.col("a.lng") - F.col("b.lng")
+    ) * (F.col("a.lng") - F.col("b.lng"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.cam_key") != F.col("b.cam_key"))
+        .select(
+            F.col("a.cam_key").alias("cam_key"),
+            F.col("b.cam_key").alias("neighbor_key"),
+            d2.alias("d2"),
+        )
+    )
+    w = Window.partitionBy("cam_key").orderBy("d2", "neighbor_key")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .orderBy("cam_key", "rank")
+    )
+
+
+@register(
+    "q_geo_cell_density",
+    oracle=with_traffic(f"""
+, totals AS (
+  SELECT CAST(camera_id AS BIGINT) AS cam_key,
+         CAST(SUM(new_count) AS BIGINT) AS cam_total
+  FROM traffic GROUP BY 1
+)
+SELECT CAST(FLOOR(g.lat / {CELL_DEG}) AS BIGINT) AS cell_lat,
+       CAST(FLOOR(g.lng / {CELL_DEG}) AS BIGINT) AS cell_lng,
+       COUNT(*) AS n_cameras,
+       CAST(COALESCE(SUM(t.cam_total), 0) AS BIGINT) AS cell_volume
+FROM camera_geo g LEFT JOIN totals t ON t.cam_key = g.cam_key
+GROUP BY 1, 2
+ORDER BY cell_lat, cell_lng
+""", extra_ctes=_COORD_CTE),
+)
+def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density map: cameras bucketed to a {CELL_DEG}° grid
+    (the integer-cell geohash analog) with per-cell camera counts and
+    total observed volume. This cell key is the blocking structure the
+    k-NN query would join on at scale — here it also feeds the
+    dashboard heat map directly.
+
+    The fact table collapses to per-camera totals (one shuffle on the
+    high-cardinality key) BEFORE joining the geo dimension, so the
+    geo join and the cell aggregate both run dimension-sized.
+    """
+    g = camera_geo(spark, sf_dir)
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("cam_key"))
+        .agg(F.sum(F.floor("value").cast("long")).alias("cam_total"))
+    )
+    return (
+        g.join(F.broadcast(h), "cam_key", "left")
+        .groupBy(
+            F.floor(F.col("lat") / CELL_DEG).cast("long").alias("cell_lat"),
+            F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cell_lng"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cameras"),
+            F.coalesce(F.sum("cam_total"), F.lit(0)).cast("long").alias("cell_volume"),
+        )
+        .orderBy("cell_lat", "cell_lng")
+    )

@@ -434,3 +434,49 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RESERVOIR_K = 100
+
+
+@register(
+    "q_reservoir_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substr(md5('rsv#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS sort_key
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY sort_key, doc_id) AS rk FROM h
+)
+SELECT doc_id, source, n_chars, sort_key
+FROM r WHERE rk <= {RESERVOIR_K}
+ORDER BY sort_key, doc_id
+""",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample: rank every document by a salted
+    md5 of its id and keep the K smallest — the distributed, RERUNNABLE
+    replacement for reservoir sampling (same marginal uniformity; the
+    hash is the random tape, so the sample is identical across
+    engines, partitionings and reruns — q_stratified_sample's seeded
+    RNG twin can only be rows-only). orderBy+limit plans as
+    TakeOrderedAndProject: per-partition top-K heaps + a K-row driver
+    merge, never a global sort — the selection cost is O(corpus) map
+    work regardless of K.
+    """
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rsv#"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("sort_key"),
+    )
+    return h.orderBy("sort_key", "doc_id").limit(RESERVOIR_K)

@@ -65,6 +65,7 @@ def _load_modules() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        geo,
         iou,
         joins,
         pipeline,

@@ -1,0 +1,37 @@
+"""Property tests for the geospatial operators (operators/geo.py);
+exactness comes from the DuckDB oracle parity gate."""
+
+from __future__ import annotations
+
+from big_data_traffict_prediction_spark.operators.geo import (
+    K_NEIGHBORS,
+    camera_geo,
+    q_camera_neighbors,
+    q_geo_cell_density,
+)
+
+
+def test_neighbors_shape_and_monotone_distance(spark, sf_dir):
+    cams = camera_geo(spark, sf_dir).count()
+    rows = q_camera_neighbors(spark, sf_dir).collect()
+    assert len(rows) == cams * K_NEIGHBORS
+    by_cam: dict = {}
+    for r in rows:
+        assert r.neighbor_key != r.cam_key
+        by_cam.setdefault(r.cam_key, []).append(r)
+    for cam, rs in by_cam.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, K_NEIGHBORS + 1))
+        d2s = [r.d2 for r in rs]
+        assert d2s == sorted(d2s), f"d2 not ascending for {cam}"
+
+
+def test_cell_density_partitions_all_cameras(spark, sf_dir):
+    cams = camera_geo(spark, sf_dir).count()
+    rows = q_geo_cell_density(spark, sf_dir).collect()
+    assert sum(r.n_cameras for r in rows) == cams
+    assert all(r.cell_volume >= 0 for r in rows)
+    # cells are within the Bandung pseudo-box: lat ∈ [-7, -6.9], lng ∈ [107.55, 107.65]
+    for r in rows:
+        assert -701 <= r.cell_lat <= -689
+        assert 10755 <= r.cell_lng <= 10766

@@ -52,3 +52,34 @@ def test_corpus_select_applies_all_three_filters(spark, sf_dir):
     picked = {r.doc_id for r in rows}
     fps = [r.fp for r in d.collect() if r.doc_id in picked]
     assert len(fps) == len(set(fps)), "selected corpus contains duplicate fingerprints"
+
+
+def test_reservoir_sample_is_deterministic_uniform_k(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        RESERVOIR_K,
+        q_reservoir_sample,
+    )
+
+    a = [r.doc_id for r in q_reservoir_sample(spark, sf_dir).collect()]
+    b = [r.doc_id for r in q_reservoir_sample(spark, sf_dir).collect()]
+    assert a == b, "hash-ranked sample must be rerun-stable"
+    assert len(a) == min(RESERVOIR_K, 500) and len(set(a)) == len(a)
+
+
+def test_vocab_coverage_reaches_target_monotonically(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.text import (
+        VOCAB_COVERAGE_PCT,
+        q_vocab_coverage,
+    )
+
+    rows = q_vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True), "frequency must be non-increasing"
+    cums = [r.cum_tokens for r in rows]
+    assert cums == sorted(cums), "cumulative mass must increase"
+    assert rows[-1].coverage_pct >= VOCAB_COVERAGE_PCT
+    # the cut is minimal: the second-to-last row was still short of it
+    if len(rows) >= 2:
+        assert rows[-2].coverage_pct < VOCAB_COVERAGE_PCT

@@ -419,3 +419,31 @@ def test_markov_normalization_over_matrix_only(spark, sf_dir):
     a = explain.audit(q_markov_transitions(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_geo_neighbors_pair_join_is_dim_broadcast(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.geo import q_camera_neighbors
+
+    # the quadratic step is over the broadcast camera dimension — a
+    # nested-loop there is bounded and intended; facts never appear
+    a = explain.audit(q_camera_neighbors(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    cols = a["read_schema"]
+    assert "c_custkey" in cols and "c_comment" not in cols, (
+        f"geo dim scan must prune to the key column; reads {cols}"
+    )
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.pipeline import q_reservoir_sample
+
+    df = q_reservoir_sample(spark, sf_dir)
+    assert explain.has_take_ordered(df), "hash-rank top-K must not global-sort"
+
+
+def test_vocab_coverage_single_count_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.text import q_vocab_coverage
+
+    a = explain.audit(q_vocab_coverage(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
