@@ -127,6 +127,9 @@ EXTENDED = [
     "q_geo_cell_density",
     "q_reservoir_sample",
     "q_vocab_coverage",
+    "q_rising_streaks",
+    "q_volume_percentile_rank",
+    "q_zorder_key",
 ]
 
 

@@ -798,3 +798,121 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("camera_id", "total", "peak")
         .orderBy(F.desc("total"), "camera_id")
     )
+
+
+STREAK_MIN_LEN = 3
+
+
+@register(
+    "q_rising_streaks",
+    oracle=with_traffic(f"""
+, seq AS (
+  SELECT camera_id, ts, id, new_count,
+         CASE WHEN new_count > LAG(new_count) OVER w THEN 0 ELSE 1 END AS brk,
+         row_number() OVER w AS rn
+  FROM traffic
+  WINDOW w AS (PARTITION BY camera_id ORDER BY ts, id)
+),
+grp AS (
+  SELECT camera_id, ts, id, new_count, rn,
+         SUM(brk) OVER (PARTITION BY camera_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM seq
+),
+runs AS (
+  SELECT camera_id, g,
+         COUNT(*) AS run_len,
+         MIN(ts) AS run_start, MAX(ts) AS run_end,
+         MIN(new_count) AS from_count, MAX(new_count) AS to_count
+  FROM grp GROUP BY camera_id, g
+)
+SELECT camera_id, run_start, run_end,
+       CAST(run_len AS BIGINT) AS run_len,
+       CAST(from_count AS BIGINT) AS from_count,
+       CAST(to_count AS BIGINT) AS to_count
+FROM runs WHERE run_len >= {STREAK_MIN_LEN}
+ORDER BY camera_id, run_start
+"""),
+)
+def q_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event detection, batch form: maximal runs of ≥3
+    strictly-RISING consecutive samples per camera (the "congestion
+    building" precursor pattern; an episode's min/max counts double as
+    its from→to ramp because the run is monotone). Classic
+    gaps-and-islands: one lag pass marks streak breaks, a running sum
+    numbers the islands, one aggregate sizes them — two window passes
+    and a groupBy, all partitioned on camera_id (one shuffle family),
+    no join, no driver loop. The streaming twin of this shape is
+    q_stream_congestion_episodes' keyed state.
+    """
+    h = traffic_history(spark, sf_dir)
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    seq = h.select(
+        "camera_id",
+        "ts",
+        "id",
+        "new_count",
+        F.when(F.col("new_count") > F.lag("new_count").over(w), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wg = Window.partitionBy("camera_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = seq.withColumn("g", F.sum("brk").over(wg))
+    runs = grp.groupBy("camera_id", "g").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.min("new_count").alias("from_count"),
+        F.max("new_count").alias("to_count"),
+    )
+    return (
+        runs.filter(F.col("run_len") >= STREAK_MIN_LEN)
+        .select(
+            "camera_id",
+            "run_start",
+            "run_end",
+            F.col("run_len").cast("long").alias("run_len"),
+            F.col("from_count").cast("long").alias("from_count"),
+            F.col("to_count").cast("long").alias("to_count"),
+        )
+        .orderBy("camera_id", "run_start")
+    )
+
+
+@register(
+    "q_volume_percentile_rank",
+    oracle=with_traffic("""
+, agg AS (
+  SELECT camera_id, CAST(SUM(new_count) AS BIGINT) AS total
+  FROM traffic GROUP BY camera_id
+)
+SELECT camera_id, total,
+       percent_rank() OVER (ORDER BY total, camera_id) AS pct_rank,
+       cume_dist() OVER (ORDER BY total, camera_id) AS cume,
+       CAST(ntile(10) OVER (ORDER BY total, camera_id) AS INT) AS decile
+FROM agg
+ORDER BY total, camera_id
+"""),
+)
+def q_volume_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution placement of every camera: percent_rank, cume_dist
+    and decile over lifetime volume — the analytic-rank family
+    (complementing q_camera_quartiles' ntile-only view). The tie-break
+    on camera_id makes all three rank functions order-deterministic;
+    their values are small-integer ratios, bit-identical cross-engine.
+    The window runs over the per-camera AGGREGATE (dimension-sized) —
+    facts shuffle once.
+    """
+    h = traffic_history(spark, sf_dir)
+    agg = h.groupBy("camera_id").agg(F.sum("new_count").cast("long").alias("total"))
+    wo = Window.orderBy("total", "camera_id")
+    return agg.select(
+        "camera_id",
+        "total",
+        F.percent_rank().over(wo).alias("pct_rank"),
+        F.cume_dist().over(wo).alias("cume"),
+        F.ntile(10).over(wo).cast("int").alias("decile"),
+    ).orderBy("total", "camera_id")

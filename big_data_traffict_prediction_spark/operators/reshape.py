@@ -117,3 +117,82 @@ def q_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ Z-order layout key
+
+_SPREAD_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(c):
+    """Interleave-spread a 16-bit value into the even bit positions of
+    a 32-bit lane (the standard Morton magic-mask ladder)."""
+    for shift, mask in _SPREAD_MASKS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def _spread_sql(expr: str) -> str:
+    out = expr
+    for shift, mask in _SPREAD_MASKS:
+        out = f"(({out} | ({out} << {shift})) & {mask})"
+    return out
+
+
+ZORDER_LIMIT = 1000
+
+_ZK_SQL = (
+    "("
+    + _spread_sql("(CAST(camera_id AS BIGINT) % 65536)")
+    + " | ("
+    + _spread_sql("((epoch_us(ts) // 1000000) // 3600 % 65536)")
+    + " << 1))"
+)
+
+
+def _zorder_oracle() -> str:
+    from ..tables import with_traffic
+
+    return with_traffic(f"""
+SELECT id, camera_id,
+       CAST((epoch_us(ts) // 1000000) // 3600 AS BIGINT) AS epoch_hour,
+       CAST({_ZK_SQL} AS BIGINT) AS zkey
+FROM traffic
+ORDER BY zkey, id
+LIMIT {ZORDER_LIMIT}
+""")
+
+
+@register("q_zorder_key", oracle=_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (camera, hour): the two
+    16-bit coordinates bit-interleave into one sort key, so a table
+    REWRITTEN in zkey order gets parquet row-group min/max locality on
+    BOTH the camera and the time axis at once — the data-layout move
+    behind multi-dimensional data skipping (Delta/Iceberg OPTIMIZE
+    ZORDER). Pure integer magic-mask ladders (identical cross-engine);
+    the preview emits the first {ZORDER_LIMIT} rows of the would-be
+    layout via TakeOrderedAndProject, never a global sort.
+    """
+    from ..compat import epoch_s
+    from ..tables import traffic_history
+
+    h = traffic_history(spark, sf_dir)
+    cam16 = (F.col("camera_id").cast("long") % 65536).cast("long")
+    hour16 = (F.floor(epoch_s("ts") / 3600).cast("long") % 65536).cast("long")
+    zkey = _spread_bits(cam16).bitwiseOR(F.shiftleft(_spread_bits(hour16), 1))
+    return (
+        h.select(
+            "id",
+            "camera_id",
+            F.floor(epoch_s("ts") / 3600).cast("long").alias("epoch_hour"),
+            zkey.cast("long").alias("zkey"),
+        )
+        .orderBy("zkey", "id")
+        .limit(ZORDER_LIMIT)
+    )

@@ -153,3 +153,37 @@ def test_embedding_centroids_hand_mean(spark, tmp_path):
            q_embedding_centroids(spark, path).collect()}
     assert out[0] == (2, [2.0, -3.0])
     assert out[1] == (1, [10.0, 10.0])
+
+
+def test_rising_streaks_hand_planted(spark, tmp_path):
+    """cam 1: 1,2,3,2,5,6,7,8 → runs [1,2,3] (len 3) and [2,5,6,7,8]
+    (len 5); cam 2: 4,4,4 → no strictly-rising run ≥ 3."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.analytics import q_rising_streaks
+
+    plant = {1: [1, 2, 3, 2, 5, 6, 7, 8], 2: [4, 4, 4]}
+    rows, eid = [], 0
+    for cam, vals in plant.items():
+        for k, v in enumerate(vals):
+            rows.append((eid, datetime(2024, 1, 10, 8, k), cam, "click", float(v) + 0.2, "{}"))
+            eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = [(r.camera_id, r.run_len, r.from_count, r.to_count)
+           for r in q_rising_streaks(spark, path).collect()]
+    assert out == [("1", 3, 1, 3), ("1", 5, 2, 8)]
+
+
+def test_zorder_key_interleaves_bits(spark, tmp_path):
+    """cam 3 (bits 11) at epoch-hour 1 (bit 1): spread(3)=0b101,
+    spread(1)<<1=0b10 → zkey 0b111 = 7."""
+    from datetime import datetime, timezone
+
+    from big_data_traffict_prediction_spark.operators.reshape import q_zorder_key
+
+    ts = datetime.fromtimestamp(3600, tz=timezone.utc).replace(tzinfo=None)
+    _write_events(spark, str(tmp_path / "ev"), [(1, ts, 3, "click", 1.0, "{}")])
+    r = q_zorder_key(spark, str(tmp_path / "ev")).collect()
+    assert len(r) == 1
+    assert (r[0].camera_id, r[0].epoch_hour, r[0].zkey) == ("3", 1, 7)

@@ -447,3 +447,19 @@ def test_vocab_coverage_single_count_shuffle(spark, sf_dir):
     a = explain.audit(q_vocab_coverage(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_rising_streaks_one_camera_shuffle_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_rising_streaks
+
+    a = explain.audit(q_rising_streaks(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_zorder_preview_is_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.reshape import q_zorder_key
+
+    df = q_zorder_key(spark, sf_dir)
+    assert explain.has_take_ordered(df), "layout preview must not global-sort"
+    assert explain.python_eval_count(df) == 0
