@@ -130,6 +130,7 @@ EXTENDED = [
     "q_rising_streaks",
     "q_volume_percentile_rank",
     "q_zorder_key",
+    "q_similar_days",
 ]
 
 

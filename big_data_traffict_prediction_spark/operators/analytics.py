@@ -916,3 +916,100 @@ def q_volume_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(wo).alias("cume"),
         F.ntile(10).over(wo).cast("int").alias("decile"),
     ).orderBy("total", "camera_id")
+
+
+# Reference profile for the series-similarity search: camera '1' on
+# the last full day of the dataset (NOW is midnight, so NOW-1d).
+from ..compat import NOW_EPOCH as _NOW_EPOCH  # noqa: E402
+
+SIMILAR_REF_CAMERA = "1"
+SIMILAR_REF_DAY = __import__("datetime").datetime.utcfromtimestamp(
+    _NOW_EPOCH - 86400
+).strftime("%Y-%m-%d")
+SIMILAR_TOP_K = 10
+
+
+@register(
+    "q_similar_days",
+    oracle=with_traffic(f"""
+, hourly AS (
+  SELECT camera_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(SUM(new_count) AS BIGINT) AS v
+  FROM traffic GROUP BY 1, 2, 3
+),
+qvec AS (
+  SELECT hour, v AS qv FROM hourly
+  WHERE camera_id = '{SIMILAR_REF_CAMERA}' AND d = '{SIMILAR_REF_DAY}'
+),
+q2 AS (SELECT CAST(COALESCE(SUM(qv * qv), 0) AS BIGINT) AS q2total FROM qvec),
+scored AS (
+  SELECT h.camera_id, h.d,
+         CAST(SUM((h.v - COALESCE(q.qv, 0)) * (h.v - COALESCE(q.qv, 0))) AS BIGINT)
+           AS present_term,
+         CAST(SUM(COALESCE(q.qv, 0) * COALESCE(q.qv, 0)) AS BIGINT) AS matched_q2
+  FROM hourly h LEFT JOIN qvec q ON q.hour = h.hour
+  WHERE NOT (h.camera_id = '{SIMILAR_REF_CAMERA}' AND h.d = '{SIMILAR_REF_DAY}')
+  GROUP BY 1, 2
+)
+SELECT s.camera_id, s.d,
+       CAST(s.present_term + q2.q2total - s.matched_q2 AS BIGINT) AS d2
+FROM scored s, q2
+ORDER BY d2, s.camera_id, s.d
+LIMIT {SIMILAR_TOP_K}
+"""),
+)
+def q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series similarity search (the REPOSE/Odyssey
+    problem shape over this engine's data, PAPERS.md): which (camera,
+    day) hourly profiles look most like camera {SIMILAR_REF_CAMERA}'s
+    last full day? Squared Euclidean distance over the 24-hour count
+    vectors, computed WITHOUT materializing dense vectors: candidate
+    hourly rows left-join the broadcast 24-row query profile, and the
+    hours the candidate is missing enter through the algebraic
+    correction Σq² − Σ_matched q² (one scalar crossJoin). All distance
+    arithmetic is exact BIGINT, so the ranking is bit-deterministic;
+    top-{SIMILAR_TOP_K} plans as TakeOrderedAndProject.
+
+    At 100 TB: facts collapse to the (camera, day, hour) aggregate
+    (one shuffle, high-cardinality keys), the query profile and its
+    norm are dimension-sized broadcasts, and the per-day scoring
+    reuses the aggregate's partitioning — no second fact scan, no
+    global sort.
+    """
+    h = (
+        traffic_history(spark, sf_dir)
+        .groupBy(
+            "camera_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.sum("new_count").cast("long").alias("v"))
+    )
+    is_ref = (F.col("camera_id") == SIMILAR_REF_CAMERA) & (F.col("d") == SIMILAR_REF_DAY)
+    qvec = h.filter(is_ref).select("hour", F.col("v").alias("qv"))
+    q2 = qvec.agg(
+        F.coalesce(F.sum(F.col("qv") * F.col("qv")), F.lit(0)).cast("long").alias("q2total")
+    )
+    qv0 = F.coalesce(F.col("qv"), F.lit(0))
+    scored = (
+        h.filter(~is_ref)
+        .join(F.broadcast(qvec), "hour", "left")
+        .groupBy("camera_id", "d")
+        .agg(
+            F.sum((F.col("v") - qv0) * (F.col("v") - qv0)).cast("long").alias("present_term"),
+            F.sum(qv0 * qv0).cast("long").alias("matched_q2"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(q2))
+        .select(
+            "camera_id",
+            "d",
+            (F.col("present_term") + F.col("q2total") - F.col("matched_q2"))
+            .cast("long")
+            .alias("d2"),
+        )
+        .orderBy("d2", "camera_id", "d")
+        .limit(SIMILAR_TOP_K)
+    )

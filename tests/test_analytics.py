@@ -187,3 +187,27 @@ def test_zorder_key_interleaves_bits(spark, tmp_path):
     r = q_zorder_key(spark, str(tmp_path / "ev")).collect()
     assert len(r) == 1
     assert (r[0].camera_id, r[0].epoch_hour, r[0].zkey) == ("3", 1, 7)
+
+
+def test_similar_days_finds_planted_twin(spark, tmp_path):
+    """Camera 2 replays the reference profile exactly (d2=0); camera 3
+    differs by 2 vehicles in one hour (d2=4)."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        SIMILAR_REF_DAY,
+        q_similar_days,
+    )
+
+    y, m, d = (int(x) for x in SIMILAR_REF_DAY.split("-"))
+    rows, eid = [], 0
+    for h, v in ((8, 5), (9, 12), (10, 7)):
+        rows.append((eid, datetime(y, m, d, h), 1, "click", float(v) + 0.1, "{}")); eid += 1
+        rows.append((eid, datetime(y, m, d - 3, h), 2, "click", float(v) + 0.4, "{}")); eid += 1
+        off = 2 if h == 9 else 0
+        rows.append((eid, datetime(y, m, d - 5, h), 3, "click", float(v + off) + 0.2, "{}")); eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = [(r.camera_id, r.d2) for r in q_similar_days(spark, path).collect()]
+    assert out[0] == ("2", 0)
+    assert ("3", 4) in out

@@ -463,3 +463,13 @@ def test_zorder_preview_is_take_ordered(spark, sf_dir):
     df = q_zorder_key(spark, sf_dir)
     assert explain.has_take_ordered(df), "layout preview must not global-sort"
     assert explain.python_eval_count(df) == 0
+
+
+def test_similar_days_broadcast_profile_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_similar_days
+
+    df = q_similar_days(spark, sf_dir)
+    assert explain.has_take_ordered(df), "top-k must not global-sort"
+    a = explain.audit(df)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] >= 1, "query profile must broadcast"
