@@ -131,6 +131,8 @@ EXTENDED = [
     "q_volume_percentile_rank",
     "q_zorder_key",
     "q_similar_days",
+    "q_pmi_collocations",
+    "q_arrival_order_audit",
 ]
 
 

@@ -582,3 +582,105 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split({NORM_SQL}, ' ') AS toks FROM documents
+),
+uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1
+),
+big AS (
+  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT unnest(toks[1:len(toks)-1]) AS ta,
+           unnest(toks[2:len(toks)]) AS tb
+    FROM t WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT SUM(n) FROM uni) AS n_tok,
+         (SELECT SUM(n_ab) FROM big) AS n_big
+),
+scored AS (
+  SELECT b.ta, b.tb, b.n_ab,
+         (CAST(b.n_ab AS DOUBLE) * t.n_tok * t.n_tok)
+           / (CAST(t.n_big AS DOUBLE) * ua.n * ub.n) AS lift
+  FROM big b
+  JOIN uni ua ON ua.token = b.ta
+  JOIN uni ub ON ub.token = b.tb
+  CROSS JOIN tot t
+  WHERE b.n_ab >= {PMI_MIN_COUNT}
+)
+SELECT ta, tb, n_ab, lift
+FROM scored
+ORDER BY lift DESC, ta, tb
+LIMIT {PMI_TOP_K}
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent token pairs ranked by PMI lift
+    p(ab)/(p(a)p(b)) — the association statistic behind phrase mining
+    and tokenizer-merge candidates (a high-lift bigram is a BPE merge
+    waiting to happen). The ranking uses the LIFT ratio rather than
+    log-PMI: log() is libm and differs across engines at the ULP
+    level, while the ratio is one fixed chain of exact-rounded double
+    ops over exact integer counts — identical bits on both engines
+    (and log is monotone, so the ranking is the same statistic).
+
+    Two count shuffles (unigrams, bigrams — both move as grouped
+    counts, map-side combined), the corpus totals are a one-row
+    crossJoin broadcast, and the unigram probe joins broadcast the
+    vocabulary side; top-k is TakeOrderedAndProject.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        F.split(norm_col(), " ").alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("ta"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("tb"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = uni.agg(F.sum("n").alias("n_tok")).crossJoin(
+        big.agg(F.sum("n_ab").alias("n_big"))
+    )
+    ua = uni.select(F.col("token").alias("ta"), F.col("n").alias("na"))
+    ub = uni.select(F.col("token").alias("tb"), F.col("n").alias("nb"))
+    scored = (
+        big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "ta")
+        .join(F.broadcast(ub), "tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (
+                F.col("n_ab").cast("double") * F.col("n_tok") * F.col("n_tok")
+                / (F.col("n_big").cast("double") * F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "ta", "tb").limit(PMI_TOP_K)

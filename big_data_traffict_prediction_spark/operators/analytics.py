@@ -1013,3 +1013,70 @@ def q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "camera_id", "d")
         .limit(SIMILAR_TOP_K)
     )
+
+
+@register(
+    "q_arrival_order_audit",
+    oracle=with_traffic("""
+, seq AS (
+  SELECT camera_id, id, ts,
+         MAX(ts) OVER (PARTITION BY camera_id ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max_ts
+  FROM traffic
+)
+SELECT camera_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < prior_max_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN ts < prior_max_ts THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS late_ppm,
+       CAST(COALESCE(MAX(CASE WHEN ts < prior_max_ts
+                 THEN epoch_us(prior_max_ts) - epoch_us(ts) END) // 1000000, 0)
+            AS BIGINT) AS max_lateness_s
+FROM seq
+GROUP BY camera_id
+ORDER BY camera_id
+"""),
+)
+def q_arrival_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: per camera, how many events arrived
+    (by ingestion id) with an event time EARLIER than something already
+    seen, and how late the worst straggler was — the measurement that
+    justifies a streaming watermark choice (St7's 30 min delay should
+    dominate max_lateness_s). One running-max window ordered by the
+    arrival proxy + one aggregate, all on camera_id; the late fraction
+    ships as exact integer ppm.
+    """
+    h = traffic_history(spark, sf_dir)
+    w = (
+        Window.partitionBy("camera_id")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = h.select(
+        "camera_id",
+        "id",
+        "ts",
+        F.max("ts").over(w).alias("prior_max_ts"),
+    )
+    is_late = F.col("ts") < F.col("prior_max_ts")
+    lateness_s = F.floor(
+        (F.unix_micros("prior_max_ts") - F.unix_micros("ts")) / 1_000_000
+    )
+    return (
+        seq.groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.floor(
+                F.sum(F.when(is_late, 1).otherwise(0)) * F.lit(1_000_000.0)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("late_ppm"),
+            F.coalesce(F.max(F.when(is_late, lateness_s)), F.lit(0))
+            .cast("long")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("camera_id")
+    )

@@ -515,3 +515,50 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rollup.toPandas()  # materialize before the scratch dir is removed
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, schema=rollup.schema)
+
+
+@register("q_stream_stream_full_outer", oracle=None)
+def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last member of the
+    join-mode family (inner: hash-checked; left: rows-only; this side
+    completes the surface). Detections pair with congestion alerts in
+    the 15-minute lookback; unmatched rows from EITHER side emit
+    null-extended once the watermark evicts their join state. Like the
+    left join, the null sets depend on per-micro-batch watermark
+    advancement (an engine-scheduling artifact), so the query is
+    rows-only; the invariant pinned in tests is that its matched
+    subset equals the batch inner join exactly. State stays bounded on
+    both sides: both inputs watermarked and both event times
+    constrained, so state ∝ (watermark window × arrival rate)."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    obs = simulate.read_stream(spark, stage).withWatermark("ts", "30 minutes")
+    alerts = (
+        simulate.read_stream(spark, stage)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("ts").alias("alert_ts"),
+            F.col("id").alias("alert_id"),
+            F.col("new_count").alias("alert_count"),
+        )
+        .withWatermark("alert_ts", "30 minutes")
+    )
+    joined = obs.join(
+        alerts,
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
+        & (F.col("ts") <= F.col("alert_ts")),
+        "full_outer",
+    ).select(
+        "camera_id", "a_camera", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count"
+    )
+    out = windows.run_to_memory(
+        spark,
+        joined,
+        f"q_stream_stream_full_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return out.orderBy("camera_id", "a_camera", "id", "alert_id")

@@ -473,3 +473,23 @@ def test_similar_days_broadcast_profile_take_ordered(spark, sf_dir):
     a = explain.audit(df)
     assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] >= 1, "query profile must broadcast"
+
+
+def test_pmi_vocab_joins_broadcast(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.text import q_pmi_collocations
+
+    df = q_pmi_collocations(spark, sf_dir)
+    assert explain.has_take_ordered(df), "top-k must not global-sort"
+    a = explain.audit(df)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] >= 2, "unigram probes must broadcast"
+
+
+def test_arrival_audit_single_camera_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_arrival_order_audit,
+    )
+
+    a = explain.audit(q_arrival_order_audit(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"

@@ -590,3 +590,46 @@ def test_rollup_partial_replay_is_idempotent(spark, tmp_path):
         ("c1", "2024-01-05"): (10, 2),
         ("c2", "2024-01-06"): (5, 1),
     }
+
+
+def test_stream_stream_full_outer_invariants(spark, sf_dir):
+    """FULL OUTER stream-stream join: matched subset equals the batch
+    inner join; null-extended rows on each side are subsets of the
+    batch full join's unmatched sets (null SETS are eviction-timing
+    dependent — see the query docstring)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        ALERT_THRESHOLD,
+        q_stream_stream_full_outer,
+    )
+
+    out = q_stream_stream_full_outer(spark, sf_dir).collect()
+    got_matched = {
+        (r.camera_id, r.alert_id, r.id)
+        for r in out
+        if r.alert_id is not None and r.id is not None
+    }
+    got_null_obs = {r.id for r in out if r.alert_id is None and r.id is not None}
+    got_null_alerts = {r.alert_id for r in out if r.id is None and r.alert_id is not None}
+
+    d = simulate.detections_frame(spark, sf_dir)
+    alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
+        F.col("camera_id").alias("a_camera"),
+        F.col("ts").alias("alert_ts"),
+        F.col("id").alias("alert_id"),
+    )
+    cond = (
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
+        & (F.col("ts") <= F.col("alert_ts"))
+    )
+    batch_matched = {
+        (r.camera_id, r.alert_id, r.id) for r in d.join(alerts, cond).collect()
+    }
+    full = d.join(alerts, cond, "full_outer").collect()
+    batch_null_obs = {r.id for r in full if r.alert_id is None and r.id is not None}
+    batch_null_alerts = {r.alert_id for r in full if r.id is None and r.alert_id is not None}
+
+    assert got_matched == batch_matched
+    assert got_null_obs <= batch_null_obs
+    assert got_null_alerts <= batch_null_alerts
+    assert not (got_null_obs & {i for (_, _, i) in got_matched})
