@@ -133,6 +133,9 @@ EXTENDED = [
     "q_similar_days",
     "q_pmi_collocations",
     "q_arrival_order_audit",
+    "q_day_over_day",
+    "q_kfold_assign",
+    "q_gdpr_delete",
 ]
 
 

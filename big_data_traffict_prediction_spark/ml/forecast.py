@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..compat import dow0
 from ..registry import register
-from ..tables import traffic_history
+from ..tables import load_table, traffic_history
 
 
 def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,4 +88,57 @@ def q_ml_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_observed",
         )
         .orderBy("camera_id", "dow", "hour_of_day")
+    )
+
+
+KFOLDS = 5
+
+
+@register(
+    "q_kfold_assign",
+    oracle=f"""
+WITH a AS (
+  SELECT event_id,
+         CAST(CAST(('0x' || substr(md5('fold#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {KFOLDS} AS INT) AS fold
+  FROM events
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM a GROUP BY fold ORDER BY fold
+""",
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment: every event lands in one of
+    {KFOLDS} folds by a salted md5 of its id — deterministic across
+    engines, reruns and partitionings (a seeded RNG split is none of
+    those), and uniform in expectation. The summary emits fold sizes
+    and id ranges; the per-row assignment is the same pure map the
+    training job would apply — zero shuffles beyond the ≤K-group
+    rollup. Complements q_time_split's chronological split: k-fold for
+    i.i.d. evaluation, time-split for leakage-free forecasting.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fold = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold#"), F.col("event_id").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(KFOLDS),
+        )
+    ).cast("int")
+    return (
+        e.select("event_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .orderBy("fold")
     )

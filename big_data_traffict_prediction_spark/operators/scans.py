@@ -83,3 +83,47 @@ def q_history_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return camera_history(spark, sf_dir, start_ts=RANGE_START).orderBy(
         "camera_id", "ts", "id"
     )
+
+
+@register(
+    "q_gdpr_delete",
+    oracle=with_traffic("""
+, tombstones AS (
+  SELECT DISTINCT camera_id FROM traffic
+  WHERE CAST(camera_id AS BIGINT) % 10 = 7
+)
+SELECT t.camera_id,
+       CAST(COUNT(*) AS BIGINT) AS retained_events,
+       CAST(SUM(t.new_count) AS BIGINT) AS retained_total
+FROM traffic t
+ANTI JOIN tombstones d ON d.camera_id = t.camera_id
+GROUP BY t.camera_id
+ORDER BY t.camera_id
+"""),
+)
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure compaction: apply a deletion tombstone set
+    (here: every camera whose key ends in 7 — a deterministic stand-in
+    for a GDPR request list) to the fact table via broadcast ANTI join
+    and emit the retained per-camera summary — the verification
+    artifact a purge job ships. At 100 TB the tombstone list is
+    request-sized (broadcast), the anti join filters AT THE SCAN
+    (no fact shuffle before the filter), and the rewrite itself is a
+    partition-scoped overwrite of only the partitions containing
+    tombstoned keys.
+    """
+    h = traffic_history(spark, sf_dir)
+    tombstones = (
+        h.select("camera_id")
+        .filter(F.col("camera_id").cast("long") % 10 == 7)
+        .distinct()
+    )
+    return (
+        h.join(F.broadcast(tombstones), "camera_id", "left_anti")
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("retained_events"),
+            F.sum("new_count").cast("long").alias("retained_total"),
+        )
+        .orderBy("camera_id")
+    )

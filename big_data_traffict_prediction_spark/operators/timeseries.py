@@ -471,3 +471,63 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(state["trend"], 6).alias("trend"),
         F.round(state["level"] + state["trend"], 6).alias("forecast_next"),
     ).orderBy("camera_id")
+
+
+@register(
+    "q_day_over_day",
+    oracle=with_traffic("""
+, hourly AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(SUM(new_count) AS BIGINT) AS v
+  FROM traffic GROUP BY 1, 2, 3
+)
+SELECT camera_id, strftime(d, '%Y-%m-%d') AS d, hour, v,
+       v - LAG(v) OVER w AS dod_change,
+       CASE WHEN LAG(v) OVER w > 0
+            THEN CAST(FLOOR(CAST((v - LAG(v) OVER w) * 10000 AS DOUBLE)
+                            / LAG(v) OVER w) AS BIGINT)
+            END AS dod_change_bp,
+       CAST(strftime(LAG(d) OVER w, '%Y-%m-%d') = strftime(d - INTERVAL 1 DAY, '%Y-%m-%d') AS INT)
+         AS is_consecutive
+FROM hourly
+WINDOW w AS (PARTITION BY camera_id, hour ORDER BY d)
+ORDER BY camera_id, d, hour
+"""),
+)
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day comparison: each (camera, day, hour) cell against
+    the SAME HOUR one observation back — the dashboard "vs yesterday"
+    metric, computed as a lag window over (camera, hour) ordered by
+    day, so the whole comparison needs NO self-join (the naive form
+    joins the table to itself shifted by a day — twice the scan, one
+    extra shuffle). Change ships as exact basis points (floor), and a
+    flag marks whether the previous observation really was yesterday
+    (gaps make it older). One (camera, day, hour) aggregate + one
+    window on (camera, hour) — the same high-cardinality family.
+    """
+    h = (
+        traffic_history(spark, sf_dir)
+        .groupBy(
+            "camera_id",
+            F.to_date("ts").alias("dd"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.sum("new_count").cast("long").alias("v"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("camera_id", "hour").orderBy("dd")
+    prev_v = F.lag("v").over(w)
+    prev_d = F.lag("dd").over(w)
+    return h.select(
+        "camera_id",
+        F.date_format("dd", "yyyy-MM-dd").alias("d"),
+        "hour",
+        "v",
+        (F.col("v") - prev_v).alias("dod_change"),
+        F.when(prev_v > 0, F.floor((F.col("v") - prev_v) * 10000 / prev_v).cast("long")).alias(
+            "dod_change_bp"
+        ),
+        (prev_d == F.date_sub("dd", 1)).cast("int").alias("is_consecutive"),
+    ).orderBy("camera_id", "d", "hour")

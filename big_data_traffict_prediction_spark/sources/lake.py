@@ -333,3 +333,32 @@ def write_training_shards(
                 rows = pq.read_metadata(full).num_rows
                 manifest.append((os.path.relpath(full, path), rows))
     return sorted(manifest)
+
+
+def write_orc_lake(df: DataFrame, path: str, mode: str = "append") -> None:
+    """ORC variant of the partitioned lake sink — same (year, month,
+    day) layout, for estates standardized on ORC instead of parquet
+    (both are Spark built-ins with the same predicate-pushdown and
+    column-pruning machinery; the engine's query surface is
+    format-agnostic because every reader goes through a DataFrame)."""
+    (
+        df.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+        .write.mode(mode)
+        .partitionBy("year", "month", "day")
+        .orc(path)
+    )
+
+
+def read_orc_lake_day(
+    spark: SparkSession, path: str, year: int, month: int, day: int
+) -> DataFrame:
+    """Partition-pruned ORC day read (the S6 scan shape over ORC)."""
+    return (
+        spark.read.orc(path)
+        .filter(
+            (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
+        )
+        .drop("year", "month", "day")
+    )

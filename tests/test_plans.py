@@ -493,3 +493,20 @@ def test_arrival_audit_single_camera_family(spark, sf_dir):
     a = explain.audit(q_arrival_order_audit(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_gdpr_delete_anti_join_broadcasts(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_gdpr_delete
+
+    a = explain.audit(q_gdpr_delete(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1, "tombstone list must broadcast"
+    assert a["sort_merge_joins"] == 0
+
+
+def test_day_over_day_no_self_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.timeseries import q_day_over_day
+
+    # lag over (camera, hour) replaces the naive shifted self-join
+    a = explain.audit(q_day_over_day(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"

@@ -107,3 +107,30 @@ def test_detections_csv_normalizes_both_encodings(spark, tmp_path):
         .first()
     )
     assert (agg["car"], agg["motorcycle"]) == (2, 2)
+
+
+def test_orc_lake_round_trip_prunes_partitions(spark, sf_dir, tmp_path):
+    """S5/S6 over ORC: same partition layout, same pruned scan — the
+    lake is format-agnostic."""
+    from big_data_traffict_prediction_spark.plans import explain
+    from big_data_traffict_prediction_spark.sources.lake import (
+        read_orc_lake_day,
+        write_orc_lake,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    h = traffic_history(spark, sf_dir).select("id", "camera_id", "ts", "new_count")
+    path = str(tmp_path / "orc_lake")
+    write_orc_lake(h, path, mode="overwrite")
+
+    day = h.selectExpr("min(ts) AS m").collect()[0].m
+    back = read_orc_lake_day(spark, path, day.year, day.month, day.day)
+    expected = h.filter(
+        (F.year("ts") == day.year)
+        & (F.month("ts") == day.month)
+        & (F.dayofmonth("ts") == day.day)
+    )
+    assert back.count() == expected.count() > 0
+    assert sorted(back.columns) == sorted(expected.columns)
+    plan = explain.formatted_plan(back)
+    assert "PartitionFilters" in plan and "year" in plan, "day read must partition-prune"
