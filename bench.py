@@ -136,6 +136,9 @@ EXTENDED = [
     "q_day_over_day",
     "q_kfold_assign",
     "q_gdpr_delete",
+    "q_embedding_outliers",
+    "q_salted_totals",
+    "q_snapshot_diff",
 ]
 
 

@@ -818,3 +818,117 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------- centroid-distance outliers
+
+OUTLIER_TOP_K = 3
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS v,
+         vec_id
+  FROM embeddings
+),
+comp AS (
+  SELECT label, pos,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2_fp
+  FROM ex e JOIN comp c ON c.label = e.label AND c.pos = e.pos
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT vec_id, label, dist2_fp,
+         row_number() OVER (PARTITION BY label ORDER BY dist2_fp, vec_id) AS rn,
+         row_number() OVER (PARTITION BY label ORDER BY dist2_fp DESC, vec_id) AS rn_desc,
+         COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM dist
+),
+m2 AS (
+  SELECT label, dist2_fp AS med_fp
+  FROM med WHERE rn = CAST(CEIL(cnt / 2.0) AS BIGINT)
+)
+SELECT d.vec_id, d.label, d.dist2_fp, m.med_fp,
+       CAST(FLOOR(CAST(d.dist2_fp AS DOUBLE) * 1000000 / m.med_fp) AS BIGINT) AS ratio_ppm
+FROM med d JOIN m2 m ON m.label = d.label
+WHERE d.rn_desc <= {OUTLIER_TOP_K}
+ORDER BY d.label, d.dist2_fp DESC, d.vec_id
+""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier detection: the {OUTLIER_TOP_K} vectors per
+    label FARTHEST from their own label centroid, with their distance
+    as a ratio to the label's median — the embedding-space
+    data-cleaning screen run before training on labeled corpora
+    (rank-based rather than a fixed factor: isotropic synthetic
+    embeddings concentrate so tightly that no factor threshold fires,
+    and real screens cut a top fraction anyway). EVERYTHING is exact integer:
+    fixed-point components, floor-divided centroid, integer squared
+    distances, and a lower-middle-element median (rank-picked, never
+    an accumulated average) — so the flagged set is bit-deterministic
+    at any partitioning.
+
+    Shape: the (label, pos) centroid aggregate (one shuffle, map-side
+    combined) re-joins the exploded vectors on the same (label, pos)
+    key; the per-vector distance aggregate and the median window both
+    run on label — one hash family, dimension-bounded windows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * CENTROID_SCALE).cast("long").alias("v"),
+    )
+    comp = ex.groupBy("label", "pos").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(comp), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).cast("long").alias("dist2_fp"))
+    )
+    w = Window.partitionBy("label").orderBy("dist2_fp", "vec_id")
+    w_desc = Window.partitionBy("label").orderBy(F.desc("dist2_fp"), "vec_id")
+    wc = Window.partitionBy("label")
+    med = dist.select(
+        "vec_id",
+        "label",
+        "dist2_fp",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    # lower-middle pick for odd counts, lower of the two middles for
+    # even (rank ⌈cnt/2⌉) — an ELEMENT of the set, never an average
+    m2 = (
+        med.filter(F.col("rn") == F.ceil(F.col("cnt") / 2))
+        .select("label", F.col("dist2_fp").alias("med_fp"))
+    )
+    return (
+        med.filter(F.col("rn_desc") <= OUTLIER_TOP_K)
+        .join(F.broadcast(m2), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist2_fp",
+            "med_fp",
+            F.floor(F.col("dist2_fp").cast("double") * 1_000_000 / F.col("med_fp"))
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+        .orderBy("label", F.desc("dist2_fp"), "vec_id")
+    )

@@ -406,3 +406,99 @@ def q_grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_camera", "g_event", "camera_id", "event_type")
     )
+
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "q_salted_totals",
+    oracle=with_traffic("""
+SELECT camera_id,
+       CAST(SUM(new_count) AS BIGINT) AS total_new_count,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM traffic GROUP BY camera_id ORDER BY camera_id
+"""),
+)
+def q_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted aggregation, spelled out: per-camera
+    totals computed as (camera, salt) partials first — a hot camera's
+    rows spread across {SALT_BUCKETS} reducers — then combined in a
+    second, dimension-sized aggregate. The oracle is the PLAIN
+    one-stage aggregate: salting must be invisible in the result (sum
+    and count re-associate exactly over integers; this is also why the
+    pattern is NOT safe for raw double sums — see compat.fixed_point).
+    AQE's skew handling makes this manual form unnecessary for joins,
+    but a single pathological group key inside an aggregation is still
+    the operator author's job at 100 TB.
+    """
+    h = traffic_history(spark, sf_dir)
+    stage1 = (
+        h.withColumn("salt", F.pmod(F.col("id"), F.lit(SALT_BUCKETS)))
+        .groupBy("camera_id", "salt")
+        .agg(
+            F.sum("new_count").alias("part_sum"),
+            F.count(F.lit(1)).alias("part_n"),
+        )
+    )
+    return (
+        stage1.groupBy("camera_id")
+        .agg(
+            F.sum("part_sum").cast("long").alias("total_new_count"),
+            F.sum("part_n").cast("long").alias("n_events"),
+        )
+        .orderBy("camera_id")
+    )
+
+
+SNAP_T1_EPOCH = 1706659200 - 7 * 86400  # NOW - 7d
+SNAP_T2_EPOCH = 1706659200  # NOW
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=with_traffic(f"""
+, states AS (
+  SELECT camera_id,
+         MAX(CASE WHEN ts < make_timestamp(CAST({SNAP_T1_EPOCH} AS BIGINT) * 1000000)
+                  THEN {{'ts': ts, 'id': id, 'new_count': new_count}} END) AS s1,
+         MAX(CASE WHEN ts < make_timestamp(CAST({SNAP_T2_EPOCH} AS BIGINT) * 1000000)
+                  THEN {{'ts': ts, 'id': id, 'new_count': new_count}} END) AS s2
+  FROM traffic GROUP BY camera_id
+)
+SELECT camera_id,
+       s1.new_count AS count_t1,
+       s2.new_count AS count_t2,
+       CASE WHEN s1 IS NULL AND s2 IS NOT NULL THEN 'added'
+            WHEN s1 IS NOT NULL AND s2 IS NULL THEN 'removed'
+            WHEN s1.new_count = s2.new_count THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM states
+ORDER BY camera_id
+"""),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: each camera's latest state as of two cutoffs
+    (NOW−7d vs NOW), classified added / removed / changed / unchanged
+    — the reconciliation view for comparing two materialized snapshot
+    generations (reference S9's snapshot file, diffed across time).
+    ONE aggregate does both snapshots via conditional lexicographic
+    struct maxes — no self-join, no second scan; the "latest row per
+    camera per cutoff" never materializes.
+    """
+    h = traffic_history(spark, sf_dir)
+    t1 = F.timestamp_seconds(F.lit(SNAP_T1_EPOCH))
+    t2 = F.timestamp_seconds(F.lit(SNAP_T2_EPOCH))
+    s1 = F.max(F.when(F.col("ts") < t1, F.struct("ts", "id", "new_count")))
+    s2 = F.max(F.when(F.col("ts") < t2, F.struct("ts", "id", "new_count")))
+    states = h.groupBy("camera_id").agg(s1.alias("s1"), s2.alias("s2"))
+    return states.select(
+        "camera_id",
+        F.col("s1.new_count").alias("count_t1"),
+        F.col("s2.new_count").alias("count_t2"),
+        F.when(F.col("s1").isNull() & F.col("s2").isNotNull(), F.lit("added"))
+        .when(F.col("s1").isNotNull() & F.col("s2").isNull(), F.lit("removed"))
+        .when(F.col("s1.new_count") == F.col("s2.new_count"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    ).orderBy("camera_id")

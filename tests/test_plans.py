@@ -510,3 +510,33 @@ def test_day_over_day_no_self_join(spark, sf_dir):
     a = explain.audit(q_day_over_day(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_salted_totals_two_stage_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.aggregates import q_salted_totals
+
+    # (camera, salt) partial stage + camera combine stage + final sort
+    a = explain.audit(q_salted_totals(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] >= 2, "salting needs the two-stage exchange"
+    assert a["shuffles"] <= 3
+
+
+def test_snapshot_diff_single_aggregate_no_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.aggregates import q_snapshot_diff
+
+    # both snapshot states come from conditional struct maxes in ONE
+    # aggregate — no self-join, no window
+    a = explain.audit(q_snapshot_diff(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 2, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_embedding_outliers_joins_broadcast(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_embedding_outliers,
+    )
+
+    a = explain.audit(q_embedding_outliers(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] >= 2, "centroid + median sides must broadcast"
