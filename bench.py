@@ -139,6 +139,7 @@ EXTENDED = [
     "q_embedding_outliers",
     "q_salted_totals",
     "q_snapshot_diff",
+    "q_cusum_changepoints",
 ]
 
 

@@ -531,3 +531,114 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (prev_d == F.date_sub("dd", 1)).cast("int").alias("is_consecutive"),
     ).orderBy("camera_id", "d", "hour")
+
+
+@register(
+    "q_cusum_changepoints",
+    oracle=with_traffic("""
+, daily AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d, CAST(SUM(new_count) AS BIGINT) AS y
+  FROM traffic GROUP BY 1, 2
+),
+z AS (
+  SELECT camera_id, d, y,
+         CAST(COUNT(*) OVER (PARTITION BY camera_id) AS BIGINT) AS n,
+         CAST(SUM(y) OVER (PARTITION BY camera_id) AS BIGINT) AS s
+  FROM daily
+),
+pre AS (
+  SELECT camera_id, d, n, s,
+         SUM(10 * n * y - 13 * s) OVER (
+           PARTITION BY camera_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM z
+),
+cus AS (
+  SELECT camera_id, d, n, s,
+         CAST(prefix - LEAST(CAST(0 AS BIGINT),
+           MIN(prefix) OVER (PARTITION BY camera_id ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS BIGINT) AS cusum_scaled
+  FROM pre
+)
+SELECT camera_id,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(cusum_scaled) AS BIGINT) AS max_cusum_scaled,
+       CAST(MAX(s) * 30 AS BIGINT) AS threshold_scaled,
+       CAST(MAX(cusum_scaled) > MAX(s) * 30 AS INT) AS is_breach,
+       MIN(CASE WHEN cusum_scaled > s * 30 THEN strftime(d, '%Y-%m-%d') END)
+         AS first_breach_day
+FROM cus
+GROUP BY camera_id
+ORDER BY camera_id
+"""),
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over each camera's daily
+    series (has sustained volume DRIFTED above baseline, vs
+    q_anomaly_zscore's single-point spikes). The textbook recurrence
+    S_t = max(0, S_{t-1} + (y_t − μ − k)) is sequential — but the
+    drawdown identity S_t = prefix_t − min(0, min_{j≤t} prefix_j)
+    turns it into two stacked windows (prefix sum + running min), so
+    the detector is pure windowed SQL: no fold, no struct state, no
+    driver iteration (contrast q_ses_forecast's in-row fold).
+
+    Exactness: μ = s/n, slack k = 0.3μ and threshold h = 3μ never
+    materialize as doubles — the residual is scaled by 10n
+    (z' = 10·n·y − 13·s, h' = 30·s), so every window value is an
+    exact BIGINT (parameters tuned so the detector separates: 36/150
+    cameras breach at sf0.01, not all or none).
+    One (camera, day) aggregate + windows on camera — one shuffle
+    family, ≤ days rows per partition.
+    """
+    from pyspark.sql import Window
+
+    h = traffic_history(spark, sf_dir)
+    daily = h.groupBy("camera_id", F.to_date("ts").alias("d")).agg(
+        F.sum("new_count").cast("long").alias("y")
+    )
+    wp = Window.partitionBy("camera_id")
+    z = daily.select(
+        "camera_id",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("y").over(wp).cast("long").alias("s"),
+    )
+    wo = (
+        Window.partitionBy("camera_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = z.select(
+        "camera_id",
+        "d",
+        "n",
+        "s",
+        F.sum(10 * F.col("n") * F.col("y") - 13 * F.col("s")).over(wo).alias("prefix"),
+    )
+    cus = pre.select(
+        "camera_id",
+        "d",
+        "n",
+        "s",
+        (F.col("prefix") - F.least(F.lit(0).cast("long"), F.min("prefix").over(wo)))
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    return (
+        cus.groupBy("camera_id")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("cusum_scaled").cast("long").alias("max_cusum_scaled"),
+            (F.max("s") * 30).cast("long").alias("threshold_scaled"),
+            (F.max("cusum_scaled") > F.max("s") * 30).cast("int").alias("is_breach"),
+            F.min(
+                F.when(
+                    F.col("cusum_scaled") > F.col("s") * 30,
+                    F.date_format("d", "yyyy-MM-dd"),
+                )
+            ).alias("first_breach_day"),
+        )
+        .orderBy("camera_id")
+    )

@@ -211,3 +211,26 @@ def test_similar_days_finds_planted_twin(spark, tmp_path):
     out = [(r.camera_id, r.d2) for r in q_similar_days(spark, path).collect()]
     assert out[0] == ("2", 0)
     assert ("3", 4) in out
+
+
+def test_cusum_flags_planted_drift_only(spark, tmp_path):
+    """cam 1 steps from 100/day to 500/day mid-series → sustained
+    positive drift accumulates past 3μ and breaches; cam 2 is flat →
+    CUSUM never leaves zero."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.timeseries import (
+        q_cusum_changepoints,
+    )
+
+    rows, eid = [], 0
+    for day in range(1, 21):
+        v1 = 100.0 if day <= 10 else 500.0
+        rows.append((eid, datetime(2024, 1, day, 12), 1, "click", v1 + 0.3, "{}")); eid += 1
+        rows.append((eid, datetime(2024, 1, day, 12), 2, "click", 100.3, "{}")); eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {r.camera_id: r for r in q_cusum_changepoints(spark, path).collect()}
+    assert out["1"].is_breach == 1
+    assert out["1"].first_breach_day is not None and out["1"].first_breach_day > "2024-01-10"
+    assert out["2"].is_breach == 0 and out["2"].max_cusum_scaled == 0

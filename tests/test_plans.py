@@ -540,3 +540,15 @@ def test_embedding_outliers_joins_broadcast(spark, sf_dir):
     a = explain.audit(q_embedding_outliers(spark, sf_dir))
     assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] >= 2, "centroid + median sides must broadcast"
+
+
+def test_cusum_is_windows_only_one_camera_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.timeseries import (
+        q_cusum_changepoints,
+    )
+
+    # the sequential recurrence is expressed as stacked windows — no
+    # join, no fold, one camera-keyed shuffle family
+    a = explain.audit(q_cusum_changepoints(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
