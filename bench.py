@@ -140,6 +140,9 @@ EXTENDED = [
     "q_salted_totals",
     "q_snapshot_diff",
     "q_cusum_changepoints",
+    "q_top_paths",
+    "q_engagement_stickiness",
+    "q_seasonal_decompose",
 ]
 
 

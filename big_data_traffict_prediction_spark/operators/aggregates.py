@@ -502,3 +502,59 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     ).orderBy("camera_id")
+
+
+@register(
+    "q_engagement_stickiness",
+    oracle=with_traffic("""
+, daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT camera_id) AS dau
+  FROM traffic GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', ts) AS m, COUNT(DISTINCT camera_id) AS mau
+  FROM traffic GROUP BY 1
+)
+SELECT strftime(d.d, '%Y-%m-%d') AS d,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+FROM daily d JOIN monthly m ON m.m = date_trunc('month', CAST(d.d AS TIMESTAMP))
+ORDER BY d
+"""),
+)
+def q_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio every
+    activity dashboard leads with (here "users" are reporting
+    cameras: the liveness view over time). Two distinct-count
+    aggregates at different grains; the month side is calendar-sized
+    and broadcasts back onto the daily series; the ratio ships as
+    exact integer ppm (positive operands, so DuckDB's truncating //
+    agrees with floor).
+
+    At 100 TB exact COUNT(DISTINCT) dominates — the documented swap
+    is approx_count_distinct (q_approx_distinct's HLL) at the same
+    plan shape.
+    """
+    h = traffic_history(spark, sf_dir)
+    daily = h.groupBy(F.to_date("ts").alias("dd")).agg(
+        F.countDistinct("camera_id").alias("dau")
+    )
+    monthly = h.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.countDistinct("camera_id").alias("mau")
+    )
+    return (
+        daily.join(
+            F.broadcast(monthly),
+            F.date_trunc("month", F.col("dd").cast("timestamp")) == F.col("m"),
+        )
+        .select(
+            F.date_format("dd", "yyyy-MM-dd").alias("d"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.floor(F.col("dau") * F.lit(1_000_000.0) / F.col("mau"))
+            .cast("long")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("d")
+    )

@@ -642,3 +642,90 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=with_traffic("""
+, daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(SUM(new_count) AS BIGINT) AS y,
+         CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow
+  FROM traffic GROUP BY 1, 3
+),
+tr AS (
+  SELECT d, y, dow,
+         SUM(y) OVER w AS trend7,
+         COUNT(*) OVER w AS w_n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+interior AS (
+  SELECT d, y, dow,
+         CAST(trend7 AS BIGINT) AS trend7,
+         CAST(7 * y - trend7 AS BIGINT) AS detr_scaled
+  FROM tr WHERE w_n = 7
+),
+seas AS (
+  SELECT dow, CAST(SUM(detr_scaled) AS BIGINT) AS s_sum, COUNT(*) AS c_d
+  FROM interior GROUP BY dow
+)
+SELECT strftime(i.d, '%Y-%m-%d') AS d, i.y, i.dow,
+       CAST(i.trend7 AS DOUBLE) / 7 AS trend,
+       CAST(s.s_sum AS DOUBLE) / (7 * CAST(s.c_d AS DOUBLE)) AS seasonal,
+       i.y - CAST(i.trend7 AS DOUBLE) / 7
+           - CAST(s.s_sum AS DOUBLE) / (7 * CAST(s.c_d AS DOUBLE)) AS remainder
+FROM interior i JOIN seas s ON s.dow = i.dow
+ORDER BY d
+"""),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the global daily series
+    (STL-lite): trend = centered 7-day moving average (interior days
+    only), weekly seasonal = per-weekday mean of the detrended values,
+    remainder = the rest. Every aggregate runs on SCALED integers
+    (detrended' = 7·y − Σ₇y), so the three output components are each
+    ONE fixed double expression over exact ints — partition-proof.
+
+    The global series is calendar-sized (days), so the unpartitioned
+    centered window and the 7-row seasonal table are dimension work;
+    only the daily aggregate touches facts (one shuffle). A per-camera
+    variant partitions every window by camera_id with the same
+    algebra.
+    """
+    from pyspark.sql import Window
+
+    from ..compat import dow0
+
+    h = traffic_history(spark, sf_dir)
+    daily = h.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("new_count").cast("long").alias("y")
+    )
+    daily = daily.withColumn("dow", dow0(F.col("d").cast("timestamp")))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        "dow",
+        F.sum("y").over(w).cast("long").alias("trend7"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    interior = tr.filter(F.col("w_n") == 7).select(
+        "d", "y", "dow", "trend7", (7 * F.col("y") - F.col("trend7")).cast("long").alias("detr_scaled")
+    )
+    seas = interior.groupBy("dow").agg(
+        F.sum("detr_scaled").cast("long").alias("s_sum"), F.count(F.lit(1)).alias("c_d")
+    )
+    trend = F.col("trend7").cast("double") / 7
+    seasonal = F.col("s_sum").cast("double") / (7 * F.col("c_d").cast("double"))
+    return (
+        interior.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "y",
+            "dow",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("y") - trend - seasonal).alias("remainder"),
+        )
+        .orderBy("d")
+    )

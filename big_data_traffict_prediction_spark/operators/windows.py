@@ -483,3 +483,48 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_ppm"),
     ).orderBy("prev_type", "next_type")
+
+
+PATH_TOP_K = 15
+
+
+@register(
+    "q_top_paths",
+    oracle=with_traffic(f"""
+, seq AS (
+  SELECT camera_id,
+         LAG(event_type, 2) OVER w AS e1,
+         LAG(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM traffic
+  WINDOW w AS (PARTITION BY camera_id ORDER BY ts, id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT {PATH_TOP_K}
+"""),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the most common 3-event sequences across user
+    journeys (two lags over each user's ordered stream → trigram
+    counts) — the "what do users actually do" exploration behind
+    funnel design, generalizing q_markov_transitions to length-3
+    context. One lag window on the user key + one ≤|types|³-group
+    aggregate; top-k is TakeOrderedAndProject.
+    """
+    h = traffic_history(spark, sf_dir)
+    w = Window.partitionBy("camera_id").orderBy("ts", "id")
+    seq = h.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(PATH_TOP_K)
+    )

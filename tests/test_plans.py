@@ -552,3 +552,32 @@ def test_cusum_is_windows_only_one_camera_family(spark, sf_dir):
     a = explain.audit(q_cusum_changepoints(spark, sf_dir))
     assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_top_paths_take_ordered_one_window(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import q_top_paths
+
+    df = q_top_paths(spark, sf_dir)
+    assert explain.has_take_ordered(df)
+    a = explain.audit(df)
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+
+
+def test_stickiness_month_side_broadcasts(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.aggregates import (
+        q_engagement_stickiness,
+    )
+
+    a = explain.audit(q_engagement_stickiness(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1, "calendar-sized month side must broadcast"
+    assert a["sort_merge_joins"] == 0
+
+
+def test_seasonal_decompose_single_fact_shuffle(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.timeseries import (
+        q_seasonal_decompose,
+    )
+
+    a = explain.audit(q_seasonal_decompose(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] >= 1, "7-row seasonal table must broadcast"
