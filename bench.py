@@ -143,6 +143,8 @@ EXTENDED = [
     "q_top_paths",
     "q_engagement_stickiness",
     "q_seasonal_decompose",
+    "q_rfm_segments",
+    "q_audience_overlap",
 ]
 
 

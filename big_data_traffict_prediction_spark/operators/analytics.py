@@ -1080,3 +1080,148 @@ def q_arrival_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+RFM_REF_DATE = "2001-09-01"
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_REF_DATE}') AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS INT) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY o_custkey
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the orders table: recency (days
+    to a pinned reference date), frequency, monetary (exact cents via
+    fixed-point — never a raw double sum), quintile-scored with
+    deterministic tie-breaks and folded into the standard segment
+    ladder (champion / loyal / big_spender / at_risk / hibernating).
+
+    One fact shuffle on o_custkey; the three ntile windows run over
+    the per-customer AGGREGATE (customer-dimension-sized). At 100 TB
+    the single-partition ntile ordering is the one global step — on a
+    billion customers it becomes percent_rank-bucketing against
+    broadcast quantile boundaries (same scores, no global sort);
+    documented rather than switched because the exact ntile is the
+    oracle-checkable form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_REF_DATE).cast("date"), F.max(F.to_date("o_orderdate")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "o_custkey")).cast("int")
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("int")
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("int")
+    scored = rfm.select("*", r.alias("r_score"), f.alias("f_score"), m.alias("m_score"))
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when(F.col("r_score") <= 2, F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg).orderBy("o_custkey")
+
+
+@register(
+    "q_audience_overlap",
+    oracle=with_traffic("""
+, dc AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, camera_id FROM traffic
+),
+daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM dc GROUP BY d
+),
+inter AS (
+  SELECT a.d AS d, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM dc a JOIN dc b ON b.camera_id = a.camera_id AND b.d = a.d + INTERVAL 1 DAY
+  GROUP BY a.d
+)
+SELECT strftime(x.d, '%Y-%m-%d') AS d,
+       strftime(x.d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_d,
+       x.n AS n_day, y.n AS n_next,
+       COALESCE(i.n_overlap, 0) AS n_overlap,
+       x.n - COALESCE(i.n_overlap, 0) AS churned,
+       y.n - COALESCE(i.n_overlap, 0) AS new_cameras,
+       CAST(COALESCE(i.n_overlap, 0) * 1000000
+            // (x.n + y.n - COALESCE(i.n_overlap, 0)) AS BIGINT) AS jaccard_ppm
+FROM daily x
+JOIN daily y ON y.d = x.d + INTERVAL 1 DAY
+LEFT JOIN inter i ON i.d = x.d
+ORDER BY d
+"""),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap: Jaccard similarity of the
+    reporting-camera sets on consecutive days, with churned/new
+    counts — the set-stability pulse of a fleet (or of a corpus's
+    active sources). Facts collapse to distinct (day, camera) pairs
+    first (one shuffle); the shifted self-join runs over that reduced
+    set on (camera, day) keys; day totals are calendar-sized
+    broadcasts; Jaccard ships as exact ppm (non-negative operands, so
+    truncating division is floor).
+    """
+    h = traffic_history(spark, sf_dir)
+    dc = h.select(F.to_date("ts").alias("d"), "camera_id").distinct()
+    daily = dc.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    b = dc.select(F.date_sub("d", 1).alias("d"), F.col("camera_id"))
+    inter = (
+        dc.join(b, ["d", "camera_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    x = daily.alias("x")
+    y = daily.select(F.date_sub("d", 1).alias("d"), F.col("n").alias("n_next"))
+    ov = F.coalesce("n_overlap", F.lit(0))
+    return (
+        x.join(F.broadcast(y), "d")
+        .join(F.broadcast(inter), "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.date_format(F.date_add("d", 1), "yyyy-MM-dd").alias("next_d"),
+            F.col("n").alias("n_day"),
+            "n_next",
+            ov.alias("n_overlap"),
+            (F.col("n") - ov).alias("churned"),
+            (F.col("n_next") - ov).alias("new_cameras"),
+            F.floor(ov * F.lit(1_000_000.0) / (F.col("n") + F.col("n_next") - ov))
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("d")
+    )

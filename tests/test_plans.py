@@ -581,3 +581,22 @@ def test_seasonal_decompose_single_fact_shuffle(spark, sf_dir):
     a = explain.audit(q_seasonal_decompose(spark, sf_dir))
     assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] >= 1, "7-row seasonal table must broadcast"
+
+
+def test_rfm_windows_over_customer_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_rfm_segments
+
+    a = explain.audit(q_rfm_segments(spark, sf_dir))
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    # custkey agg + the single-partition ntile exchange + final sort
+    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+
+
+def test_audience_overlap_reduces_before_joining(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_audience_overlap,
+    )
+
+    a = explain.audit(q_audience_overlap(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] >= 2, "calendar-sized sides must broadcast"
