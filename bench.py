@@ -145,6 +145,8 @@ EXTENDED = [
     "q_seasonal_decompose",
     "q_rfm_segments",
     "q_audience_overlap",
+    "q_cross_source_dup",
+    "q_fano_dispersion",
 ]
 
 

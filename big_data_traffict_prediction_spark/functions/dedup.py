@@ -781,3 +781,64 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+@register(
+    "q_cross_source_dup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({NORM_SQL}) AS fingerprint FROM documents
+),
+by_fp AS (
+  SELECT fingerprint,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM fp GROUP BY fingerprint
+),
+per_source AS (
+  SELECT f.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN b.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_docs
+  FROM fp f JOIN by_fp b ON b.fingerprint = f.fingerprint
+  GROUP BY f.source
+)
+SELECT source, n_docs, cross_dup_docs,
+       CAST(cross_dup_docs * 1000000 // n_docs AS BIGINT) AS cross_dup_ppm
+FROM per_source
+ORDER BY source
+""",
+)
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-source duplication: per feed, how many of its documents
+    also appear verbatim in ANOTHER feed — the syndication/mirror-site
+    contamination measure (within-source dup rate is
+    q_dup_rate_by_source; a doc can be unique inside its feed yet
+    syndicated everywhere). One fingerprint shuffle builds the
+    per-fingerprint source spread; the per-source rollup joins the
+    doc stream back on the same fingerprint key (one hash family —
+    text never moves twice). Ratio as exact ppm.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", F.md5(norm_col()).alias("fingerprint"))
+    by_fp = fp.groupBy("fingerprint").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs_fp"),
+    )
+    per_source = (
+        fp.join(by_fp, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cross_dup_docs"),
+        )
+    )
+    return per_source.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "cross_dup_docs",
+        F.floor(F.col("cross_dup_docs") * F.lit(1_000_000.0) / F.col("n_docs"))
+        .cast("long")
+        .alias("cross_dup_ppm"),
+    ).orderBy("source")

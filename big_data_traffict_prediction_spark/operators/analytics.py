@@ -1225,3 +1225,61 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q_fano_dispersion",
+    oracle=with_traffic("""
+, hourly AS (
+  SELECT camera_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(new_count) AS BIGINT) AS y
+  FROM traffic GROUP BY 1, 2
+),
+m AS (
+  SELECT camera_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM hourly GROUP BY camera_id
+)
+SELECT camera_id, n AS n_hours,
+       CAST(s AS DOUBLE) / n AS mean_hourly,
+       (CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+         / (CAST(n AS DOUBLE) * (n - 1)) / (CAST(s AS DOUBLE) / n) AS fano
+FROM m
+WHERE n >= 2 AND s > 0
+ORDER BY camera_id
+"""),
+)
+def q_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor, variance/mean) of each
+    camera's hourly counts: ≈1 = Poisson-like arrivals, ≫1 = bursty
+    (platooning traffic), <1 = regularized flow — the
+    one-number burstiness screen next to the CUSUM drift and z-score
+    spike detectors. Same exact-int (n, Σy, Σy²) discipline as
+    q_anomaly_zscore: the two output doubles are each one fixed
+    expression over BIGINTs. Two linear shuffles on camera keys.
+    """
+    h = (
+        traffic_history(spark, sf_dir)
+        .groupBy("camera_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("new_count").cast("long").alias("y"))
+    )
+    m = h.groupBy("camera_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n
+    var = (ss.cast("double") * n - s.cast("double") * s) / (n.cast("double") * (n - 1))
+    return (
+        m.filter((n >= 2) & (s > 0))
+        .select(
+            "camera_id",
+            n.alias("n_hours"),
+            mean.alias("mean_hourly"),
+            (var / mean).alias("fano"),
+        )
+        .orderBy("camera_id")
+    )

@@ -63,6 +63,8 @@ pairs AS (
          (a.lat - b.lat) * (a.lat - b.lat)
            + (a.lng - b.lng) * (a.lng - b.lng) AS d2
   FROM camera_geo a JOIN camera_geo b ON a.cam_key <> b.cam_key
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lng - b.lng) * (a.lng - b.lng) <= {CELL_DEG} * {CELL_DEG}
 ),
 ranked AS (
   SELECT cam_key, neighbor_key, d2,
@@ -75,28 +77,64 @@ ORDER BY cam_key, rank
 """,
 )
 def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN over the camera map: each camera's {K} nearest others by
-    squared planar distance, ties broken by neighbor key. The pair
-    join runs over the camera DIMENSION (config-sized, broadcast —
-    never the fact table), so the quadratic step is bounded by the
-    network size exactly like q_profile_correlation's matrix. At
-    continental scale the candidate set would come from the grid cells
-    of q_geo_cell_density (3×3 neighborhood equi-join) with this exact
-    form as its verification oracle — same blocked-candidates pattern
-    as the dedup family.
+    """Fixed-radius k-NN over the camera map: each camera's up-to-{K}
+    nearest others WITHIN radius {CELL_DEG}° (≈1 km), ties broken by
+    neighbor key. Radius semantics make the grid decomposition EXACT:
+    every point within radius R of a camera lies in its 3×3
+    neighborhood of R-sized cells, so candidates come from an
+    equi-join on cell keys — sound AND complete, never a theta join.
+    (Unbounded k-NN cannot be grid-blocked exactly: an isolated
+    camera's 3rd neighbor may sit arbitrarily far; the first cut of
+    this query was an all-pairs nested loop that scaled quadratically
+    with the config — 158 s at sf0.1 — which is why the radius form
+    is the right operator, matching how PostGIS/Sedona answer
+    "nearby".)
+
+    Shape: cameras explode to their 9 neighbor cells on the probe
+    side (9× a dimension), equi-join the cell-keyed build side, filter
+    by exact distance, rank per camera. Work ∝ cameras × local
+    density, never cameras².
     """
-    g = camera_geo(spark, sf_dir)
-    a, b = g.alias("a"), g.alias("b")
-    d2 = (F.col("a.lat") - F.col("b.lat")) * (F.col("a.lat") - F.col("b.lat")) + (
-        F.col("a.lng") - F.col("b.lng")
-    ) * (F.col("a.lng") - F.col("b.lng"))
+    g = camera_geo(spark, sf_dir).select(
+        "cam_key",
+        "lat",
+        "lng",
+        F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
+        F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
+    )
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    )
+    probe = g.select(
+        F.col("cam_key"),
+        F.col("lat"),
+        F.col("lng"),
+        F.col("ci"),
+        F.col("cj"),
+        offsets.alias("o"),
+    ).select(
+        "cam_key",
+        "lat",
+        "lng",
+        (F.col("ci") + F.col("o.di")).alias("bi"),
+        (F.col("cj") + F.col("o.dj")).alias("bj"),
+    )
+    build = g.select(
+        F.col("cam_key").alias("neighbor_key"),
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        F.col("ci").alias("bi"),
+        F.col("cj").alias("bj"),
+    )
+    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lng") - F.col("b_lng")
+    ) * (F.col("lng") - F.col("b_lng"))
     pairs = (
-        a.join(F.broadcast(b), F.col("a.cam_key") != F.col("b.cam_key"))
-        .select(
-            F.col("a.cam_key").alias("cam_key"),
-            F.col("b.cam_key").alias("neighbor_key"),
-            d2.alias("d2"),
-        )
+        probe.join(build, ["bi", "bj"])
+        .filter(F.col("neighbor_key") != F.col("cam_key"))
+        .select("cam_key", "neighbor_key", d2.alias("d2"))
+        .filter(F.col("d2") <= CELL_DEG * CELL_DEG)
     )
     w = Window.partitionBy("cam_key").orderBy("d2", "neighbor_key")
     return (

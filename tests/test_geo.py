@@ -12,16 +12,20 @@ from big_data_traffict_prediction_spark.operators.geo import (
 
 
 def test_neighbors_shape_and_monotone_distance(spark, sf_dir):
-    cams = camera_geo(spark, sf_dir).count()
+    from big_data_traffict_prediction_spark.operators.geo import CELL_DEG
+
     rows = q_camera_neighbors(spark, sf_dir).collect()
-    assert len(rows) == cams * K_NEIGHBORS
+    assert rows, "no in-radius neighbors found at all"
     by_cam: dict = {}
     for r in rows:
         assert r.neighbor_key != r.cam_key
+        assert r.d2 <= CELL_DEG * CELL_DEG, "neighbor outside the radius"
         by_cam.setdefault(r.cam_key, []).append(r)
     for cam, rs in by_cam.items():
         rs.sort(key=lambda r: r.rank)
-        assert [r.rank for r in rs] == list(range(1, K_NEIGHBORS + 1))
+        # up to K in-radius neighbors, contiguous ranks from 1
+        assert 1 <= len(rs) <= K_NEIGHBORS
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         d2s = [r.d2 for r in rs]
         assert d2s == sorted(d2s), f"d2 not ascending for {cam}"
 

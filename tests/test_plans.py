@@ -421,13 +421,15 @@ def test_markov_normalization_over_matrix_only(spark, sf_dir):
     assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
 
 
-def test_geo_neighbors_pair_join_is_dim_broadcast(spark, sf_dir):
+def test_geo_neighbors_is_cell_equi_join_never_nested_loop(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.geo import q_camera_neighbors
 
-    # the quadratic step is over the broadcast camera dimension — a
-    # nested-loop there is bounded and intended; facts never appear
-    a = explain.audit(q_camera_neighbors(spark, sf_dir))
-    assert a["sort_merge_joins"] == 0
+    # radius semantics make the 3×3 grid-cell equi-join exact — the
+    # config-quadratic theta join must never appear (it cost 158 s at
+    # sf0.1 before this plan)
+    df = q_camera_neighbors(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) == 0, "pair step regressed to a theta join"
+    a = explain.audit(df)
     cols = a["read_schema"]
     assert "c_custkey" in cols and "c_comment" not in cols, (
         f"geo dim scan must prune to the key column; reads {cols}"
