@@ -147,6 +147,7 @@ EXTENDED = [
     "q_audience_overlap",
     "q_cross_source_dup",
     "q_fano_dispersion",
+    "q_order_cohort_repeat",
 ]
 
 

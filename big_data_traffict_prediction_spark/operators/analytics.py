@@ -1283,3 +1283,74 @@ def q_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+@register(
+    "q_order_cohort_repeat",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+flags AS (
+  SELECT f.cohort_month, o.o_custkey,
+         CAST(MAX(CASE WHEN date_trunc('month', o.o_orderdate)
+                            > CAST(f.cohort_month AS TIMESTAMP) THEN 1 ELSE 0 END) AS INT)
+           AS repeated
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_month, '%Y-%m') AS cohort_month,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(repeated) AS BIGINT) AS n_repeated,
+       CAST(SUM(repeated) * 1000000 // COUNT(*) AS BIGINT) AS repeat_ppm
+FROM flags
+GROUP BY 1
+ORDER BY cohort_month
+""",
+)
+def q_order_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort: customers grouped
+    by their FIRST order's month, measuring what share ordered again
+    in any LATER month — the cohort loyalty curve (the orders-table
+    sibling of the camera-activity q_retention_cohorts). Facts reduce
+    to (customer, first-month) once (one custkey shuffle family shared
+    by both aggregates, the cohort side broadcast back); the rate
+    ships as exact ppm.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("cohort_month")
+    )
+    flags = (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy("cohort_month", "o_custkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.date_trunc("month", "o_orderdate")
+                    > F.col("cohort_month").cast("timestamp"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("repeated")
+        )
+    )
+    return (
+        flags.groupBy(F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("repeated").cast("long").alias("n_repeated"),
+        )
+        .select(
+            "cohort_month",
+            "n_customers",
+            "n_repeated",
+            F.floor(F.col("n_repeated") * F.lit(1_000_000.0) / F.col("n_customers"))
+            .cast("long")
+            .alias("repeat_ppm"),
+        )
+        .orderBy("cohort_month")
+    )
