@@ -148,6 +148,7 @@ EXTENDED = [
     "q_cross_source_dup",
     "q_fano_dispersion",
     "q_order_cohort_repeat",
+    "q_fulfillment_lag",
 ]
 
 

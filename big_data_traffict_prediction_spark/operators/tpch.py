@@ -1290,3 +1290,82 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "value_fp")
         .orderBy(F.desc("value_fp"), "p_partkey")
     )
+
+
+@register(
+    "q_fulfillment_lag",
+    oracle="""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT)
+           AS lag_days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+r AS (
+  SELECT o_orderpriority, lag_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lag_days, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(MAX(cnt) AS BIGINT) AS n_items,
+       CAST(MIN(lag_days) AS BIGINT) AS min_days,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(cnt * 0.5) AS BIGINT) THEN lag_days END) AS BIGINT)
+         AS p50_days,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(cnt * 0.9) AS BIGINT) THEN lag_days END) AS BIGINT)
+         AS p90_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_days
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag distribution per order priority: rank-picked
+    exact p50/p90 (an ELEMENT of the sorted lags, never an
+    interpolated double) over ship-date − order-date days. This is the
+    registry's one true FACT-to-FACT join — lineitem and orders are
+    both data-sized, so neither broadcasts at scale: the join keys on
+    l_orderkey/o_orderkey, the family every TPC-H operator here
+    already partitions by, and the bucketed layout
+    (sources/bucketed.py pattern) makes it co-located with ZERO
+    exchanges when both sides are bucketed on the order key. The
+    ranking window then runs per priority (5 groups, rows ∝ items
+    per priority — date-spread keys, skew-free).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = j.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("cnt") * q).cast("long"), F.col("lag_days"))
+    ).cast("long")
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("cnt").cast("long").alias("n_items"),
+            F.min("lag_days").cast("long").alias("min_days"),
+            pick(0.5).alias("p50_days"),
+            pick(0.9).alias("p90_days"),
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

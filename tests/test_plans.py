@@ -602,3 +602,17 @@ def test_audience_overlap_reduces_before_joining(spark, sf_dir):
     a = explain.audit(q_audience_overlap(spark, sf_dir))
     assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] >= 2, "calendar-sized sides must broadcast"
+
+
+def test_fulfillment_lag_keys_on_order_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.tpch import q_fulfillment_lag
+
+    # fact-fact join: no nested loop; at test SF Spark may broadcast
+    # the smaller orders side — either hash strategy is fine, a
+    # cartesian is not
+    df = q_fulfillment_lag(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) == 0
+    a = explain.audit(df)
+    assert a["broadcast_joins"] + a["sort_merge_joins"] >= 1, "order-key join missing"
+    cols = a["read_schema"]
+    assert "l_extendedprice" not in cols, f"lineitem scan must prune; reads {cols}"
