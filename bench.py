@@ -226,6 +226,24 @@ def main() -> None:
             name: round(run_one(spark, queries[name], sf_dir), 3) for name in EXTENDED
         }
 
+    # The driver keeps only the OUTPUT TAIL, so the compact headline
+    # line MUST be printed last (round 2's artifact lost every headline
+    # number when the enlarged single-line JSON got tail-truncated).
+    # Bulky diagnostics go on an earlier, separate line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                "stat": stat,
+                "value_min": round(sum(timings_min.values()), 3),
+                "queries_min": timings_min,
+                "queries_cold": cold,
+                "queries_extended": extended,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -233,11 +251,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "stat": stat,
-                "value_min": round(sum(timings_min.values()), 3),
                 "queries": timings,
-                "queries_min": timings_min,
-                "queries_cold": cold,
-                "queries_extended": extended,
                 "sf": sf,
             }
         )

@@ -92,6 +92,77 @@ NOW_TS = "2024-01-31 00:00:00"
 NOW_EPOCH = 1706659200  # 2024-01-31T00:00:00Z
 
 
+def global_rank(df, order_cols, partitions: int = 16, sum_col: str | None = None):
+    """Distributed GLOBAL row rank: adds ``_rk`` (1-based global rank
+    under ``order_cols``) and ``_n`` (total rows) without a
+    single-partition data-sized window. With ``sum_col``, also adds
+    the global inclusive prefix sum ``_cum`` and grand total ``_tot``
+    of that column (the distributed prefix-scan).
+
+    ``repartitionByRange`` on the sort key is the distributed sort;
+    each range partition ranks (and prefix-sums) its own rows in
+    parallel, partitioned by ``spark_partition_id``; the per-partition
+    counts/sums — cluster-width-sized, never data-sized — yield
+    broadcast offsets, so global rank = offset + local rank (and
+    global prefix sum = earlier-partition sum + local running sum).
+    A lazy localCheckpoint materializes the range shuffle once for
+    both consumers (ranked rows + offsets). ``partitions`` bounds
+    parallelism by CLUSTER size; correctness never depends on it.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_s"))
+    counts = d.groupBy("_pid").agg(*aggs)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    ]
+    if sum_col is not None:
+        off_cols.append(F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_soff"))
+        off_cols.append(F.sum("_s").over(w_all).alias("_tot"))
+    offsets = counts.select(*off_cols)
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
+    )
+    if sum_col is not None:
+        out = out.withColumn(
+            "_cum",
+            F.sum(sum_col).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.col("_soff"),
+        ).drop("_soff")
+    return out.drop("_pid", "_off")
+
+
+def exact_ppm(numer: Column, denom: Column, scale: int = 1_000_000) -> Column:
+    """Exact parts-per-million: ``(numer * 1e6) div denom`` in LONG
+    integer arithmetic, matching the oracles' exact ``//``.
+
+    The double form ``floor(n * 1_000_000.0 / d)`` silently diverges
+    once ``n * 1e6`` exceeds 2^53 (counts ≈ 9e9 — reachable at 100 TB);
+    integral ``div`` truncates toward zero, which equals floor for the
+    non-negative operands every ppm/bp ratio here uses.
+    """
+    return F.call_function(
+        "div", numer.cast("long") * F.lit(scale).cast("long"), denom.cast("long")
+    )
+
+
 def let(bound: Column, body) -> Column:
     """Bind an expensive expression ONCE and use it many times.
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import let
+from ..compat import exact_ppm, let
 from ..registry import register
 from ..tables import load_table
 from .text import NORM_SQL, hash60, hash60_sql, norm_col
@@ -838,7 +838,7 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         "cross_dup_docs",
-        F.floor(F.col("cross_dup_docs") * F.lit(1_000_000.0) / F.col("n_docs"))
+        exact_ppm(F.col("cross_dup_docs"), F.col("n_docs"))
         .cast("long")
         .alias("cross_dup_ppm"),
     ).orderBy("source")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import exact_ppm, global_rank
 from ..registry import register
 from ..tables import load_table
 
@@ -555,30 +556,30 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer math — no percentage double anywhere).
 
     One (token) count shuffle — tokens move as grouped counts, not
-    text occurrences (map-side combine); the ranking/cumsum window
-    runs over the vocabulary (dimension-sized), with the total as a
-    window over the same frame, never a second corpus scan.
+    text occurrences (map-side combine). The VOCABULARY itself grows
+    with the corpus (billions of distinct tokens at 100 TB), so the
+    rank + running-coverage pass is ``compat.global_rank`` with its
+    distributed prefix sum (range sort → parallel per-partition
+    rank/cumsum → broadcast cluster-width offsets) — never a
+    single-partition global window; coverage is exact integer ``div``.
     """
     t = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split(norm_col(), " ")).alias("token")
     )
     cnt = t.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    wo = Window.orderBy(F.desc("n"), "token")
-    ranked = cnt.select(
-        "token",
-        F.col("n").cast("long").alias("n"),
-        F.row_number().over(wo).cast("int").alias("rank"),
-        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
-    )
+    ranked = global_rank(cnt, [F.desc("n"), F.asc("token")], sum_col="n")
     return (
-        ranked.filter((F.col("cum") - F.col("n")) * 100 < F.col("total") * VOCAB_COVERAGE_PCT)
+        ranked.filter(
+            (F.col("_cum") - F.col("n")) * 100 < F.col("_tot") * VOCAB_COVERAGE_PCT
+        )
         .select(
-            "rank",
+            F.col("_rk").cast("int").alias("rank"),
             "token",
-            "n",
-            F.col("cum").cast("long").alias("cum_tokens"),
-            F.floor(F.col("cum") * 100 / F.col("total")).cast("long").alias("coverage_pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("_cum").cast("long").alias("cum_tokens"),
+            exact_ppm(F.col("_cum"), F.col("_tot"), scale=100)
+            .cast("long")
+            .alias("coverage_pct"),
         )
         .orderBy("rank")
     )
@@ -637,9 +638,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and log is monotone, so the ranking is the same statistic).
 
     Two count shuffles (unigrams, bigrams — both move as grouped
-    counts, map-side combined), the corpus totals are a one-row
-    crossJoin broadcast, and the unigram probe joins broadcast the
-    vocabulary side; top-k is TakeOrderedAndProject.
+    counts, map-side combined); the corpus totals are a one-row
+    crossJoin broadcast. The unigram tables are VOCABULARY-sized
+    (grows with the corpus), so they join the bigram side as plain
+    hash joins on the token key — never a forced broadcast; top-k is
+    TakeOrderedAndProject.
     """
     t = load_table(spark, sf_dir, "documents").select(
         F.split(norm_col(), " ").alias("toks")
@@ -670,8 +673,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = uni.select(F.col("token").alias("tb"), F.col("n").alias("nb"))
     scored = (
         big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "ta")
-        .join(F.broadcast(ub), "tb")
+        .join(ua, "ta")
+        .join(ub, "tb")
         .crossJoin(F.broadcast(tot))
         .select(
             "ta",

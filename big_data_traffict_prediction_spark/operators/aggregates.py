@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import NOW_TS
+from ..compat import NOW_EPOCH, NOW_TS, exact_ppm
 from ..registry import register
 from ..tables import traffic_history, with_traffic
 
@@ -451,8 +451,8 @@ def q_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SNAP_T1_EPOCH = 1706659200 - 7 * 86400  # NOW - 7d
-SNAP_T2_EPOCH = 1706659200  # NOW
+SNAP_T1_EPOCH = NOW_EPOCH - 7 * 86400  # NOW - 7d
+SNAP_T2_EPOCH = NOW_EPOCH  # NOW
 
 
 @register(
@@ -552,9 +552,7 @@ def q_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("dd", "yyyy-MM-dd").alias("d"),
             F.col("dau").cast("long").alias("dau"),
             F.col("mau").cast("long").alias("mau"),
-            F.floor(F.col("dau") * F.lit(1_000_000.0) / F.col("mau"))
-            .cast("long")
-            .alias("stickiness_ppm"),
+            exact_ppm(F.col("dau"), F.col("mau")).cast("long").alias("stickiness_ppm"),
         )
         .orderBy("d")
     )

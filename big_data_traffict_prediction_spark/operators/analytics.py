@@ -25,9 +25,12 @@ Scale shape:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import exact_ppm, global_rank
 from ..registry import register
 from ..tables import load_table, traffic_history, with_traffic
 
@@ -361,9 +364,11 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume — the self-join runs per orderkey (one hash family shared
     with the distinct), and an order with k parts emits k·(k-1)/2
     pairs (k ≈ 4 here; a pathological mega-basket would be capped
-    upstream the way dedup caps LSH buckets). Item counts and the
-    order-count scalar broadcast; lift divides exact BIGINT products;
-    final top-k is TakeOrderedAndProject."""
+    upstream the way dedup caps LSH buckets). The per-part item counts
+    are data-sized (part ∝ SF — billions of rows at 100 TB, NOT
+    broadcastable), so they join as plain shuffle hash joins on p1/p2;
+    only the single-row order-count scalar broadcasts. Lift divides
+    exact BIGINT products; final top-k is TakeOrderedAndProject."""
     from ..tables import load_table
 
     li = (
@@ -386,8 +391,8 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
     i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
     return (
-        pair.join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        pair.join(i1, "p1")
+        .join(i2, "p2")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "p1",
@@ -421,24 +426,25 @@ ORDER BY camera_id
 """),
 )
 def q_camera_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Traffic-volume quartile per camera (`ntile` ranking window —
+    """Traffic-volume quartile per camera (`ntile` ranking semantics —
     the remaining window-function class the registry didn't cover).
 
-    The unpartitioned window is DELIBERATE and safe: ntile needs one
-    global ordering, and it runs over the per-camera AGGREGATE
-    (dimension-sized — one row per camera), never over facts; the
-    deterministic (total DESC, camera_id) tie-break keeps bucket
-    boundaries identical across engines."""
+    The per-camera aggregate SCALES WITH THE FLEET (11k cameras at
+    sf0.1 — ∝ SF), so no single-partition global ntile window: the
+    quartile comes from ``_global_ntile`` (distributed range sort →
+    parallel per-partition rank → broadcast offsets → closed-form
+    bucket), row-for-row identical to the oracle's windowed ``ntile``
+    with the deterministic (total DESC, camera_id) tie-break."""
     totals = (
         traffic_history(spark, sf_dir)
         .groupBy("camera_id")
         .agg(F.sum("new_count").cast("long").alias("total"))
     )
-    w = Window.orderBy(F.desc("total"), F.asc("camera_id"))
-    return totals.select(
-        "camera_id",
-        "total",
-        F.ntile(N_QUARTILES).over(w).cast("long").alias("quartile"),
+    scored = _global_ntile(
+        totals, [F.desc("total"), F.asc("camera_id")], "quartile", n=N_QUARTILES
+    )
+    return scored.select(
+        "camera_id", "total", F.col("quartile").cast("long").alias("quartile")
     ).orderBy("camera_id")
 
 
@@ -767,31 +773,45 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     query behind "high-throughput but well-behaved" dashboards.
 
     The naive form is an all-pairs NOT-EXISTS theta join (the oracle).
-    The Spark plan is the 2-D skyline SORT trick instead: order by
-    total desc, then a camera is dominated iff the running MIN peak
-    over STRICTLY-greater totals is already ≤ its peak (range frame
-    to -1), or a same-total camera has a strictly lower peak (group
-    min) — two window passes over the per-camera aggregate, no
-    quadratic join at any scale."""
+    The Spark plan is the 2-D skyline SORT trick, DISTRIBUTED: a
+    camera is dominated iff the running MIN peak over STRICTLY-greater
+    totals is already ≤ its peak, or a same-total camera has a
+    strictly lower peak. Ties collapse first (``groupBy(total) →
+    min(peak)`` — one parallel shuffle), making totals UNIQUE; the
+    strict-prefix min over the collapsed spine then runs as a range
+    repartition (distributed desc sort) with per-partition running
+    mins plus a broadcast cluster-width table of earlier-partition
+    mins — the prefix-scan analog of ``compat.global_rank``, so no
+    single-partition window even when distinct totals scale with the
+    fleet. One hash join on ``total`` (the family the collapse just
+    established) carries the marks back to cameras."""
     h = traffic_history(spark, sf_dir)
     agg = h.groupBy("camera_id").agg(
         F.sum("new_count").cast("long").alias("total"),
         F.max("new_count").cast("long").alias("peak"),
     )
-    w_gt = (
-        Window.orderBy(F.col("total").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    per_total = agg.groupBy("total").agg(F.min("peak").alias("m_grp"))
+    d = (
+        per_total.repartitionByRange(16, F.desc("total"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    w_grp = Window.partitionBy("total")
-    marked = agg.select(
-        "camera_id",
+    pmins = d.groupBy("_pid").agg(F.min("m_grp").alias("_pmin"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmins.select("_pid", F.min("_pmin").over(w_off).alias("_prefix"))
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("total"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marks = d.join(F.broadcast(offs), "_pid").select(
         "total",
-        "peak",
-        F.min("peak").over(w_gt).alias("m_gt"),
-        F.min("peak").over(w_grp).alias("m_grp"),
+        "m_grp",
+        F.least(F.min("m_grp").over(w_loc), F.col("_prefix")).alias("m_gt"),
     )
     return (
-        marked.filter(
+        agg.join(marks, "total")
+        .filter(
             (F.col("m_gt").isNull() | (F.col("m_gt") > F.col("peak")))
             & (F.col("peak") == F.col("m_grp"))
         )
@@ -901,20 +921,28 @@ def q_volume_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution placement of every camera: percent_rank, cume_dist
     and decile over lifetime volume — the analytic-rank family
     (complementing q_camera_quartiles' ntile-only view). The tie-break
-    on camera_id makes all three rank functions order-deterministic;
-    their values are small-integer ratios, bit-identical cross-engine.
-    The window runs over the per-camera AGGREGATE (dimension-sized) —
-    facts shuffle once.
+    on camera_id makes the ordering UNIQUE, so all three are closed
+    forms of the global rank: percent_rank = (rk−1)/(n−1), cume_dist
+    = rk/n, decile = the ntile bucket formula — computed from
+    ``compat.global_rank`` (distributed range sort, parallel
+    per-partition ranking, broadcast offsets) because the per-camera
+    aggregate scales with the fleet and must never hit a
+    single-partition global window. Same IEEE divisions as the
+    engines' own rank functions ⇒ bit-identical cross-engine.
     """
     h = traffic_history(spark, sf_dir)
     agg = h.groupBy("camera_id").agg(F.sum("new_count").cast("long").alias("total"))
-    wo = Window.orderBy("total", "camera_id")
-    return agg.select(
+    ranked = global_rank(agg, [F.asc("total"), F.asc("camera_id")])
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.col("_rk") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         "camera_id",
         "total",
-        F.percent_rank().over(wo).alias("pct_rank"),
-        F.cume_dist().over(wo).alias("cume"),
-        F.ntile(10).over(wo).cast("int").alias("decile"),
+        pct.alias("pct_rank"),
+        (F.col("_rk").cast("double") / F.col("_n").cast("double")).alias("cume"),
+        _ntile_expr(10).cast("int").alias("decile"),
     ).orderBy("total", "camera_id")
 
 
@@ -923,8 +951,8 @@ def q_volume_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..compat import NOW_EPOCH as _NOW_EPOCH  # noqa: E402
 
 SIMILAR_REF_CAMERA = "1"
-SIMILAR_REF_DAY = __import__("datetime").datetime.utcfromtimestamp(
-    _NOW_EPOCH - 86400
+SIMILAR_REF_DAY = _dt.datetime.fromtimestamp(
+    _NOW_EPOCH - 86400, tz=_dt.timezone.utc
 ).strftime("%Y-%m-%d")
 SIMILAR_TOP_K = 10
 
@@ -1068,9 +1096,8 @@ def q_arrival_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(is_late, 1).otherwise(0)).cast("long").alias("n_late"),
-            F.floor(
-                F.sum(F.when(is_late, 1).otherwise(0)) * F.lit(1_000_000.0)
-                / F.count(F.lit(1))
+            exact_ppm(
+                F.sum(F.when(is_late, 1).otherwise(0)), F.count(F.lit(1))
             )
             .cast("long")
             .alias("late_ppm"),
@@ -1083,6 +1110,42 @@ def q_arrival_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RFM_REF_DATE = "2001-09-01"
+
+# Width of the distributed global-rank sort. Bounded by CLUSTER size,
+# not data size — at 100 TB set ∝ executor count; correctness never
+# depends on the value (unique sort keys make rank = offset + local
+# row_number exact for any partitioning).
+RFM_RANK_PARTITIONS = 16
+
+
+def _global_ntile(df: DataFrame, order_cols: list, out: str, n: int = 5) -> DataFrame:
+    """Exact ``ntile(n)`` over a GLOBAL ordering without a
+    single-partition data-sized window.
+
+    Plan: ``compat.global_rank`` (range-repartition → parallel
+    per-partition ``row_number`` → broadcast cluster-width offsets)
+    yields the exact global rank with no single-partition data-sized
+    window. The ntile bucket is then a closed form of (rank k, total
+    n): the first ``n mod b`` buckets hold ``n div b + 1`` rows, the
+    rest ``n div b`` — identical row-for-row to the windowed ``ntile``
+    (integer arithmetic throughout, per the exact-math house rule).
+    """
+    ranked = global_rank(df, order_cols, RFM_RANK_PARTITIONS)
+    return ranked.withColumn(out, _ntile_expr(n)).drop("_n", "_rk")
+
+
+def _ntile_expr(n: int):
+    """Closed-form ``ntile(n)`` bucket of a row given its global rank
+    ``_rk`` and total count ``_n`` (the first ``_n mod n`` buckets hold
+    ``_n div n + 1`` rows, the rest ``_n div n``) — exact integer
+    arithmetic, row-for-row identical to the windowed ``ntile``."""
+    big_total = f"(((_n div {n}) + 1) * (_n % {n}))"
+    return F.expr(
+        f"CASE WHEN _rk <= {big_total} "
+        f"THEN CAST(((_rk - 1) div ((_n div {n}) + 1)) + 1 AS INT) "
+        f"ELSE CAST((_n % {n}) + ((_rk - {big_total} - 1) div greatest(_n div {n}, 1)) + 1 AS INT) "
+        f"END"
+    )
 
 
 @register(
@@ -1122,13 +1185,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-breaks and folded into the standard segment
     ladder (champion / loyal / big_spender / at_risk / hibernating).
 
-    One fact shuffle on o_custkey; the three ntile windows run over
-    the per-customer AGGREGATE (customer-dimension-sized). At 100 TB
-    the single-partition ntile ordering is the one global step — on a
-    billion customers it becomes percent_rank-bucketing against
-    broadcast quantile boundaries (same scores, no global sort);
-    documented rather than switched because the exact ntile is the
-    oracle-checkable form.
+    One fact shuffle on o_custkey; the three quintile scores run over
+    the per-customer AGGREGATE (customer-dimension-sized) as exact
+    distributed ntiles (``_global_ntile``): range-repartition on the
+    tie-broken sort key, per-range-partition ``row_number`` in
+    parallel, broadcast cluster-width offset table, closed-form bucket
+    from (global rank, n). On a BILLION customers each scoring pass is
+    a distributed sort — there is no single-partition data-sized
+    window anywhere in the plan (plan-asserted), yet the scores are
+    row-for-row identical to the oracle's global ``ntile(5)``.
     """
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -1140,10 +1205,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "o_custkey")).cast("int")
-    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("int")
-    m = F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("int")
-    scored = rfm.select("*", r.alias("r_score"), f.alias("f_score"), m.alias("m_score"))
+    scored = _global_ntile(
+        rfm, [F.desc("recency_days"), F.asc("o_custkey")], "r_score"
+    )
+    scored = _global_ntile(scored, [F.asc("frequency"), F.asc("o_custkey")], "f_score")
+    scored = _global_ntile(
+        scored, [F.asc("monetary_cents"), F.asc("o_custkey")], "m_score"
+    )
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
@@ -1219,7 +1287,7 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ov.alias("n_overlap"),
             (F.col("n") - ov).alias("churned"),
             (F.col("n_next") - ov).alias("new_cameras"),
-            F.floor(ov * F.lit(1_000_000.0) / (F.col("n") + F.col("n_next") - ov))
+            exact_ppm(ov, F.col("n") + F.col("n_next") - ov)
             .cast("long")
             .alias("jaccard_ppm"),
         )
@@ -1315,16 +1383,18 @@ def q_order_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     by their FIRST order's month, measuring what share ordered again
     in any LATER month — the cohort loyalty curve (the orders-table
     sibling of the camera-activity q_retention_cohorts). Facts reduce
-    to (customer, first-month) once (one custkey shuffle family shared
-    by both aggregates, the cohort side broadcast back); the rate
-    ships as exact ppm.
+    to (customer, first-month) once; `firsts` is a PER-CUSTOMER
+    aggregate that scales with data (a billion-customer cohort table
+    cannot broadcast), so it joins back as a plain shuffle join on
+    o_custkey — the same hash family the aggregate just established,
+    so the co-location is free. The rate ships as exact ppm.
     """
     o = load_table(spark, sf_dir, "orders")
     firsts = o.groupBy("o_custkey").agg(
         F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("cohort_month")
     )
     flags = (
-        o.join(F.broadcast(firsts), "o_custkey")
+        o.join(firsts, "o_custkey")
         .groupBy("cohort_month", "o_custkey")
         .agg(
             F.max(
@@ -1348,7 +1418,7 @@ def q_order_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_month",
             "n_customers",
             "n_repeated",
-            F.floor(F.col("n_repeated") * F.lit(1_000_000.0) / F.col("n_customers"))
+            exact_ppm(F.col("n_repeated"), F.col("n_customers"))
             .cast("long")
             .alias("repeat_ppm"),
         )

@@ -170,7 +170,10 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fact table collapses to per-camera totals (one shuffle on the
     high-cardinality key) BEFORE joining the geo dimension, so the
-    geo join and the cell aggregate both run dimension-sized.
+    geo join and the cell aggregate both run dimension-sized. The
+    per-camera totals GROW with the fleet, so no broadcast hint —
+    both join sides are camera-dimension-sized and Catalyst/AQE picks
+    broadcast only while the measured size allows it.
     """
     g = camera_geo(spark, sf_dir)
     h = (
@@ -179,7 +182,7 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.floor("value").cast("long")).alias("cam_total"))
     )
     return (
-        g.join(F.broadcast(h), "cam_key", "left")
+        g.join(h, "cam_key", "left")
         .groupBy(
             F.floor(F.col("lat") / CELL_DEG).cast("long").alias("cell_lat"),
             F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cell_lng"),

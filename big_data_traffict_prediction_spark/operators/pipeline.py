@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..compat import global_rank
 from ..registry import register
 from ..tables import load_table
 from ..functions.text import EN_MARKERS, NORM_SQL, _in_list_sql, norm_col
@@ -403,15 +404,24 @@ ORDER BY s.doc_id
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering against a GLOBAL percentile instead of a fixed
     threshold (the corpus-adaptive form real pipelines use: drop the
-    bottom quartile wherever the quartile lands). The exact p25 comes
-    from one scalar aggregate over the scored scan, broadcast back as
-    a one-row cross join — the q15/q11 scalar pattern; facts never
+    bottom quartile wherever the quartile lands).
+
+    100 TB plan: Spark's exact ``percentile`` aggregate buffers every
+    distinct value in ONE task — corpus-sized state. Instead the two
+    order statistics the interpolated quantile needs (the elements at
+    ranks ``floor((n-1)p)`` and ``ceil((n-1)p)``) come from
+    ``compat.global_rank``: a distributed range sort ranks the scores
+    across range partitions in parallel, the two bracketing rows are
+    filtered out by rank, and one 2-row aggregate interpolates —
+    exactly Spark's/DuckDB's ``quantile_cont`` arithmetic with no
+    unbounded buffer anywhere. The threshold then broadcasts back as a
+    one-row cross join — the q15/q11 scalar pattern; facts never
     shuffle for the filter itself.
 
-    Cross-engine exactness: Spark's exact `percentile` and DuckDB's
-    `quantile_cont` interpolate identically over identical score
-    doubles; the threshold is rounded to 6 places in BOTH engines
-    before the comparison so the boundary decision can't diverge."""
+    Cross-engine exactness: linear interpolation over the same two
+    score doubles; the threshold is rounded to 6 places in BOTH
+    engines before the comparison so the boundary decision can't
+    diverge."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -419,8 +429,24 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
         quality_score_col().alias("quality_score"),
     )
-    thr = scored.agg(
-        F.round(F.percentile("quality_score", F.lit(QUALITY_PCT)), 6).alias("p_low")
+    ranked = global_rank(
+        scored.select("quality_score", "doc_id"), ["quality_score", "doc_id"]
+    )
+    idx = (F.col("_n") - 1) * F.lit(QUALITY_PCT)
+    lo_rk = F.floor(idx) + 1
+    hi_rk = F.least(F.floor(idx) + 2, F.col("_n"))
+    bracket = ranked.filter((F.col("_rk") == lo_rk) | (F.col("_rk") == hi_rk))
+    frac = idx - F.floor(idx)
+    thr = bracket.agg(
+        F.round(
+            F.min(F.when(F.col("_rk") == lo_rk, F.col("quality_score")))
+            + F.max(frac)
+            * (
+                F.min(F.when(F.col("_rk") == hi_rk, F.col("quality_score")))
+                - F.min(F.when(F.col("_rk") == lo_rk, F.col("quality_score")))
+            ),
+            6,
+        ).alias("p_low")
     )
     return (
         scored.crossJoin(F.broadcast(thr))

@@ -1331,9 +1331,20 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey/o_orderkey, the family every TPC-H operator here
     already partitions by, and the bucketed layout
     (sources/bucketed.py pattern) makes it co-located with ZERO
-    exchanges when both sides are bucketed on the order key. The
-    ranking window then runs per priority (5 groups, rows ∝ items
-    per priority — date-spread keys, skew-free).
+    exchanges when both sides are bucketed on the order key.
+
+    100 TB plan: ``lag_days`` has a tiny bounded domain (ship − order
+    date is ~0–120 days), so the exact rank-picked percentile never
+    needs to rank the fact rows. We build a
+    ``groupBy(priority, lag_days)`` count histogram — ONE map-side
+    combined shuffle over the facts producing ≤ 5 × |domain| rows —
+    then take a cumulative sum over that dimension-sized histogram and
+    pick the first lag whose running count reaches ``ceil(cnt*q)``.
+    That is element-for-element identical to ranking every row (the
+    element at rank k of the sorted multiset is the smallest value
+    whose cumulative frequency ≥ k), with max parallelism bounded by
+    the shuffle width instead of the 5 priority values. The only
+    per-priority window runs over the ≤600-row histogram.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -1342,21 +1353,26 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
         .cast("long")
         .alias("lag_days"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "lag_days", "l_orderkey", "l_linenumber"
+    hist = j.groupBy("o_orderpriority", "lag_days").agg(
+        F.count(F.lit(1)).alias("freq")
     )
-    wc = Window.partitionBy("o_orderpriority")
-    r = j.select(
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    r = hist.select(
         "o_orderpriority",
         "lag_days",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+        F.sum("freq").over(w_cum).alias("cum"),
+        F.sum("freq").over(w_tot).alias("cnt"),
     )
-    pick = lambda q: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.col("cnt") * q).cast("long"), F.col("lag_days"))
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.col("cnt") * q).cast("long"), F.col("lag_days")
+        )
     ).cast("long")
     return (
         r.groupBy("o_orderpriority")

@@ -165,8 +165,10 @@ def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gap_fill_base(spark: SparkSession, sf_dir: str):
     """Shared spine-join for the gap-fill family: distinct cameras ×
     24 hourly buckets of the previous full day, left-joined with the
-    bucket totals. Spine stays the preserved side; the aggregated side
-    broadcasts (≤ cameras × 24 rows post-groupBy)."""
+    bucket totals. Only the 24-row bucket table carries a broadcast
+    hint; the aggregated side is (cameras × 24) rows — it GROWS with
+    the fleet, so it joins on the (camera, bucket) key without a hint
+    and AQE broadcasts only while the measured size allows."""
     h = traffic_history(spark, sf_dir)
     cams = h.select("camera_id").distinct()
     buckets = spark.range(0, 24).select(
@@ -181,7 +183,7 @@ def _gap_fill_base(spark: SparkSession, sf_dir: str):
         .groupBy("camera_id", bucket_epoch("ts", 3600).alias("bucket_epoch"))
         .agg(F.sum("new_count").alias("total"))
     )
-    return spine.join(F.broadcast(agg), ["camera_id", "bucket_epoch"], "left")
+    return spine.join(agg, ["camera_id", "bucket_epoch"], "left")
 
 
 _GAP_FILL_ORACLE_BASE = f"""

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import exact_ppm
 from ..registry import register
 from ..tables import traffic_history, with_traffic
 
@@ -479,9 +480,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("long").alias("n"),
-        F.floor(F.col("n") * F.lit(1_000_000.0) / F.sum("n").over(wp))
-        .cast("long")
-        .alias("p_ppm"),
+        exact_ppm(F.col("n"), F.sum("n").over(wp)).cast("long").alias("p_ppm"),
     ).orderBy("prev_type", "next_type")
 
 

@@ -234,3 +234,62 @@ def test_cusum_flags_planted_drift_only(spark, tmp_path):
     assert out["1"].is_breach == 1
     assert out["1"].first_breach_day is not None and out["1"].first_breach_day > "2024-01-10"
     assert out["2"].is_breach == 0 and out["2"].max_cusum_scaled == 0
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """The distributed closed-form ntile must be row-for-row identical
+    to the single-partition window ntile — checked for several bucket
+    counts, with heavy value ties and a unique tie-break, including
+    the n_rows < n_buckets edge."""
+    from pyspark.sql import Window
+
+    from big_data_traffict_prediction_spark.operators.analytics import _global_ntile
+
+    for size, buckets in [(257, 5), (100, 4), (64, 10), (3, 5), (1, 5)]:
+        data = [(i, (i * 37) % 11) for i in range(size)]  # many ties
+        df = spark.createDataFrame(data, ["id", "v"])
+        got = {
+            r.id: r.b
+            for r in _global_ntile(
+                df, [F.asc("v"), F.asc("id")], "b", n=buckets
+            ).collect()
+        }
+        exp = {
+            r.id: r.b
+            for r in df.select(
+                "id",
+                F.ntile(buckets).over(Window.orderBy("v", "id")).alias("b"),
+            ).collect()
+        }
+        assert got == exp, f"size={size} buckets={buckets}"
+
+
+def test_global_rank_prefix_sum_matches_window(spark):
+    """global_rank's _rk/_cum/_tot must equal the windowed
+    row_number/running-sum/grand-total on the same ordering."""
+    from pyspark.sql import Window
+
+    from big_data_traffict_prediction_spark.compat import global_rank
+
+    data = [(i, (i * 13) % 7, (i * 5) % 23 + 1) for i in range(311)]
+    df = spark.createDataFrame(data, ["id", "v", "w"])
+    ranked = global_rank(df, [F.desc("v"), F.asc("id")], sum_col="w")
+    got = {(r.id): (r._rk, r._cum, r._tot, r._n) for r in ranked.collect()}
+    wo = Window.orderBy(F.desc("v"), F.asc("id"))
+    exp_df = df.select(
+        "id",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("w").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    exp = {r.id: (r.rk, r.cum, r.tot, r.n) for r in exp_df.collect()}
+    assert got == exp

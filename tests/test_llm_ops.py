@@ -134,6 +134,25 @@ def test_ml_forecast_tracks_replay_baseline(spark, sf_dir):
     assert pdf["predicted_volume"].max() <= pdf["avg_hourly_volume"].max() * 2
 
 
+def test_ml_forecast_eval_beats_replay_baseline(spark, sf_dir):
+    """Chronological-split evaluation: the CrossValidator-selected
+    ridge model must not LOSE to the pattern-replay baseline on the
+    held-out tail (the additive model smooths the per-slot noise the
+    replay memorizes, so it generalizes at least as well)."""
+    from big_data_traffict_prediction_spark.ml.forecast import (
+        CV_REG_GRID,
+        q_ml_forecast_eval,
+    )
+
+    row = q_ml_forecast_eval(spark, sf_dir).collect()[0]
+    assert row.n_train > 0 and row.n_test > 0
+    assert row.rmse_model > 0 and row.rmse_baseline > 0
+    assert row.best_reg_param in CV_REG_GRID
+    assert row.rmse_model <= row.rmse_baseline * 1.05, (
+        f"model RMSE {row.rmse_model} lost to replay {row.rmse_baseline}"
+    )
+
+
 def test_rollup_invariant(spark, sf_dir):
     """Per-camera totals sum exactly to the global total — the
     invariant the reference needs scripts/sync_stats_db.py to repair."""

@@ -372,11 +372,19 @@ def test_skyline_is_window_passes_not_theta_join(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.analytics import q_skyline_pareto
 
     df = q_skyline_pareto(spark, sf_dir)
-    # the dominance check must be the sort-based window form, never the
-    # oracle's quadratic NOT-EXISTS join
+    # the dominance check must be the distributed prefix-min form,
+    # never the oracle's quadratic NOT-EXISTS join
     assert explain.nested_loop_join_count(df) == 0
     a = explain.audit(df)
-    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert a["sort_merge_joins"] == 0
+    # cluster-width prefix-min offsets broadcast; the marks join back
+    # to cameras may broadcast at test SF (size-based, not forced)
+    assert a["broadcast_joins"] >= 1, "prefix-min offsets must broadcast"
+    plan = explain.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"min\(m_grp[^\n]*windowspecdefinition\(([^)]*)", plan):
+        assert "_pid" in m.group(1), "unpartitioned running-min window"
 
 
 def test_peak_hours_one_fact_shuffle_family(spark, sf_dir):
@@ -446,9 +454,18 @@ def test_reservoir_sample_is_take_ordered(spark, sf_dir):
 def test_vocab_coverage_single_count_shuffle(spark, sf_dir):
     from big_data_traffict_prediction_spark.functions.text import q_vocab_coverage
 
-    a = explain.audit(q_vocab_coverage(spark, sf_dir))
-    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    df = q_vocab_coverage(spark, sf_dir)
+    a = explain.audit(df)
+    # one count shuffle family + the cluster-width rank offsets
+    # (broadcast); the vocabulary is corpus-scaling, so no global
+    # single-partition rank/cumsum window may appear
+    assert a["broadcast_joins"] == 1 and a["sort_merge_joins"] == 0
     assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
+    plan = explain.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        assert "_pid" in m.group(0), "unpartitioned vocabulary ranking window"
 
 
 def test_rising_streaks_one_camera_shuffle_family(spark, sf_dir):
@@ -484,7 +501,9 @@ def test_pmi_vocab_joins_broadcast(spark, sf_dir):
     assert explain.has_take_ordered(df), "top-k must not global-sort"
     a = explain.audit(df)
     assert a["sort_merge_joins"] == 0
-    assert a["broadcast_joins"] >= 2, "unigram probes must broadcast"
+    # the one-row corpus-totals crossJoin must broadcast; the
+    # vocabulary-sized unigram joins are size-based (AQE), not forced
+    assert a["broadcast_joins"] >= 1, "corpus totals must broadcast"
 
 
 def test_arrival_audit_single_camera_family(spark, sf_dir):
@@ -585,13 +604,26 @@ def test_seasonal_decompose_single_fact_shuffle(spark, sf_dir):
     assert a["broadcast_joins"] >= 1, "7-row seasonal table must broadcast"
 
 
-def test_rfm_windows_over_customer_aggregate(spark, sf_dir):
+def test_rfm_no_global_ntile_window(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.analytics import q_rfm_segments
 
-    a = explain.audit(q_rfm_segments(spark, sf_dir))
-    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
-    # custkey agg + the single-partition ntile exchange + final sort
-    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+    df = q_rfm_segments(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["sort_merge_joins"] == 0
+    # visible plan = the last scoring pass (earlier passes sit behind
+    # lazy localCheckpoints): exactly one broadcast offset join and
+    # only the tiny counts-aggregate exchanges — never a data-sized
+    # global sort.
+    assert a["broadcast_joins"] == 1, f"expected 1 offset broadcast: {a}"
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a}"
+    plan = explain.formatted_plan(df)
+    # 100 TB guard: no global ntile; every data-sized ranking window
+    # must be partitioned by the range-partition id (parallel rank).
+    assert "ntile" not in plan, "global single-partition ntile reintroduced"
+    import re
+
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        assert "_pid" in m.group(0), f"unpartitioned ranking window: {m.group(0)[:120]}"
 
 
 def test_audience_overlap_reduces_before_joining(spark, sf_dir):
@@ -616,3 +648,15 @@ def test_fulfillment_lag_keys_on_order_family(spark, sf_dir):
     assert a["broadcast_joins"] + a["sort_merge_joins"] >= 1, "order-key join missing"
     cols = a["read_schema"]
     assert "l_extendedprice" not in cols, f"lineitem scan must prune; reads {cols}"
+    # 100 TB guard: the exact percentile must come from the bounded
+    # (priority, lag_days) histogram, never from ranking fact rows in
+    # 5 priority-keyed window partitions. row_number over the fact
+    # join was the round-2 scale-killer; the histogram plan has no
+    # ranking function at all and aggregates facts BEFORE any window.
+    plan = explain.formatted_plan(df)
+    assert "row_number" not in plan, "fact-ranking window reintroduced"
+    import re
+
+    win_funcs = re.findall(r"^\(\d+\) Window\n(?:.*\n)*?Arguments: \[([^\]]*)", plan, re.M)
+    for args in win_funcs:
+        assert "count(1)" not in args, "per-priority count window over facts"
