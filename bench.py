@@ -149,6 +149,7 @@ EXTENDED = [
     "q_fano_dispersion",
     "q_order_cohort_repeat",
     "q_fulfillment_lag",
+    "q_predict_scenario",
 ]
 
 
