@@ -16,9 +16,12 @@ this module writes (pure numpy, no external codecs):
 - video: ``RAWV`` (magic + ``<HHI`` w/h/frame-count + raw grayscale
   frames) — per-frame decode, mean-frame thumbnail.
 
-Compressed codec formats (PNG/JPEG/MP3/H.264) are NOT decodable in
-this container; ``_decode_payload`` raises ``NotImplementedError`` on
-an unknown magic, so the gate stays honest instead of faking them.
+Baseline grayscale **JPEG** is also real, via the from-spec pure-numpy
+codec in ``functions/jpeg.py`` (ITU-T T.81, standard Annex-K tables;
+decodes any single-component baseline JPEG, not just our own output).
+Formats still without a decoder (PNG/MP3/H.264, color or progressive
+JPEG) raise ``NotImplementedError`` in ``_decode_payload`` /
+``jpeg.decode_gray``, so the gate stays honest instead of faking them.
 
 The media table is derived deterministically from ``documents`` so
 every scale factor has a multimodal fixture without writing anywhere;
@@ -135,11 +138,22 @@ def _encode_rawv(raw: bytes, w: int, h: int) -> bytes:
     )
 
 
-def encode_media(df: DataFrame) -> DataFrame:
+def _encode_jpeg(raw: bytes, w: int, h: int) -> bytes:
+    """Real baseline JPEG of the tiled payload grid (functions/jpeg.py)."""
+    from . import jpeg
+
+    return jpeg.encode_gray(_tile(raw, w * h).reshape(h, w))
+
+
+def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     """Ingest-side container encode (Arrow-batched): wraps each raw
-    payload in a real PGM / WAV / RAWV container per its kind, sized
-    by the metadata columns. At 100 TB this is the `mapInPandas` shape
-    of any transcode stage: binary in, binary out, zero driver data."""
+    payload in a real PGM/JPEG / WAV / RAWV container per its kind,
+    sized by the metadata columns. At 100 TB this is the `mapInPandas`
+    shape of any transcode stage: binary in, binary out, zero driver
+    data. ``image_codec="jpeg"`` routes images through the from-spec
+    baseline JPEG encoder (lossy — feature invariants, not byte
+    equality, are what survives the round trip)."""
+    img_enc = {"pgm": _encode_pgm, "jpeg": _encode_jpeg}[image_codec]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +163,7 @@ def encode_media(df: DataFrame) -> DataFrame:
             ):
                 raw = bytes(raw)
                 if kind == "image":
-                    enc.append(_encode_pgm(raw, int(w), int(h)))
+                    enc.append(img_enc(raw, int(w), int(h)))
                 elif kind == "audio":
                     enc.append(_encode_wav(raw))
                 else:
@@ -187,6 +201,21 @@ def _decode_payload(payload: bytes, kind: str) -> dict:
     writes (pure numpy). Unknown magics (PNG/JPEG/...) raise — codec
     libraries are not in this container and faking them would be
     dishonest."""
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from . import jpeg
+
+        grid = jpeg.decode_gray(payload).astype(np.float64)
+        h, w = grid.shape
+        return {
+            "decoded_ok": True,
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "n_samples": w * h,
+            "level_mean": float(grid.mean()),
+            "level_std": float(grid.std()),
+            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
+        }
     if kind == "image" and payload[:2] == b"P5":
         m = _PGM_HEADER.match(payload)
         if not m:

@@ -423,12 +423,16 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before the comparison so the boundary decision can't
     diverge."""
     d = load_table(spark, sf_dir, "documents")
+    # Narrow scored projection materialized ONCE (lazy localCheckpoint,
+    # 4 scalar columns — text never persists): the threshold branch and
+    # the final filter branch otherwise each re-run the regex scoring
+    # over the full corpus.
     scored = d.select(
         "doc_id",
         "source",
         F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
         quality_score_col().alias("quality_score"),
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_rank(
         scored.select("quality_score", "doc_id"), ["quality_score", "doc_id"]
     )

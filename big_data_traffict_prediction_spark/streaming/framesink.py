@@ -5,9 +5,10 @@ The reference encodes the current frame per camera and yields it as a
 ``app/services/camera.py:351-379`` — JPEG parts separated by a
 ``--frame`` boundary). The engine-side twin keeps the exact container
 semantics — boundary-delimited parts, one content-typed payload per
-frame, emitted in frame order — over the repo's decodable RAWV/PGM
-frames instead of JPEG (no codecs in this container; the boundary
-framing, not the codec, is the operator).
+frame, emitted in frame order — and since round 3 can serve REAL
+baseline JPEG parts via the from-spec pure-numpy codec
+(``functions/jpeg.py``), exactly like the reference; PGM/RAWV remain
+as the lossless options.
 
 An MJPEG response is BY DEFINITION one ordered byte stream per viewer,
 so the sink is a single-writer: frames are streamed from the cluster

