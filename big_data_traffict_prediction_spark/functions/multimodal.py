@@ -18,10 +18,13 @@ this module writes (pure numpy, no external codecs):
 
 Baseline grayscale **JPEG** is also real, via the from-spec pure-numpy
 codec in ``functions/jpeg.py`` (ITU-T T.81, standard Annex-K tables;
-decodes any single-component baseline JPEG, not just our own output).
-Formats still without a decoder (PNG/MP3/H.264, color or progressive
-JPEG) raise ``NotImplementedError`` in ``_decode_payload`` /
-``jpeg.decode_gray``, so the gate stays honest instead of faking them.
+decodes any single-component baseline JPEG, not just our own output),
+and so is **PNG** (``functions/png.py`` — stdlib zlib DEFLATE + real
+chunk/CRC/filter handling; decodes 8-bit grey/RGB/RGBA from any
+producer, collapsing color to Rec.601 luma). Formats still without a
+decoder (MP3/H.264, color/progressive JPEG, palette/interlaced PNG)
+raise ``NotImplementedError``, so the gate stays honest instead of
+faking them.
 
 The media table is derived deterministically from ``documents`` so
 every scale factor has a multimodal fixture without writing anywhere;
@@ -145,6 +148,13 @@ def _encode_jpeg(raw: bytes, w: int, h: int) -> bytes:
     return jpeg.encode_gray(_tile(raw, w * h).reshape(h, w))
 
 
+def _encode_png(raw: bytes, w: int, h: int) -> bytes:
+    """Real (lossless) PNG of the tiled payload grid (functions/png.py)."""
+    from . import png
+
+    return png.encode_gray(_tile(raw, w * h).reshape(h, w))
+
+
 def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     """Ingest-side container encode (Arrow-batched): wraps each raw
     payload in a real PGM/JPEG / WAV / RAWV container per its kind,
@@ -152,18 +162,32 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     shape of any transcode stage: binary in, binary out, zero driver
     data. ``image_codec="jpeg"`` routes images through the from-spec
     baseline JPEG encoder (lossy — feature invariants, not byte
-    equality, are what survives the round trip)."""
-    img_enc = {"pgm": _encode_pgm, "jpeg": _encode_jpeg}[image_codec]
+    equality, are what survives the round trip); ``"png"`` through the
+    lossless zlib-backed PNG writer; ``"mixed"`` cycles pgm/jpeg/png
+    deterministically by media_id so one fixture exercises every
+    decoder."""
+    codecs = {"pgm": _encode_pgm, "jpeg": _encode_jpeg, "png": _encode_png}
+    mix = list(codecs.values())
+
+    def pick(media_id: int):
+        if image_codec == "mixed":
+            return mix[(int(media_id) // 3) % 3]
+        return codecs[image_codec]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             enc = []
-            for raw, kind, w, h in zip(
-                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"], strict=True
+            for mid, raw, kind, w, h in zip(
+                pdf["media_id"],
+                pdf["payload"],
+                pdf["kind"],
+                pdf["width"],
+                pdf["height"],
+                strict=True,
             ):
                 raw = bytes(raw)
                 if kind == "image":
-                    enc.append(img_enc(raw, int(w), int(h)))
+                    enc.append(pick(mid)(raw, int(w), int(h)))
                 elif kind == "audio":
                     enc.append(_encode_wav(raw))
                 else:
@@ -201,6 +225,21 @@ def _decode_payload(payload: bytes, kind: str) -> dict:
     writes (pure numpy). Unknown magics (PNG/JPEG/...) raise — codec
     libraries are not in this container and faking them would be
     dishonest."""
+    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from . import png
+
+        grid = png.decode_gray(payload).astype(np.float64)
+        h, w = grid.shape
+        return {
+            "decoded_ok": True,
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "n_samples": w * h,
+            "level_mean": float(grid.mean()),
+            "level_std": float(grid.std()),
+            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
+        }
     if kind == "image" and payload[:2] == b"\xff\xd8":
         from . import jpeg
 
@@ -321,12 +360,14 @@ def decode_features(df: DataFrame) -> DataFrame:
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container encode → REAL decode + feature extract over binary
-    payloads via two mapInPandas stages (PGM/WAV/RAWV, pure numpy).
-    Python-side by necessity → no SQL oracle; tests/test_llm_ops.py
-    pins the round-trip values."""
-    return decode_features(encode_media(media_table(spark, sf_dir))).orderBy(
-        "media_id"
-    )
+    payloads via two mapInPandas stages — images cycle through all
+    three real image codecs (PGM / baseline JPEG / PNG) so the decode
+    gate is exercised end-to-end, audio/video stay WAV/RAWV (all pure
+    numpy + stdlib zlib). Python-side by necessity → no SQL oracle;
+    tests/test_llm_ops.py pins the round-trip values per codec."""
+    return decode_features(
+        encode_media(media_table(spark, sf_dir), image_codec="mixed")
+    ).orderBy("media_id")
 
 
 @register("q_multimodal_frame_sample", oracle=None)

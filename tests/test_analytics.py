@@ -293,3 +293,41 @@ def test_global_rank_prefix_sum_matches_window(spark):
     )
     exp = {r.id: (r.rk, r.cum, r.tot, r.n) for r in exp_df.collect()}
     assert got == exp
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path):
+    """Property: the distributed prefix-min skyline equals the O(n²)
+    dominance definition on random cameras with HEAVY ties on both
+    axes (ties are where the tie-collapse + strict-prefix logic can
+    silently go wrong)."""
+    import random
+
+    from big_data_traffict_prediction_spark.operators.analytics import q_skyline_pareto
+
+    rng = random.Random(99)
+    rows, eid = [], 0
+    truth: dict[int, tuple[int, int]] = {}
+    for cam in range(1, 61):
+        # small domains → many (total, peak) collisions
+        n_obs = rng.randint(1, 4)
+        vals = [rng.choice([3, 5, 8, 13]) for _ in range(n_obs)]
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, datetime(2024, 5, 1 + i, 9), cam, "click", float(v), "{}")
+            )
+            eid += 1
+        truth[cam] = (sum(vals), max(vals))
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+
+    expected = {
+        str(c)
+        for c, (t, p) in truth.items()
+        if not any(
+            (t2 >= t and p2 <= p and (t2 > t or p2 < p))
+            for c2, (t2, p2) in truth.items()
+            if c2 != c
+        )
+    }
+    got = {r.camera_id for r in q_skyline_pareto(spark, path).collect()}
+    assert got == expected

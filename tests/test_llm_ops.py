@@ -89,7 +89,11 @@ def test_multimodal_decode_values(spark, sf_dir):
         if kind == "image":
             assert (r.width, r.height) == (w, h)
             assert r.n_samples == w * h
-            assert abs(r.level_mean - tiled(w * h).astype(float).mean()) < 1e-9
+            exact_mean = tiled(w * h).astype(float).mean()
+            if (r.media_id // 3) % 3 == 1:  # jpeg leg of the codec mix: lossy
+                assert abs(r.level_mean - exact_mean) < 8.0
+            else:  # pgm / png legs are lossless
+                assert abs(r.level_mean - exact_mean) < 1e-9
         elif kind == "audio":
             assert r.n_samples == len(raw)
             expect = (tiled(len(raw)).astype(np.int16) - 128) * 256
