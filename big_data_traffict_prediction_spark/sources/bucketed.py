@@ -85,3 +85,17 @@ def bucketed_self_join_latest(
         .agg(F.max("ts").alias("last_update"))
     )
     return totals.join(latest, key)
+
+
+def bucketed_fact_join(
+    spark: SparkSession, left_table: str, left_key: str, right_table: str, right_key: str
+) -> DataFrame:
+    """FACT-to-FACT co-located join: two DIFFERENT tables bucketed with
+    the same bucket count on their respective join keys (lineitem on
+    l_orderkey, orders on o_orderkey) join with ZERO exchanges — the
+    layout q_fulfillment_lag's docstring promises at 100 TB, where
+    neither side can broadcast and an un-bucketed join would shuffle
+    both full fact streams every run."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])

@@ -362,3 +362,36 @@ def read_orc_lake_day(
         )
         .drop("year", "month", "day")
     )
+
+
+def read_media_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the scan-side of a crawl/camera-drop directory. The content column
+    is the same opaque ``binary`` payload `functions/multimodal.py`
+    decodes (JPEG/PNG/PGM/WAV/RAWV), and kind is inferred from the
+    magic bytes JVM-side, so files flow straight into
+    ``decode_features`` with zero driver involvement. At 100 TB the
+    source parallelizes by file and supports partition-pruned layouts
+    the same way the parquet lake does."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    magic = F.substring("content", 1, 8)
+    kind = (
+        F.when(F.substring("content", 1, 2) == F.lit(b"\xff\xd8"), "image")
+        .when(magic == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
+        .when(F.substring("content", 1, 2) == F.lit(b"P5"), "image")
+        .when(F.substring("content", 1, 4) == F.lit(b"RIFF"), "audio")
+        .when(F.substring("content", 1, 4) == F.lit(b"RAWV"), "video")
+        .otherwise("unknown")
+    )
+    return raw.select(
+        F.col("path"),
+        F.col("length").cast("long").alias("payload_bytes"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+    )

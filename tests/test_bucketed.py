@@ -45,3 +45,47 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_table):
     )
     n_cameras = spark.table(bucketed_table).select("camera_id").distinct().count()
     assert df.count() == n_cameras
+
+
+@pytest.fixture(scope="module")
+def bucketed_facts(spark, sf_dir, tmp_path_factory):
+    """lineitem + orders bucketed on the shared order-key family."""
+    from big_data_traffict_prediction_spark.tables import load_table
+
+    wh = tmp_path_factory.mktemp("warehouse_facts")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    bucketed.write_bucketed(
+        li, "li_bucketed_test", key="l_orderkey", n_buckets=8,
+        sort_key="l_orderkey", path=str(wh / "li"),
+    )
+    bucketed.write_bucketed(
+        o, "o_bucketed_test", key="o_orderkey", n_buckets=8,
+        sort_key="o_orderkey", path=str(wh / "o"),
+    )
+    yield "li_bucketed_test", "o_bucketed_test"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed_test")
+
+
+def test_bucketed_fact_fact_join_has_no_exchange(spark, sf_dir, bucketed_facts):
+    """The q_fulfillment_lag 100 TB layout, demonstrated: lineitem and
+    orders bucketed on their order keys join with ZERO exchanges (no
+    shuffle of either fact stream) and produce the same row count as
+    the plain shuffled join."""
+    from big_data_traffict_prediction_spark.tables import load_table
+
+    li_t, o_t = bucketed_facts
+    df = bucketed.bucketed_fact_join(spark, li_t, "l_orderkey", o_t, "o_orderkey")
+    assert explain.shuffle_count(df) == 0, (
+        "bucket-aligned fact join must not shuffle:\n" + explain.formatted_plan(df)
+    )
+    plain = load_table(spark, sf_dir, "lineitem").join(
+        load_table(spark, sf_dir, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert df.count() == plain.count()

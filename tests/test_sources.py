@@ -134,3 +134,52 @@ def test_orc_lake_round_trip_prunes_partitions(spark, sf_dir, tmp_path):
     assert sorted(back.columns) == sorted(expected.columns)
     plan = explain.formatted_plan(back)
     assert "PartitionFilters" in plan and "year" in plan, "day read must partition-prune"
+
+
+def test_binaryfile_media_ingest_to_features(spark, tmp_path):
+    """Crawl-directory ingestion: real JPEG/PNG/PGM/WAV files on disk →
+    binaryFile source → magic-sniffed kind → decode_features, end to
+    end with zero driver-side payload handling."""
+    import numpy as np
+
+    from big_data_traffict_prediction_spark.functions import jpeg, png
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        _encode_pgm,
+        _encode_wav,
+        decode_features,
+    )
+    from big_data_traffict_prediction_spark.sources.lake import read_media_files
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "mediadrop"
+    d.mkdir()
+    img = ((np.arange(24 * 16) * 7) % 256).astype(np.uint8).reshape(24, 16)
+    (d / "a.jpg").write_bytes(jpeg.encode_gray(img, 85))
+    (d / "b.png").write_bytes(png.encode_gray(img))
+    (d / "c.pgm").write_bytes(_encode_pgm(img.tobytes(), 16, 24))
+    (d / "d.wav").write_bytes(_encode_wav(bytes(range(200))))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02")
+
+    m = read_media_files(spark, str(d))
+    kinds = {r.path.rsplit("/", 1)[-1]: r.kind for r in m.collect()}
+    assert kinds == {
+        "a.jpg": "image",
+        "b.png": "image",
+        "c.pgm": "image",
+        "d.wav": "audio",
+        "junk.bin": "unknown",
+    }
+
+    feats = decode_features(
+        m.filter(F.col("kind") != "unknown").select(
+            F.monotonically_increasing_id().alias("media_id"), "kind", "payload"
+        )
+    )
+    rows = {r.kind: r for r in feats.collect() if r.kind == "audio"}
+    img_rows = [r for r in feats.collect() if r.kind == "image"]
+    assert len(img_rows) == 3 and all(r.decoded_ok for r in img_rows)
+    assert all((r.width, r.height) == (16, 24) for r in img_rows)
+    # png/pgm are lossless → identical mean; jpeg within lossy bound
+    means = sorted(r.level_mean for r in img_rows)
+    assert abs(means[-1] - means[0]) < 8.0
+    assert rows["audio"].decoded_ok
