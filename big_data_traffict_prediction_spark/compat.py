@@ -120,9 +120,20 @@ def global_rank(df, order_cols, partitions: int = 16, sum_col: str | None = None
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))
     counts = d.groupBy("_pid").agg(*aggs)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # constant partition key (`_pid % 1` — column-derived so Catalyst
+    # can't fold it away): the offsets frame is ≤ `partitions` rows
+    # (cluster-width), so one window partition is correct by design;
+    # the explicit key states that instead of tripping WindowExec's
+    # no-partition warning meant for data-sized frames.
+    w_off = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     off_cols = [
         F.col("_pid"),

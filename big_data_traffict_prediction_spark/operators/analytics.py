@@ -797,7 +797,13 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     pmins = d.groupBy("_pid").agg(F.min("m_grp").alias("_pmin"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # constant-key window over the ≤16-row partition-min table (see
+    # compat.global_rank for why `_pid % 1` is the honest form)
+    w_off = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = pmins.select("_pid", F.min("_pmin").over(w_off).alias("_prefix"))
     w_loc = (
         Window.partitionBy("_pid")
