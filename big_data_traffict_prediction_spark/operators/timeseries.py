@@ -701,7 +701,14 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_count").cast("long").alias("y")
     )
     daily = daily.withColumn("dow", dow0(F.col("d").cast("timestamp")))
-    w = Window.orderBy("d").rowsBetween(-3, 3)
+    # calendar-bounded frame (one row per DAY): a single window
+    # partition is correct by design; the unfoldable constant key
+    # states that instead of tripping WindowExec's warning
+    w = (
+        Window.partitionBy(F.year("d") % F.lit(1))
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
     tr = daily.select(
         "d",
         "y",

@@ -54,6 +54,27 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
         )
 
 
+def test_no_unpartitioned_ordered_window_anywhere(spark, sf_dir):
+    """Registry-wide 100 TB guard: no query may plan an ORDERED window
+    with an empty partition spec — that moves every row to one task.
+    Data-scaling ranks go through compat.global_rank; genuinely
+    bounded frames (calendars, cluster-width offset tables) declare an
+    explicit constant partition key instead, so intent is visible in
+    the plan and WindowExec's warning stays meaningful."""
+    import re
+
+    from big_data_traffict_prediction_spark import registry
+
+    for name, fn in registry.all_queries().items():
+        if name.startswith("q_stream_"):
+            continue  # streaming queries materialize eagerly
+        plan = explain.formatted_plan(fn(spark, sf_dir))
+        m = re.search(r"windowspecdefinition\(([^,)]+ (?:ASC|DESC))", plan)
+        assert m is None, (
+            f"{name} has an unpartitioned ordered window on {m.group(1)!r}"
+        )
+
+
 def test_bucket_series_dense_broadcasts_agg_side(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.timeseries import (
         q_bucket_series_dense,
