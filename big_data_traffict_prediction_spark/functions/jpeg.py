@@ -11,9 +11,11 @@ baseline sequential JPEG, whoever produced it.
 
 Scope (all honestly gated, never faked):
 - encode: 8-bit grayscale, baseline DCT, JFIF container, quality
-  scaling per the classic libjpeg 5000/q | 200−2q formula.
-- decode: baseline sequential (SOF0), ONE component, no restart
-  markers. Color / progressive / DRI raise ``NotImplementedError``.
+  scaling per the classic libjpeg 5000/q | 200−2q formula, optional
+  restart markers (DRI/RSTn).
+- decode: baseline sequential (SOF0), ONE component, restart
+  intervals supported. Color / progressive raise
+  ``NotImplementedError``.
 
 Everything block-parallel is vectorized numpy (DCT/quantization run
 as one einsum over all blocks); only the entropy coder is a per-block
@@ -140,10 +142,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and append a raw marker (markers are NOT stuffed)."""
+        self.byte_align()
+        self.buf.append(0xFF)
+        self.buf.append(marker)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -156,8 +167,12 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_gray(arr: np.ndarray, quality: int = 75) -> bytes:
-    """Encode a 2-D uint8 array as a baseline JFIF JPEG."""
+def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -> bytes:
+    """Encode a 2-D uint8 array as a baseline JFIF JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (DC predictor reset, byte-aligned) — the
+    error-resilience feature camera firmware JPEGs commonly use."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 2 or a.size == 0:
         raise ValueError("encode_gray expects a non-empty 2-D array")
@@ -175,7 +190,10 @@ def encode_gray(arr: np.ndarray, quality: int = 75) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    for i, blk in enumerate(zz):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.emit_marker(0xD0 + ((i // restart_interval - 1) % 8))
+            prev_dc = 0
         diff = int(blk[0]) - prev_dc
         prev_dc = int(blk[0])
         size = _category(diff)
@@ -216,6 +234,8 @@ def encode_gray(arr: np.ndarray, quality: int = 75) -> bytes:
     )
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
@@ -256,6 +276,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self) -> None:
+        """Discard pad bits, consume the next RSTn marker (byte-aligned
+        per spec)."""
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -300,6 +332,7 @@ def decode_gray(data: bytes) -> np.ndarray:
     h = w = 0
     comp_q = 0
     comp_dc = comp_ac = 0
+    dri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -339,8 +372,8 @@ def decode_gray(data: bytes) -> np.ndarray:
             comp_q = payload[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG (progressive/extended)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (dri,) = struct.unpack(">H", payload)
         elif marker == 0xDA:  # SOS → entropy data follows
             comp_dc = payload[2] >> 4
             comp_ac = payload[2] & 0xF
@@ -350,6 +383,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 htables[(0, comp_dc)],
                 htables[(1, comp_ac)],
                 n_blocks=(-(-h // 8)) * (-(-w // 8)),
+                dri=dri,
             )
             pos = end
             # Dequantize + vectorized inverse DCT over all blocks.
@@ -380,11 +414,15 @@ def _decode_entropy(
     dc_tab: dict[tuple[int, int], int],
     ac_tab: dict[tuple[int, int], int],
     n_blocks: int,
+    dri: int = 0,
 ) -> np.ndarray:
     br = _BitReader(data)
     out = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = 0
     for b in range(n_blocks):
+        if dri and b and b % dri == 0:
+            br.sync_restart()
+            prev_dc = 0
         zz = np.zeros(64, dtype=np.int64)
         size = _read_symbol(br, dc_tab)
         diff = _extend(br.read(size), size) if size else 0

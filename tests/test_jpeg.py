@@ -178,3 +178,20 @@ def test_round_trip_property_random_images():
         assert back.shape == (h, w) and back.dtype == np.uint8
         err = np.abs(back.astype(int) - img.astype(int)).max()
         assert err <= 64, f"{h}x{w} kind={kind}: err {err}"
+
+
+def test_restart_markers_round_trip():
+    """DRI/RSTn streams (the camera-firmware error-resilience form):
+    encode with several restart intervals, verify RST markers are
+    actually present, and decode — identically to the no-restart
+    stream."""
+    x, y = np.meshgrid(np.arange(64), np.arange(40))
+    img = ((x * 5 + y * 3) % 256).astype(np.uint8)
+    plain = decode_gray(encode_gray(img, 80))
+    for dri in (1, 3, 7):
+        data = encode_gray(img, 80, restart_interval=dri)
+        assert b"\xff\xdd" in data, "DRI segment missing"
+        assert any(
+            bytes([0xFF, 0xD0 + n]) in data for n in range(8)
+        ), "no RST markers emitted"
+        assert (decode_gray(data) == plain).all(), f"dri={dri} diverged"
