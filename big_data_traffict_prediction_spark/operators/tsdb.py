@@ -498,23 +498,21 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter cameras: those contributing more than the average
     per-camera share of lifetime volume (share > 1/n_cameras — a
     scale-free threshold, no magic constant). One fact shuffle on
-    camera_id; the grand total comes from an empty-frame window over
-    the already-aggregated per-camera table (≤ cameras rows — the
-    single-partition exchange is over the small dim, never the facts).
+    camera_id; the grand total/camera count come from a ONE-ROW scalar
+    aggregate broadcast back as a crossJoin (the q15/q11 pattern) —
+    the per-camera table scales with the FLEET, so no single-partition
+    window pass over it, even an unordered one.
     """
     h = traffic_history(spark, sf_dir)
     per_cam = h.groupBy("camera_id").agg(
         F.sum("new_count").cast("long").alias("total_new_count"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.partitionBy()
-    tot = per_cam.select(
-        "camera_id",
-        "total_new_count",
-        "n_events",
-        F.sum("total_new_count").over(w).alias("grand_total"),
-        F.count(F.lit(1)).over(w).alias("n_cameras"),
+    scalar = per_cam.agg(
+        F.sum("total_new_count").alias("grand_total"),
+        F.count(F.lit(1)).alias("n_cameras"),
     )
+    tot = per_cam.crossJoin(F.broadcast(scalar))
     return (
         tot.filter(F.col("total_new_count") * F.col("n_cameras") > F.col("grand_total"))
         .select(

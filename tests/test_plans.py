@@ -365,15 +365,25 @@ def test_gap_fill_spine_joins_broadcast(spark, sf_dir):
     assert explain.nested_loop_join_count(df) <= 1  # tiny bucket spine only
 
 
-def test_heavy_hitters_windows_over_aggregate_only(spark, sf_dir):
+def test_heavy_hitters_broadcast_scalar_no_window(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.tsdb import q_heavy_hitters
 
-    # the single-partition window runs over the per-camera aggregate
-    # (≤ cameras rows), never the raw facts: fact shuffle + dim-sized
-    # single-partition exchange + final sort
-    a = explain.audit(q_heavy_hitters(spark, sf_dir))
-    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
-    assert a["shuffles"] <= 3, f"unexpected shuffle count: {a['shuffles']}"
+    # grand total = one-row scalar aggregate broadcast back (the
+    # q15/q11 pattern); the fleet-sized per-camera table never passes
+    # through a single-partition window, even an unordered one
+    df = q_heavy_hitters(spark, sf_dir)
+    a = explain.audit(df)
+    plan = explain.formatted_plan(df)
+    # a one-row scalar crossJoin plans as a broadcast nested-loop with
+    # a single-row build side — the benign q15/q11 shape
+    assert "BroadcastNestedLoopJoin" in plan, "scalar side must broadcast"
+    assert explain.nested_loop_join_count(df) <= 1
+    assert a["sort_merge_joins"] == 0
+    assert "Window" not in plan, "no window pass expected"
+    # the per-camera aggregate exchange prints in both branches of the
+    # static plan; it is canonically identical, so AQE's ReuseExchange
+    # runs it once at execution
+    assert a["shuffles"] <= 4, f"unexpected shuffle count: {a['shuffles']}"
 
 
 def test_embedding_centroids_bounded_shuffles_no_join(spark, sf_dir):
