@@ -92,6 +92,66 @@ NOW_TS = "2024-01-31 00:00:00"
 NOW_EPOCH = 1706659200  # 2024-01-31T00:00:00Z
 
 
+def constant_key(col: Column) -> Column:
+    """A window partition key that is CONSTANT at runtime but that
+    Catalyst cannot constant-fold away (column-derived ``col % 1``).
+
+    For cluster-width or calendar-width frames (per-partition offset
+    tables, date spines — sizes bounded by cluster width or the
+    calendar, never by data volume) a single window partition is
+    correct BY DESIGN; this key states that explicitly instead of
+    tripping WindowExec's no-partition warning (which is aimed at
+    data-sized frames), and keeps every ordered window carrying a
+    partition key so the registry-wide plan test
+    (tests/test_plans.py) can enforce the rule with zero exemptions.
+    Centralized here so a Catalyst release that learns to fold the
+    expression is fixed in one place.
+    """
+    return col % F.lit(1)
+
+
+def global_prefix_min(df, order_cols, value_col: str, partitions: int = 16):
+    """Distributed EXCLUSIVE global prefix-min: adds ``_pre`` — the
+    minimum of ``value_col`` over all rows STRICTLY before the current
+    row under ``order_cols`` (NULL for the global first row) — without
+    a single-partition data-sized window.
+
+    Same scaffold as :func:`global_rank`: ``repartitionByRange`` on
+    the sort key is the distributed sort; each range partition scans
+    its own running min in parallel; the per-partition mins —
+    cluster-width-sized, never data-sized — yield broadcast offsets,
+    so the global prefix min is ``least(local running min,
+    earlier-partition min)`` (``least`` skips NULLs, so partition-first
+    rows inherit the earlier-partition min alone).
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pmins = d.groupBy("_pid").agg(F.min(value_col).alias("_pmin"))
+    w_off = (
+        Window.partitionBy(constant_key(F.col("_pid")))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = pmins.select("_pid", F.min("_pmin").over(w_off).alias("_prefix"))
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "_pre", F.least(F.min(value_col).over(w_loc), F.col("_prefix"))
+        )
+        .drop("_pid", "_prefix")
+    )
+
+
 def global_rank(df, order_cols, partitions: int = 16, sum_col: str | None = None):
     """Distributed GLOBAL row rank: adds ``_rk`` (1-based global rank
     under ``order_cols``) and ``_n`` (total rows) without a
@@ -120,18 +180,15 @@ def global_rank(df, order_cols, partitions: int = 16, sum_col: str | None = None
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))
     counts = d.groupBy("_pid").agg(*aggs)
-    # constant partition key (`_pid % 1` — column-derived so Catalyst
-    # can't fold it away): the offsets frame is ≤ `partitions` rows
-    # (cluster-width), so one window partition is correct by design;
-    # the explicit key states that instead of tripping WindowExec's
-    # no-partition warning meant for data-sized frames.
+    # the offsets frame is ≤ `partitions` rows (cluster-width), so one
+    # window partition is correct by design — see constant_key.
     w_off = (
-        Window.partitionBy(F.col("_pid") % F.lit(1))
+        Window.partitionBy(constant_key(F.col("_pid")))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_all = (
-        Window.partitionBy(F.col("_pid") % F.lit(1))
+        Window.partitionBy(constant_key(F.col("_pid")))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )

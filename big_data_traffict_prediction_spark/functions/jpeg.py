@@ -321,8 +321,9 @@ def _extend(v: int, size: int) -> int:
 def decode_gray(data: bytes) -> np.ndarray:
     """Decode a baseline sequential single-component JPEG to uint8.
 
-    Color, progressive, arithmetic-coded, and restart-interval streams
-    raise ``NotImplementedError`` — gated, not faked.
+    Restart-interval (DRI/RSTn) streams are fully supported; color,
+    progressive, and arithmetic-coded streams raise
+    ``NotImplementedError`` — gated, not faked.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -336,6 +337,11 @@ def decode_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them or a padded stream misreads the
+        # fill byte itself as a (length-bearing) marker.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

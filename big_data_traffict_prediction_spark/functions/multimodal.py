@@ -168,6 +168,13 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     decoder."""
     codecs = {"pgm": _encode_pgm, "jpeg": _encode_jpeg, "png": _encode_png}
     mix = list(codecs.values())
+    # Validate on the DRIVER: a typo'd codec must fail before the job
+    # launches, not as a KeyError from an executor mid-scan.
+    if image_codec != "mixed" and image_codec not in codecs:
+        raise ValueError(
+            f"unknown image_codec {image_codec!r}; "
+            f"expected one of {sorted(codecs)} or 'mixed'"
+        )
 
     def pick(media_id: int):
         if image_codec == "mixed":
@@ -220,59 +227,44 @@ def _thumb(a: np.ndarray) -> np.ndarray:
     return a[np.ix_(yi, xi)]
 
 
+def _image_result(grid: np.ndarray, ok: bool = True) -> dict:
+    """Shared feature dict for every image codec: one constructor so
+    the decoded schema cannot silently diverge between PNG/JPEG/PGM."""
+    h, w = grid.shape
+    return {
+        "decoded_ok": bool(ok),
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "n_samples": w * h,
+        "level_mean": float(grid.mean()),
+        "level_std": float(grid.std()),
+        "feature": (_thumb(grid) / 255.0).ravel().tolist(),
+    }
+
+
 def _decode_payload(payload: bytes, kind: str) -> dict:
-    """REAL decode kernel for the uncompressed containers this module
-    writes (pure numpy). Unknown magics (PNG/JPEG/...) raise — codec
-    libraries are not in this container and faking them would be
-    dishonest."""
+    """REAL decode kernel for the containers this module writes (pure
+    numpy; PNG/JPEG via the from-spec codecs in this package). Unknown
+    magics raise — general codec libraries are not in this container
+    and faking them would be dishonest."""
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         from . import png
 
-        grid = png.decode_gray(payload).astype(np.float64)
-        h, w = grid.shape
-        return {
-            "decoded_ok": True,
-            "width": w,
-            "height": h,
-            "n_frames": 1,
-            "n_samples": w * h,
-            "level_mean": float(grid.mean()),
-            "level_std": float(grid.std()),
-            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
-        }
+        return _image_result(png.decode_gray(payload).astype(np.float64))
     if kind == "image" and payload[:2] == b"\xff\xd8":
         from . import jpeg
 
-        grid = jpeg.decode_gray(payload).astype(np.float64)
-        h, w = grid.shape
-        return {
-            "decoded_ok": True,
-            "width": w,
-            "height": h,
-            "n_frames": 1,
-            "n_samples": w * h,
-            "level_mean": float(grid.mean()),
-            "level_std": float(grid.std()),
-            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
-        }
+        return _image_result(jpeg.decode_gray(payload).astype(np.float64))
     if kind == "image" and payload[:2] == b"P5":
         m = _PGM_HEADER.match(payload)
         if not m:
             raise ValueError("malformed PGM header")
         w, h = int(m.group(1)), int(m.group(2))
         px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
-        ok = px.size == w * h
-        grid = np.resize(px, (h, w)).astype(np.float64)
-        return {
-            "decoded_ok": bool(ok),
-            "width": w,
-            "height": h,
-            "n_frames": 1,
-            "n_samples": w * h,
-            "level_mean": float(grid.mean()),
-            "level_std": float(grid.std()),
-            "feature": (_thumb(grid) / 255.0).ravel().tolist(),
-        }
+        return _image_result(
+            np.resize(px, (h, w)).astype(np.float64), ok=px.size == w * h
+        )
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         (fmt_len,) = struct.unpack_from("<I", payload, 16)
         audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, 20)

@@ -15,12 +15,36 @@ pattern-replay baseline instead.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import dow0
+from ..compat import constant_key, dow0
 from ..registry import register
 from ..tables import load_table, traffic_history
+
+_ML_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized(fn):
+    """MLlib fits are EAGER — they run at DataFrame-construction time,
+    unlike every other registry query (whose functions only build a
+    plan). Registry-wide sweeps (tests/test_plans.py calls every
+    registered query twice) would otherwise retrain the model — and
+    leak one cached train frame — per call. Memoize the returned
+    DataFrame per (Spark application, sf_dir): DataFrames are
+    immutable, so reuse is sound, and the train-frame cache entry is
+    shared by all consumers instead of accumulating."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (fn.__name__, spark.sparkContext.applicationId, sf_dir)
+        if key not in _ML_MEMO:
+            _ML_MEMO[key] = fn(spark, sf_dir)
+        return _ML_MEMO[key]
+
+    return wrapper
 
 
 def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,6 +63,7 @@ def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_ml_forecast", oracle=None)
+@_memoized
 def q_ml_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the pipeline and score every (camera, dow, hour) slot;
     returns slot-level predicted volume next to the replay baseline
@@ -126,6 +151,7 @@ def _pipeline(reg_param: float = 0.01):
 
 
 @register("q_ml_forecast_eval", oracle=None)
+@_memoized
 def q_ml_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free evaluation of the MLlib forecaster: train on the
     FIRST 80% of days (the q_time_split chronological boundary — never
@@ -148,7 +174,7 @@ def q_ml_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates = frame.select("d").distinct()
     n = dates.agg(F.count(F.lit(1)).alias("n_dates"))
     # calendar-bounded rank: single partition by design (see q_time_split)
-    w_cal = Window.partitionBy(F.year("d") % F.lit(1)).orderBy("d")
+    w_cal = Window.partitionBy(constant_key(F.year("d"))).orderBy("d")
     split = (
         dates.withColumn("rn", F.row_number().over(w_cal))
         .crossJoin(F.broadcast(n))

@@ -30,7 +30,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import exact_ppm, global_rank
+from ..compat import constant_key, exact_ppm, global_prefix_min, global_rank
 from ..registry import register
 from ..tables import load_table, traffic_history, with_traffic
 
@@ -656,8 +656,8 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates = pairs.select("d").distinct()
     n = dates.agg(F.count("*").alias("n_dates"))
     # calendar-bounded rank (one row per DAY) → single window partition
-    # by design; unfoldable constant key keeps WindowExec quiet
-    w_cal = Window.partitionBy(F.year("d") % F.lit(1)).orderBy("d")
+    # by design (see compat.constant_key)
+    w_cal = Window.partitionBy(constant_key(F.year("d"))).orderBy("d")
     ranked = dates.withColumn("rn", F.row_number().over(w_cal)).crossJoin(
         F.broadcast(n)
     )
@@ -780,43 +780,28 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals is already ≤ its peak, or a same-total camera has a
     strictly lower peak. Ties collapse first (``groupBy(total) →
     min(peak)`` — one parallel shuffle), making totals UNIQUE; the
-    strict-prefix min over the collapsed spine then runs as a range
-    repartition (distributed desc sort) with per-partition running
-    mins plus a broadcast cluster-width table of earlier-partition
-    mins — the prefix-scan analog of ``compat.global_rank``, so no
+    strict-prefix min over the collapsed spine is
+    ``compat.global_prefix_min`` (range repartition + per-partition
+    running mins + broadcast earlier-partition mins), so no
     single-partition window even when distinct totals scale with the
     fleet. One hash join on ``total`` (the family the collapse just
-    established) carries the marks back to cameras."""
+    established) carries the marks back to cameras. ``agg`` is
+    lazily localCheckpoint'ed: both consumers (the collapsed spine
+    and the final join's left side) reuse ONE scan+shuffle of the
+    fact table instead of recomputing it."""
     h = traffic_history(spark, sf_dir)
-    agg = h.groupBy("camera_id").agg(
-        F.sum("new_count").cast("long").alias("total"),
-        F.max("new_count").cast("long").alias("peak"),
-    )
-    per_total = agg.groupBy("total").agg(F.min("peak").alias("m_grp"))
-    d = (
-        per_total.repartitionByRange(16, F.desc("total"))
-        .withColumn("_pid", F.spark_partition_id())
+    agg = (
+        h.groupBy("camera_id")
+        .agg(
+            F.sum("new_count").cast("long").alias("total"),
+            F.max("new_count").cast("long").alias("peak"),
+        )
         .localCheckpoint(eager=False)
     )
-    pmins = d.groupBy("_pid").agg(F.min("m_grp").alias("_pmin"))
-    # constant-key window over the ≤16-row partition-min table (see
-    # compat.global_rank for why `_pid % 1` is the honest form)
-    w_off = (
-        Window.partitionBy(F.col("_pid") % F.lit(1))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = pmins.select("_pid", F.min("_pmin").over(w_off).alias("_prefix"))
-    w_loc = (
-        Window.partitionBy("_pid")
-        .orderBy(F.desc("total"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marks = d.join(F.broadcast(offs), "_pid").select(
-        "total",
-        "m_grp",
-        F.least(F.min("m_grp").over(w_loc), F.col("_prefix")).alias("m_gt"),
-    )
+    per_total = agg.groupBy("total").agg(F.min("peak").alias("m_grp"))
+    marks = global_prefix_min(
+        per_total, [F.desc("total")], "m_grp"
+    ).withColumnRenamed("_pre", "m_gt")
     return (
         agg.join(marks, "total")
         .filter(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import NOW_EPOCH, NOW_TS, bucket_epoch
+from ..compat import NOW_EPOCH, NOW_TS, bucket_epoch, constant_key
 from ..registry import register
 from ..tables import traffic_history, with_traffic
 
@@ -702,10 +702,9 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = daily.withColumn("dow", dow0(F.col("d").cast("timestamp")))
     # calendar-bounded frame (one row per DAY): a single window
-    # partition is correct by design; the unfoldable constant key
-    # states that instead of tripping WindowExec's warning
+    # partition is correct by design (see compat.constant_key)
     w = (
-        Window.partitionBy(F.year("d") % F.lit(1))
+        Window.partitionBy(constant_key(F.year("d")))
         .orderBy("d")
         .rowsBetween(-3, 3)
     )

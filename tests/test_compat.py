@@ -116,3 +116,33 @@ def test_let_prevents_duplicate_evaluation_semantics(spark):
         compat.let(F.array_max("v"), lambda m: m + m).alias("r")
     ).first().r
     assert direct == bound == 6
+
+
+def test_global_prefix_min_matches_single_window(spark):
+    """compat.global_prefix_min (distributed exclusive prefix-min) must
+    equal the naive single-window form, including NULL for the global
+    first row and tie handling under a deterministic total order."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [Row(k=i, v=rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {
+        r.k: r._pre
+        for r in compat.global_prefix_min(df, [F.desc("k")], "v", partitions=4)
+        .select("k", "_pre")
+        .collect()
+    }
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.k: r.pre
+        for r in df.select("k", F.min("v").over(w).alias("pre")).collect()
+    }
+    assert got == want
+    assert want[499] is None  # global first row has no prefix

@@ -195,3 +195,31 @@ def test_restart_markers_round_trip():
             bytes([0xFF, 0xD0 + n]) in data for n in range(8)
         ), "no RST markers emitted"
         assert (decode_gray(data) == plain).all(), f"dri={dri} diverged"
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes (camera firmwares pad header segments this way). Insert fill
+    bytes before every header marker of a valid stream and decode — the
+    result must be identical to the unpadded stream."""
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = ((x * 7 + y * 11) % 256).astype(np.uint8)
+    data = encode_gray(img, 85)
+    plain = decode_gray(data)
+    # Re-emit the stream with 1-3 fill bytes before each header marker
+    # (walk markers independently; never touch entropy-coded data).
+    out, pos, nfill = bytearray(data[:2]), 2, 1
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        out += b"\xff" * nfill
+        nfill = nfill % 3 + 1
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        out += data[pos : pos + 2 + ln]
+        pos += 2 + ln
+        if m == 0xDA:  # entropy data through EOI: copy verbatim
+            out += data[pos:]
+            break
+    padded = bytes(out)
+    assert len(padded) > len(data)
+    assert (decode_gray(padded) == plain).all()
