@@ -663,7 +663,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (the ANN contract — a query batch scoring a huge
     # candidate corpus), so the LUTs (PQ_SUBSPACES*PQ_CODES doubles
     # per query) build driver-side and broadcast.
-    q_rows = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q_rows = vecs.filter(F.col("vec_id") < QUERY_LIMIT).select(
         "vec_id", "embedding"
     ).collect()
     lut_rows = []
@@ -720,7 +720,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         F.col("norm_fp").alias("n_norm_fp"),
     )
-    q_emb = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q_emb = vecs.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_fp").alias("q_norm_fp"),
