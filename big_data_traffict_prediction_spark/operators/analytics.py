@@ -293,34 +293,70 @@ def q_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_QUANTILES = [0.5, 0.9, 0.99]
-APPROX_QUANTILE_ACC = 10_000
+# Percentile points as integer percents so rank arithmetic stays exact:
+# rank(p) = ceil(p * n) computed as (p_pct * n + 99) div 100 — never a
+# double (ceil(0.9 * n) can be ceil(9.000000000000002) = 10 at n = 10).
+QUANTILE_PCTS = [("p50", 50), ("p90", 90), ("p99", 99)]
 
 
-@register("q_approx_quantile", oracle=None)
+@register(
+    "q_approx_quantile",
+    oracle=with_traffic("""
+, freq AS (
+  SELECT camera_id, new_count, CAST(COUNT(*) AS BIGINT) AS c
+  FROM traffic GROUP BY 1, 2
+), cum AS (
+  SELECT camera_id, new_count,
+         SUM(c) OVER (PARTITION BY camera_id ORDER BY new_count) AS cum,
+         SUM(c) OVER (PARTITION BY camera_id) AS n
+  FROM freq
+)
+SELECT camera_id,
+       MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN new_count END) AS p50,
+       MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN new_count END) AS p90,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN new_count END) AS p99
+FROM cum GROUP BY camera_id ORDER BY camera_id
+"""),
+)
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-camera approximate quantiles (Greenwald-Khanna sketch,
-    accuracy {APPROX_QUANTILE_ACC}) for p50/p90/p99 of new_count —
-    the mergeable-sketch path for percentile dashboards where the
-    exact sort-based percentile (q_camera_thresholds) is not worth
-    the shuffle at 100 TB. Sketch internals are engine-specific →
-    rows-only driver check; tests bound each approximate value inside
-    the exact neighboring-rank envelope instead."""
+    """Per-camera p50/p90/p99 of new_count via a value-frequency
+    histogram — the bounded-domain replacement for a quantile sketch
+    (reference: scripts/stats.py percentile dashboards). new_count is a
+    small-integer domain, so groupBy(camera, value) collapses the fact
+    table to (cameras × distinct values) rows with full map-side
+    combining, and the cumulative window then runs over distinct VALUES,
+    not observations — exact at any scale, mergeable (the histogram is a
+    sum), and orders of magnitude smaller than the sort a row-level
+    percentile needs. The pick is the inverse empirical CDF (smallest
+    value with cum ≥ ceil(p·n)), identical to percentile_disc — pinned
+    against it in tests/test_analytics.py, and integer rank arithmetic
+    keeps both engines bit-identical."""
     h = traffic_history(spark, sf_dir)
-    qs = F.percentile_approx(
-        "new_count",
-        F.array(*[F.lit(q) for q in APPROX_QUANTILES]),
-        F.lit(APPROX_QUANTILE_ACC),
+    freq = h.groupBy("camera_id", "new_count").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("camera_id")
+        .orderBy("new_count")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        h.groupBy("camera_id")
-        .agg(qs.alias("q"))
-        .select(
-            "camera_id",
-            F.col("q")[0].cast("long").alias("p50_approx"),
-            F.col("q")[1].cast("long").alias("p90_approx"),
-            F.col("q")[2].cast("long").alias("p99_approx"),
+    w_all = Window.partitionBy("camera_id")
+    cum = freq.select(
+        "camera_id",
+        "new_count",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def pick(pct: int, name: str) -> F.Column:
+        rank = F.call_function(
+            "div", F.lit(pct) * F.col("n") + F.lit(99), F.lit(100)
         )
+        return F.min(
+            F.when(F.col("cum") >= rank, F.col("new_count"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("camera_id")
+        .agg(*[pick(pct, name) for name, pct in QUANTILE_PCTS])
         .orderBy("camera_id")
     )
 

@@ -7,11 +7,12 @@ a map or a single hash shuffle (the fingerprint groupBy); nothing
 collects to the driver.
 
 ``q_approx_distinct`` and ``q_stratified_sample`` are the
-cardinality/sampling tools of the same pipeline family:
-approx_count_distinct (HyperLogLog++) for dashboard-grade counts
-without an exact shuffle, seeded sampleBy for reproducible stratified
-subsets. HLL sketches and sample RNGs are engine-specific → rows-only
-driver checks; tests bound them against exact values instead.
+cardinality/sampling tools of the same pipeline family: a KMV
+(bottom-k) sketch for dashboard-grade counts without a full distinct
+shuffle, deterministic hash-threshold sampling for reproducible
+stratified subsets. Both run on exact integer hash arithmetic, so —
+unlike HLL registers or RNG-based sampleBy — they are bit-reproducible
+across engines and hash-checked against the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -121,45 +122,163 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct", oracle=None)
+# KMV (k-minimum-values / bottom-k) cardinality sketch over a
+# deterministic multiplicative hash — unlike HyperLogLog (whose
+# register layout is engine-private) the whole sketch is exact integer
+# arithmetic both engines reproduce bit-for-bit. Hash: glibc LCG
+# constants (public), range [0, 2^31); (x mod M) first keeps every
+# intermediate below 2^62 — no int64 overflow at any id magnitude.
+KMV_K = 1024
+HASH_M = 2**31
+HASH_A = 1103515245
+HASH_C = 12345
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    return F.pmod(F.pmod(col, F.lit(HASH_M)) * F.lit(HASH_A) + F.lit(HASH_C), F.lit(HASH_M))
+
+
+_KMV_HASH_SQL = "(({col} % {m}) * {a} + {c}) % {m}".format
+
+
+def _kmv_estimate(spark: SparkSession, df: DataFrame, col: str) -> DataFrame:
+    """Bottom-KMV_K distinct hashes → (n_kept, h_k). Estimate is the
+    standard (k-1)·M / h_(k); below k distinct values the sketch holds
+    the whole (hashed) value set, so the count itself is the answer."""
+    bottom = (
+        df.select(_kmv_hash(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    return bottom.agg(
+        F.when(
+            F.count(F.lit(1)) < KMV_K, F.count(F.lit(1))
+        )
+        .otherwise(
+            F.call_function("div", F.lit((KMV_K - 1) * HASH_M), F.max("h"))
+        )
+        .alias(f"{col}_kmv")
+    )
+
+
+def _kmv_sql(col: str) -> str:
+    h = _KMV_HASH_SQL(col=col, m=HASH_M, a=HASH_A, c=HASH_C)
+    return f"""(
+  SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE CAST({(KMV_K - 1) * HASH_M} // MAX(h) AS BIGINT) END
+  FROM (SELECT h FROM (SELECT DISTINCT {h} AS h FROM events)
+        ORDER BY h LIMIT {KMV_K})
+)"""
+
+
+@register(
+    "q_approx_distinct",
+    oracle=f"""
+SELECT {_kmv_sql("user_id")} AS user_id_kmv,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       {_kmv_sql("event_id")} AS event_id_kmv,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count —
-    the cardinality tool for 100 TB dashboards where an exact distinct
-    shuffle is not worth it. Sketches are engine-specific → rows-only
-    driver check; the returned row itself carries the error margin and
-    tests bound it (≤5% at rsd=0.05)."""
+    """Approximate distinct counts via a KMV (bottom-k) sketch next to
+    the exact count — the cardinality tool for 100 TB dashboards where
+    an exact distinct shuffle is not worth it. The k smallest distinct
+    hash values flow as TakeOrderedAndProject (per-partition bottom-k,
+    then a k-row merge — never a full sort); estimate = (k−1)·M / h_(k).
+    Deterministic integer hashing makes the sketch itself oracle-able
+    cross-engine, unlike approx_count_distinct's HLL registers. At 100 TB
+    a pre-filter h < t·M (t from a cheap upstream count) would bound the
+    distinct shuffle to the sketch's survivors; at any size the answer
+    is identical."""
     e = load_table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+    users = _kmv_estimate(spark, e, "user_id")
+    events_ = _kmv_estimate(spark, e, "event_id")
+    exact = e.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("event_id", rsd=0.05).alias("approx_events"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        users.crossJoin(events_)
+        .crossJoin(exact)
+        .select("user_id_kmv", "exact_users", "event_id_kmv", "n_rows")
     )
 
 
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25}
 SAMPLE_SEED = 42
+# Per-stratum integer thresholds over the hash range: keep a doc iff
+# hash(doc_id) < frac · M. Deterministic (the "seed" offsets the hash),
+# reproducible across runs/engines, and a pure map-side filter.
+SAMPLE_THRESHOLDS = {
+    lang: int(frac * HASH_M) for lang, frac in SAMPLE_FRACTIONS.items()
+}
 
 
-@register("q_stratified_sample", oracle=None)
+def _sample_hash(col: F.Column) -> F.Column:
+    return F.pmod(
+        F.pmod(col, F.lit(HASH_M)) * F.lit(HASH_A) + F.lit(SAMPLE_SEED),
+        F.lit(HASH_M),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+WITH th(lang, threshold) AS (VALUES {", ".join(
+        f"('{lang}', {t})" for lang, t in sorted(SAMPLE_THRESHOLDS.items())
+    )}),
+scored AS (
+  SELECT d.lang,
+         (((d.doc_id % {HASH_M}) * {HASH_A} + {SAMPLE_SEED}) % {HASH_M}
+            < COALESCE(th.threshold, 0)) AS keep
+  FROM documents d LEFT JOIN th ON d.lang = th.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS achieved_ppm
+FROM scored GROUP BY lang ORDER BY lang
+""",
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling by language (sampleBy): the
-    reproducible data-selection primitive for mixture tuning. Sample
-    membership is Spark's RNG → rows-only driver check; tests assert
-    per-stratum rates against the requested fractions."""
+    """Deterministic stratified sampling by language: a doc is kept iff
+    its seeded multiplicative hash lands below the stratum's threshold
+    (frac · M) — the reproducible data-selection primitive for mixture
+    tuning. Unlike ``sampleBy`` (partition-order-dependent RNG), hash
+    membership is a property of the ROW, so the sample is stable under
+    repartitioning, retries, and engine changes — what a training-data
+    pipeline actually needs for auditable subsets — and the whole
+    selection is one map-side filter against a broadcast threshold map
+    (no shuffle before the per-stratum tally). Rates ship as exact ppm
+    integers so both engines hash-match."""
     d = load_table(spark, sf_dir, "documents")
-    sampled = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
-    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
-    took = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    th = F.create_map(
+        *[x for lang, t in sorted(SAMPLE_THRESHOLDS.items()) for x in (F.lit(lang), F.lit(t))]
+    )
+    scored = d.select(
+        "lang",
+        (_sample_hash(F.col("doc_id")) < F.coalesce(th[F.col("lang")], F.lit(0))).alias(
+            "keep"
+        ),
+    )
+    n_sampled = F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
     return (
-        totals.join(took, "lang", "left")
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            n_sampled.alias("n_sampled"),
+        )
         .select(
             "lang",
             "n_total",
-            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
-            F.round(
-                F.coalesce("n_sampled", F.lit(0)).cast("double") / F.col("n_total"), 4
-            ).alias("achieved_fraction"),
+            "n_sampled",
+            F.call_function(
+                "div", F.col("n_sampled") * F.lit(1_000_000), F.col("n_total")
+            ).alias("achieved_ppm"),
         )
         .orderBy("lang")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..compat import NOW_EPOCH, NOW_TS, bucket_epoch, constant_key
 from ..registry import register
-from ..tables import traffic_history, with_traffic
+from ..tables import TRAFFIC_CTE, traffic_history, with_traffic
 
 # Sparse /api/history period table (reference app/routes.py:76-103):
 # period → (span_s, interval_s); labels %d/%m for 7d/30d, %H:%M otherwise.
@@ -432,15 +432,56 @@ def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOLT_BETA = 0.1
 
 
-@register("q_holt_forecast", oracle=None)
+@register(
+    "q_holt_forecast",
+    oracle=f"""
+WITH RECURSIVE {TRAFFIC_CTE},
+daily AS (
+  SELECT camera_id, CAST(ts AS DATE) AS d, CAST(SUM(new_count) AS DOUBLE) AS y
+  FROM traffic GROUP BY 1, 2
+),
+seq AS (
+  SELECT camera_id, y,
+         ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY d) AS i,
+         COUNT(*) OVER (PARTITION BY camera_id) AS n
+  FROM daily
+),
+rec AS (
+  SELECT camera_id, i, n, y AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.camera_id, s.i, s.n,
+         s.y * CAST({SES_ALPHA} AS DOUBLE)
+           + (r.level + r.trend)
+             * (CAST(1.0 AS DOUBLE) - CAST({SES_ALPHA} AS DOUBLE)) AS level,
+         ((s.y * CAST({SES_ALPHA} AS DOUBLE)
+             + (r.level + r.trend)
+               * (CAST(1.0 AS DOUBLE) - CAST({SES_ALPHA} AS DOUBLE)))
+            - r.level) * CAST({HOLT_BETA} AS DOUBLE)
+           + r.trend * (CAST(1.0 AS DOUBLE) - CAST({HOLT_BETA} AS DOUBLE)) AS trend
+  FROM rec r JOIN seq s ON s.camera_id = r.camera_id AND s.i = r.i + 1
+)
+SELECT camera_id, CAST(n AS BIGINT) AS n_days,
+       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+       ROUND(level + trend, 6) AS forecast_next
+FROM rec WHERE i = n
+ORDER BY camera_id
+""",
+)
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend smoothing per camera: (level, trend) state
     folded over the date-sorted daily series, forecast = level + trend.
     Same in-row higher-order fold as q_ses_forecast, but the state is a
-    STRUCT — which DuckDB's list_reduce cannot fold atomically (see
-    q_ses_forecast docstring), so this one is rows-only for the driver
-    and pinned against a NumPy reference implementation in
-    tests/test_llm_ops.py instead."""
+    STRUCT — which DuckDB's ``list_reduce`` cannot fold atomically (see
+    q_ses_forecast docstring), so the oracle instead walks the same
+    recurrence with a RECURSIVE CTE whose (level, trend) are two plain
+    DOUBLE columns advanced one step per iteration: every IEEE op runs
+    in the same order over the same operands, so the engines stay
+    bit-identical (the new_level subexpression inlined into the trend
+    update is the identical expression text — IEEE determinism makes
+    re-evaluation exact). Recursion depth = days in the series, not
+    data size. Also pinned against a plain-Python reference recurrence
+    in tests/test_llm_ops.py."""
     h = traffic_history(spark, sf_dir)
     daily = h.groupBy("camera_id", F.to_date("ts").alias("d")).agg(
         F.sum("new_count").cast("double").alias("y")

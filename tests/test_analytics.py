@@ -63,30 +63,31 @@ def test_profile_correlation_bounds_and_self_similarity(spark, tmp_path):
     assert all(-1.0 <= v <= 1.0 for v in out.values())
 
 
-def test_approx_quantile_within_exact_envelope(spark, sf_dir):
-    """Each approximate percentile must land inside the exact
-    [p-5, p+5] rank envelope of that camera's distribution."""
+def test_histogram_quantile_equals_percentile_disc(spark, sf_dir):
+    """The histogram inverse-CDF pick (smallest value with cumulative
+    count ≥ ceil(p·n)) must equal Spark's own percentile_disc on every
+    camera — the definitional equivalence the oracle relies on."""
     from big_data_traffict_prediction_spark.operators.analytics import (
         q_approx_quantile,
     )
     from big_data_traffict_prediction_spark.tables import traffic_history
 
-    approx = {r.camera_id: r for r in q_approx_quantile(spark, sf_dir).collect()}
+    got = {r.camera_id: r for r in q_approx_quantile(spark, sf_dir).collect()}
     exact = (
         traffic_history(spark, sf_dir)
         .groupBy("camera_id")
         .agg(
-            F.expr("percentile_disc(array(0.45,0.55,0.85,0.95,0.94,1.0)) WITHIN GROUP (ORDER BY new_count)").alias("e")
+            F.expr(
+                "percentile_disc(array(0.5,0.9,0.99))"
+                " WITHIN GROUP (ORDER BY new_count)"
+            ).alias("e")
         )
         .collect()
     )
-    assert approx
+    assert got
     for r in exact:
-        a = approx[r.camera_id]
-        lo45, hi55, lo85, hi95, lo94, hi100 = r.e
-        assert lo45 <= a.p50_approx <= hi55, (r.camera_id, a.p50_approx, r.e)
-        assert lo85 <= a.p90_approx <= hi95, (r.camera_id, a.p90_approx, r.e)
-        assert lo94 <= a.p99_approx <= hi100, (r.camera_id, a.p99_approx, r.e)
+        g = got[r.camera_id]
+        assert (g.p50, g.p90, g.p99) == tuple(r.e), (r.camera_id, g, r.e)
 
 
 def test_skyline_keeps_nondominated_only(spark, tmp_path):
