@@ -510,11 +510,14 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("partial_total").cast("long").alias("total_new_count"),
             F.sum("partial_n").cast("long").alias("n_events"),
         )
-        .orderBy("camera_id", "d")
     )
-    out = rollup.toPandas()  # materialize before the scratch dir is removed
+    # Executor-side materialization: land the serving aggregate as a
+    # second scratch parquet (outside the staging dir we tear down) and
+    # hand back a reader — the rollup never funnels through the driver.
+    serve_dir = tempfile.mkdtemp(prefix="traffic_rollup_serve_")
+    rollup.write.mode("overwrite").parquet(serve_dir)
     shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(out, schema=rollup.schema)
+    return spark.read.parquet(serve_dir).orderBy("camera_id", "d")
 
 
 @register("q_stream_stream_full_outer", oracle=None)

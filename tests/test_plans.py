@@ -54,6 +54,26 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
         )
 
 
+def test_no_driver_side_materialization_in_package_source():
+    """No registered query may funnel its result through the driver:
+    toPandas()/collect()-then-createDataFrame defeats distribution. A
+    source-level sweep (plans can't see what already materialized), so
+    intent stays greppable; conftest/test fixtures are exempt."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "big_data_traffict_prediction_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".toPandas()" in code:
+                offenders.append(f"{py.name}:{i}")
+    assert not offenders, f"driver-side materialization: {offenders}"
+
+
 def test_no_unpartitioned_ordered_window_anywhere(spark, sf_dir):
     """Registry-wide 100 TB guard: no query may plan an ORDERED window
     with an empty partition spec — that moves every row to one task.
