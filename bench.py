@@ -230,20 +230,25 @@ def main() -> None:
     # The driver keeps only the OUTPUT TAIL, so the compact headline
     # line MUST be printed last (round 2's artifact lost every headline
     # number when the enlarged single-line JSON got tail-truncated).
-    # Bulky diagnostics go on an earlier, separate line.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_detail",
-                "stat": stat,
-                "value_min": round(sum(timings_min.values()), 3),
-                "queries_min": timings_min,
-                "queries_cold": cold,
-                "queries_extended": extended,
-                "sf": sf,
-            }
-        )
+    # Bulky diagnostics go to a FILE artifact — per-query history must
+    # not depend on what survives stdout capture — plus one stdout line
+    # for eyeballing live runs.
+    detail = {
+        "metric": "headline_detail",
+        "stat": stat,
+        "value_min": round(sum(timings_min.values()), 3),
+        "queries_min": timings_min,
+        "queries_cold": cold,
+        "queries_extended": extended,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(detail))
     sys.stdout.flush()
     print(
         json.dumps(

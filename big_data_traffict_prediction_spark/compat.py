@@ -106,8 +106,12 @@ def constant_key(col: Column) -> Column:
     (tests/test_plans.py) can enforce the rule with zero exemptions.
     Centralized here so a Catalyst release that learns to fold the
     expression is fixed in one place.
+
+    ``coalesce(..., 0)`` keeps the key constant when ``col`` is NULL —
+    ``NULL % 1`` is NULL, which would silently split the "constant"
+    partition in two (NULL-keyed rows ranked separately from the rest).
     """
-    return col % F.lit(1)
+    return F.coalesce(col % F.lit(1), F.lit(0))
 
 
 def global_prefix_min(df, order_cols, value_col: str, partitions: int = 16):

@@ -323,8 +323,20 @@ def decode_gray(data: bytes) -> np.ndarray:
 
     Restart-interval (DRI/RSTn) streams are fully supported; color,
     progressive, and arithmetic-coded streams raise
-    ``NotImplementedError`` — gated, not faked.
+    ``NotImplementedError`` — gated, not faked. Structurally malformed
+    foreign streams (truncated segments, references to undeclared
+    tables, garbage lengths) surface as ``ValueError`` — never raw
+    ``KeyError``/``IndexError``/``struct.error`` from parse internals,
+    so a corrupt blob in a media column fails with a classifiable
+    error the decode UDF can report per-row.
     """
+    try:
+        return _decode_gray_impl(data)
+    except (KeyError, IndexError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_gray_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

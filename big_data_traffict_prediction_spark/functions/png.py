@@ -65,13 +65,19 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            # cur[x] = (line[x] + cur[x-ch]) & 0xFF unrolls to a running
+            # sum down each channel column; int64 cumsum is exact, and a
+            # single final mask equals masking every step (mod-add
+            # associativity) — no per-byte Python loop.
+            cur = np.cumsum(line.reshape(-1, ch), axis=0, dtype=np.int64).reshape(
+                stride
+            ) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth need a sequential left scan
             cur = np.zeros(stride, np.int64)
             for x in range(stride):
                 left = cur[x - ch] if x >= ch else 0
-                if ftype == 1:
-                    cur[x] = (line[x] + left) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
                 else:
                     up = prev[x]

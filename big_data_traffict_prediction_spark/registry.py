@@ -39,6 +39,9 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_CHECKED_CACHE: set[str] | None = None
+
+
 def _driver_checked_names() -> set[str]:
     """Names that already have a driver CORRECTNESS_r*.json row.
 
@@ -46,21 +49,39 @@ def _driver_checked_names() -> set[str]:
     never-checked names first steers its sample onto them (harmless if it
     samples randomly). Reads the artifacts the driver itself writes to the
     repo root, so the ordering self-updates each round.
+
+    Cached for the process lifetime so repeated all_queries() calls are
+    O(1) and iteration order is stable within a run. The artifact
+    directory is ``$SPARK_GRAFT_ARTIFACT_DIR`` when set, else the
+    package's parent AND the cwd (covers both an in-repo checkout and an
+    installed package run from the repo root); with no artifacts found
+    anywhere the ordering degrades to plain registration order.
     """
+    global _CHECKED_CACHE
+    if _CHECKED_CACHE is not None:
+        return _CHECKED_CACHE
+
     import glob
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    roots = (
+        [env]
+        if env
+        else [os.path.dirname(os.path.dirname(os.path.abspath(__file__))), os.getcwd()]
+    )
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-            if isinstance(data, dict):
-                checked |= set(data.keys())
-        except (OSError, ValueError):
-            continue
+    for root in dict.fromkeys(roots):
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+                if isinstance(data, dict):
+                    checked |= set(data.keys())
+            except (OSError, ValueError):
+                continue
+    _CHECKED_CACHE = checked
     return checked
 
 
