@@ -659,32 +659,43 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, schema="vec_id long, label int, codes array<int>"
     )
 
-    # Per-query ADC lookup tables: queries are a small set by
-    # construction (the ANN contract — a query batch scoring a huge
-    # candidate corpus), so the LUTs (PQ_SUBSPACES*PQ_CODES doubles
-    # per query) build driver-side and broadcast.
-    q_rows = vecs.filter(F.col("vec_id") < QUERY_LIMIT).select(
-        "vec_id", "embedding"
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        q = np.asarray(r.embedding, dtype=np.float64)
-        q = q / np.linalg.norm(q)
-        # Every subspace block is PQ_CODES wide even when the codebook
-        # degraded to k_eff < PQ_CODES centroids (tiny corpora): the
-        # unused tail pads with +inf, codes never reference it, and the
-        # fixed m*PQ_CODES stride in the scoring expression stays valid.
-        blocks = []
-        for m in range(PQ_SUBSPACES):
-            d2 = ((q[m * sub_d : (m + 1) * sub_d][None, :] - books[m]) ** 2).sum(
-                axis=1
-            )
-            block = np.full(PQ_CODES, np.inf)
-            block[: d2.size] = d2
-            blocks.append(block)
-        lut = np.concatenate(blocks)
-        lut_rows.append((r.vec_id, [float(x) for x in lut]))
-    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    # Per-query ADC lookup tables: built EXECUTOR-SIDE by the same
+    # Arrow-batched pattern as encoding — the query batch is a bounded
+    # DataFrame (QUERY_LIMIT rows), the codebooks ride the existing
+    # broadcast, and nothing funnels through the driver (the result is
+    # a QUERY_LIMIT × (PQ_SUBSPACES·PQ_CODES doubles) table, broadcast
+    # to the scoring join below).
+    def build_luts(batches):
+        C = [np.asarray(b) for b in bbooks.value]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, tables = [], []
+            for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                q = np.asarray(emb, dtype=np.float64)
+                q = q / np.linalg.norm(q)
+                # Every subspace block is PQ_CODES wide even when the
+                # codebook degraded to k_eff < PQ_CODES centroids (tiny
+                # corpora): the unused tail pads with +inf, codes never
+                # reference it, and the fixed m*PQ_CODES stride in the
+                # scoring expression stays valid.
+                blocks = []
+                for m in range(PQ_SUBSPACES):
+                    d2 = (
+                        (q[m * sub_d : (m + 1) * sub_d][None, :] - C[m]) ** 2
+                    ).sum(axis=1)
+                    block = np.full(PQ_CODES, np.inf)
+                    block[: d2.size] = d2
+                    blocks.append(block)
+                ids.append(vid)
+                tables.append(np.concatenate(blocks).tolist())
+            yield pd.DataFrame({"query_id": ids, "lut": tables})
+
+    luts = (
+        vecs.filter(F.col("vec_id") < QUERY_LIMIT)
+        .select("vec_id", "embedding")
+        .mapInPandas(build_luts, schema="query_id long, lut array<double>")
+    )
 
     # ADC distance = sum over subspaces of lut[m*PQ_CODES + code_m]:
     # a static 8-term element_at sum, evaluated inside codegen.
