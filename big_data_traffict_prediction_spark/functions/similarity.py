@@ -447,6 +447,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = km.fit(vecs.select("features"))
     assigned = model.transform(vecs)
 
+    # bounded: IVF_CELLS model centers — fitted model state, not data.
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",

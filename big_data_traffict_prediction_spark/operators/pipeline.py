@@ -134,19 +134,25 @@ HASH_A = 1103515245
 HASH_C = 12345
 
 
-def _kmv_hash(col: F.Column) -> F.Column:
-    return F.pmod(F.pmod(col, F.lit(HASH_M)) * F.lit(HASH_A) + F.lit(HASH_C), F.lit(HASH_M))
+# ONE hash definition, two renditions that must stay in lock-step:
+# the Spark Column expression and its SQL twin. KMV and the stratified
+# sampler differ only in the additive constant (the sampler's "seed").
+def _mul_hash(col: F.Column, add: int) -> F.Column:
+    return F.pmod(
+        F.pmod(col, F.lit(HASH_M)) * F.lit(HASH_A) + F.lit(add), F.lit(HASH_M)
+    )
 
 
-_KMV_HASH_SQL = "(({col} % {m}) * {a} + {c}) % {m}".format
+def _mul_hash_sql(col: str, add: int) -> str:
+    return f"(({col} % {HASH_M}) * {HASH_A} + {add}) % {HASH_M}"
 
 
-def _kmv_estimate(spark: SparkSession, df: DataFrame, col: str) -> DataFrame:
+def _kmv_estimate(df: DataFrame, col: str) -> DataFrame:
     """Bottom-KMV_K distinct hashes → (n_kept, h_k). Estimate is the
     standard (k-1)·M / h_(k); below k distinct values the sketch holds
     the whole (hashed) value set, so the count itself is the answer."""
     bottom = (
-        df.select(_kmv_hash(F.col(col)).alias("h"))
+        df.select(_mul_hash(F.col(col), HASH_C).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(KMV_K)
@@ -163,7 +169,7 @@ def _kmv_estimate(spark: SparkSession, df: DataFrame, col: str) -> DataFrame:
 
 
 def _kmv_sql(col: str) -> str:
-    h = _KMV_HASH_SQL(col=col, m=HASH_M, a=HASH_A, c=HASH_C)
+    h = _mul_hash_sql(col, HASH_C)
     return f"""(
   SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS BIGINT)
               ELSE CAST({(KMV_K - 1) * HASH_M} // MAX(h) AS BIGINT) END
@@ -194,8 +200,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle to the sketch's survivors; at any size the answer
     is identical."""
     e = load_table(spark, sf_dir, "events")
-    users = _kmv_estimate(spark, e, "user_id")
-    events_ = _kmv_estimate(spark, e, "event_id")
+    users = _kmv_estimate(e, "user_id")
+    events_ = _kmv_estimate(e, "event_id")
     exact = e.agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -217,13 +223,6 @@ SAMPLE_THRESHOLDS = {
 }
 
 
-def _sample_hash(col: F.Column) -> F.Column:
-    return F.pmod(
-        F.pmod(col, F.lit(HASH_M)) * F.lit(HASH_A) + F.lit(SAMPLE_SEED),
-        F.lit(HASH_M),
-    )
-
-
 @register(
     "q_stratified_sample",
     oracle=f"""
@@ -232,7 +231,7 @@ WITH th(lang, threshold) AS (VALUES {", ".join(
     )}),
 scored AS (
   SELECT d.lang,
-         (((d.doc_id % {HASH_M}) * {HASH_A} + {SAMPLE_SEED}) % {HASH_M}
+         ({_mul_hash_sql("d.doc_id", SAMPLE_SEED)}
             < COALESCE(th.threshold, 0)) AS keep
   FROM documents d LEFT JOIN th ON d.lang = th.lang
 )
@@ -261,9 +260,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = d.select(
         "lang",
-        (_sample_hash(F.col("doc_id")) < F.coalesce(th[F.col("lang")], F.lit(0))).alias(
-            "keep"
-        ),
+        (
+            _mul_hash(F.col("doc_id"), SAMPLE_SEED)
+            < F.coalesce(th[F.col("lang")], F.lit(0))
+        ).alias("keep"),
     )
     n_sampled = F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
     return (

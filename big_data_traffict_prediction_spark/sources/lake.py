@@ -236,6 +236,8 @@ def upsert_partitioned_lake(
             "year", "month", "day"
         ).parquet(path)
         return
+    # bounded: one row per touched (year, month, day) — calendar-sized,
+    # never data-sized, and the partition predicate needs it driver-side.
     touched = [
         (r.year, r.month, r.day)
         for r in with_parts.select("year", "month", "day").distinct().collect()

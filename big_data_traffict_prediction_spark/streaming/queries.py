@@ -29,6 +29,7 @@ batch-equivalence is pinned in tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import uuid
@@ -49,6 +50,24 @@ def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = tempfile.mkdtemp(prefix="traffic_stream_")
     stage = simulate.stage_stream_dir(spark, sf_dir, f"{base}/stage", n_chunks=4)
     return stage, base
+
+
+# Serving parquets must outlive the lazy reader a query returns, so
+# they cannot be removed in-query like the staging dirs; they are
+# removed at interpreter exit instead of leaking one dir per call.
+_SERVE_DIRS: list[str] = []
+
+
+def _serve_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SERVE_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_serve_dirs() -> None:
+    for d in _SERVE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register("q_stream_iou_dedup", oracle=None)
@@ -514,7 +533,7 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Executor-side materialization: land the serving aggregate as a
     # second scratch parquet (outside the staging dir we tear down) and
     # hand back a reader — the rollup never funnels through the driver.
-    serve_dir = tempfile.mkdtemp(prefix="traffic_rollup_serve_")
+    serve_dir = _serve_dir("traffic_rollup_serve_")
     rollup.write.mode("overwrite").parquet(serve_dir)
     shutil.rmtree(base, ignore_errors=True)
     return spark.read.parquet(serve_dir).orderBy("camera_id", "d")

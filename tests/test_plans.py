@@ -58,7 +58,11 @@ def test_no_driver_side_materialization_in_package_source():
     """No registered query may funnel its result through the driver:
     toPandas()/collect()-then-createDataFrame defeats distribution. A
     source-level sweep (plans can't see what already materialized), so
-    intent stays greppable; conftest/test fixtures are exempt."""
+    intent stays greppable. toPandas is banned outright; collect/
+    createDataFrame sites must carry a 'bounded' justification within
+    the preceding 10 lines (model state, calendar-sized partition
+    lists, capped training samples are legitimate — data-sized pulls
+    are not); conftest/test fixtures are exempt."""
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / (
@@ -66,11 +70,15 @@ def test_no_driver_side_materialization_in_package_source():
     )
     offenders = []
     for py in pkg.rglob("*.py"):
-        src = py.read_text()
-        for i, line in enumerate(src.splitlines(), 1):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             code = line.split("#", 1)[0]
             if ".toPandas()" in code:
-                offenders.append(f"{py.name}:{i}")
+                offenders.append(f"{py.name}:{i} toPandas")
+            elif ".collect()" in code or "createDataFrame(" in code:
+                window = "\n".join(lines[max(0, i - 11) : i]).lower()
+                if "bounded" not in window:
+                    offenders.append(f"{py.name}:{i} unjustified driver pull")
     assert not offenders, f"driver-side materialization: {offenders}"
 
 
