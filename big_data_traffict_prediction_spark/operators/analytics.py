@@ -363,6 +363,10 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AFFINITY_MIN_PAIRS = 2
 AFFINITY_TOP = 50
+# In-row pair expansion is C(k,2); cap basket membership like dedup
+# caps LSH buckets (functions/dedup.py MAX_BUCKET_EXPAND). Test SFs
+# never approach it (TPC-H baskets ≤ 7), so oracles stay exact.
+AFFINITY_MAX_BASKET = 1024
 
 
 @register(
@@ -396,31 +400,53 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with support and lift — the co-occurrence shape (recommender
     candidate generation) nothing else in the registry exercises.
 
-    Scale story: the pair fan-out is bounded by BASKET SIZE, not data
-    volume — the self-join runs per orderkey (one hash family shared
-    with the distinct), and an order with k parts emits k·(k-1)/2
-    pairs (k ≈ 4 here; a pathological mega-basket would be capped
-    upstream the way dedup caps LSH buckets). The per-part item counts
-    are data-sized (part ∝ SF — billions of rows at 100 TB, NOT
-    broadcastable), so they join as plain shuffle hash joins on p1/p2;
-    only the single-row order-count scalar broadcasts. Lift divides
-    exact BIGINT products; final top-k is TakeOrderedAndProject."""
+    Scale story: GROUP-AND-EXPAND, not a fact self-join — one shuffle
+    of (orderkey, partkey) builds per-order baskets (collect_set =
+    the DISTINCT), and the i<j pairs expand IN-ROW from each basket:
+    an order with k parts emits k·(k-1)/2 pairs (k ≈ 4 here), so the
+    fan-out is bounded by BASKET SIZE, not data volume; a pathological
+    mega-basket is hard-capped at {AFFINITY_MAX_BASKET} members (the
+    same discipline as dedup's LSH bucket cap — a larger basket has
+    C(k,2) growth that no plan survives, and belongs to an upstream
+    quality filter). The old self-join form re-scanned + re-distincted
+    the fact on both branches and shuffled each side; this shape
+    shuffles the projected fact once. Per-part item counts are
+    data-sized (part ∝ SF — NOT broadcastable) and join as plain
+    shuffle hash joins on p1/p2; only the single-row order-count
+    scalar broadcasts. Lift divides exact BIGINT products; final
+    top-k is TakeOrderedAndProject."""
     from ..tables import load_table
 
-    li = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, AFFINITY_MAX_BASKET
+            ).alias("ms")
+        )
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("ms").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("p2"))
+    in_row_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x: F.transform(
+                    "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda pr: pr["a"] < pr["b"],
+    )
     pair = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("p1") < F.col("p2")))
-        .groupBy("p1", "p2")
+        baskets.select(F.explode(in_row_pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("p1"), F.col("p.b").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= AFFINITY_MIN_PAIRS)
     )

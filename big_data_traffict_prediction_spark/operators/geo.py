@@ -90,38 +90,61 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the right operator, matching how PostGIS/Sedona answer
     "nearby".)
 
-    Shape: cameras explode to their 9 neighbor cells on the probe
-    side (9× a dimension), equi-join the cell-keyed build side, filter
-    by exact distance, rank per camera. Work ∝ cameras × local
-    density, never cameras².
+    Shape — COINCIDENT-POINT COLLAPSE, the spatial-join move for
+    snapped/repeated coordinates (grid-snapped GPS, geocoded
+    addresses; here 11 250 cameras share 750 exact points at sf0.1):
+
+    1. Collapse cameras to distinct points. All cameras at point p are
+       EQUIDISTANT from everything, so they share one candidate list.
+    2. Radius-join at POINT level via the 3×3 cell grid (pairs ∝
+       points × local point density — the collapsed quantity).
+    3. Per candidate point keep only its (K+1) smallest camera keys:
+       within one point all cameras tie on d2 and rank by key, so the
+       (K+2)-th smallest key can never reach any probe's top-(K+1).
+    4. Per PROBE POINT rank candidates by (d2, key) and keep the
+       first K+1 cameras: a probe camera's self-exclusion removes at
+       most one, so its top-K is always inside that prefix.
+    5. Expand back to cameras (≤ K+1 candidate rows each), drop
+       self, final rank.
+
+    The heavy sort runs on points × nearby candidate keys instead of
+    cameras × nearby cameras (55× fewer rows at sf0.1: 0.2 M vs
+    11.3 M). With all-unique coordinates the collapse degenerates to
+    one camera per point and the plan is the classic grid-blocked
+    radius join — never worse than cameras × local density, never
+    cameras².
     """
-    g = camera_geo(spark, sf_dir).select(
-        "cam_key",
+    g = camera_geo(spark, sf_dir)
+    kp1 = K_NEIGHBORS + 1
+    # 1. distinct points, each with its (K+1)-smallest camera keys and
+    # every camera at the point (re-expanded in step 5).
+    pts = g.groupBy("lat", "lng").agg(
+        F.sort_array(F.collect_list("cam_key")).alias("keys_all")
+    ).select(
         "lat",
         "lng",
+        "keys_all",
+        F.slice("keys_all", 1, kp1).alias("keys_top"),
         F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
         F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
     )
+    # 2. point-level radius join: probe points explode to their 3×3
+    # cell neighborhood, equi-join the cell-keyed build side. The
+    # p=q (d2=0) pair stays in — same-point cameras ARE candidates.
     offsets = F.explode(
         F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
                   for di in (-1, 0, 1) for dj in (-1, 0, 1)])
     )
-    probe = g.select(
-        F.col("cam_key"),
-        F.col("lat"),
-        F.col("lng"),
-        F.col("ci"),
-        F.col("cj"),
-        offsets.alias("o"),
+    probe = pts.select(
+        F.col("lat"), F.col("lng"), F.col("ci"), F.col("cj"), offsets.alias("o")
     ).select(
-        "cam_key",
         "lat",
         "lng",
         (F.col("ci") + F.col("o.di")).alias("bi"),
         (F.col("cj") + F.col("o.dj")).alias("bj"),
     )
-    build = g.select(
-        F.col("cam_key").alias("neighbor_key"),
+    build = pts.select(
+        F.col("keys_top"),
         F.col("lat").alias("b_lat"),
         F.col("lng").alias("b_lng"),
         F.col("ci").alias("bi"),
@@ -130,15 +153,29 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
         F.col("lng") - F.col("b_lng")
     ) * (F.col("lng") - F.col("b_lng"))
-    pairs = (
+    # 3. expand only the candidate point's (K+1)-smallest keys.
+    cand = (
         probe.join(build, ["bi", "bj"])
-        .filter(F.col("neighbor_key") != F.col("cam_key"))
-        .select("cam_key", "neighbor_key", d2.alias("d2"))
+        .select("lat", "lng", d2.alias("d2"), F.col("keys_top"))
         .filter(F.col("d2") <= CELL_DEG * CELL_DEG)
+        .select("lat", "lng", "d2", F.explode("keys_top").alias("neighbor_key"))
     )
+    # 4. first K+1 candidate cameras per probe POINT (WindowGroupLimit
+    # keeps this a streaming top-k, not a full sort).
+    wp = Window.partitionBy("lat", "lng").orderBy("d2", "neighbor_key")
+    top = (
+        cand.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= kp1)
+        .select("lat", "lng", "d2", "neighbor_key")
+    )
+    # 5. re-expand the point's cameras, drop self, final per-camera rank.
+    members = pts.select("lat", "lng", F.explode("keys_all").alias("cam_key"))
     w = Window.partitionBy("cam_key").orderBy("d2", "neighbor_key")
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        top.join(members, ["lat", "lng"])
+        .filter(F.col("neighbor_key") != F.col("cam_key"))
+        .select("cam_key", "neighbor_key", "d2")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= K_NEIGHBORS)
         .orderBy("cam_key", "rank")
     )
