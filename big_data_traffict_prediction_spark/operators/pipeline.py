@@ -85,10 +85,19 @@ ORDER BY s.doc_id
 )
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus selection: language filter + quality threshold +
-    exact-dedup keep-rule composed into one plan. The dedup keep is a
-    window-free groupBy(fingerprint).min(doc_id) semi-join; quality
-    scoring is pure codegen; the only shuffle is the fingerprint
-    grouping."""
+    exact-dedup keep-rule composed into one plan. The dedup keep is
+    ``row_number() = 1`` over a FINGERPRINT-PARTITIONED window: all
+    text-derived columns (score, fingerprint, word count) are computed
+    map-side, so the single shuffle carries five small columns — never
+    text — and the documents scan runs ONCE. (The earlier
+    groupBy(fingerprint).min + self-join form re-scanned the corpus
+    and re-ran the normalize/regex pipeline on the keep branch, and
+    shuffled both branches; measured 2× slower at sf0.1.) The window
+    partitions on the high-cardinality fingerprint; a hot fingerprint
+    is one exact-dup cluster, and its partition cost is a streaming
+    row_number after the sort, not a pair expansion."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -97,21 +106,14 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm_col()).alias("fingerprint"),
         quality_score_col().alias("quality_score"),
     )
-    # The keep side re-derives from ``scored``; rename its columns before the
-    # join so the equi-condition binds unambiguously (avoids Spark's
-    # "trivially true equals predicate" lineage warning on self-joins).
-    keep = (
-        scored.groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_doc_id"))
-        .withColumnRenamed("fingerprint", "keep_fp")
-    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        scored.join(
-            keep,
-            (F.col("fingerprint") == F.col("keep_fp"))
-            & (F.col("doc_id") == F.col("keep_doc_id")),
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("lang") == CORPUS_LANG)
+            & (F.col("quality_score") >= QUALITY_MIN)
         )
-        .filter((F.col("lang") == CORPUS_LANG) & (F.col("quality_score") >= QUALITY_MIN))
         .select(
             "doc_id",
             "lang",

@@ -39,3 +39,32 @@ def test_cell_density_partitions_all_cameras(spark, sf_dir):
     for r in rows:
         assert -701 <= r.cell_lat <= -689
         assert 10755 <= r.cell_lng <= 10766
+
+
+def test_neighbors_point_collapse_matches_bruteforce(spark, sf_dir):
+    """The coincident-point collapse (rank at distinct-point level,
+    K+1-prefix candidate lists, re-expand) must be EXACTLY the naive
+    per-camera radius top-K. Brute-force twin computed driver-side over
+    the same pseudo-coordinates — covers heavy co-location, singleton
+    points, isolated cameras and cross-point d2 ties at once."""
+    from big_data_traffict_prediction_spark.operators.geo import CELL_DEG
+
+    cams = camera_geo(spark, sf_dir).collect()
+    r2 = CELL_DEG * CELL_DEG
+    expected: dict = {}
+    for a in cams:
+        nbrs = []
+        for b in cams:
+            if b.cam_key == a.cam_key:
+                continue
+            d2 = (a.lat - b.lat) ** 2 + (a.lng - b.lng) ** 2
+            if d2 <= r2:
+                nbrs.append((d2, b.cam_key))
+        nbrs.sort()
+        expected[a.cam_key] = [
+            (nk, d2, i + 1) for i, (d2, nk) in enumerate(nbrs[:K_NEIGHBORS])
+        ]
+    got: dict = {}
+    for r in q_camera_neighbors(spark, sf_dir).collect():
+        got.setdefault(r.cam_key, []).append((r.neighbor_key, r.d2, r.rank))
+    assert got == {k: v for k, v in expected.items() if v}
