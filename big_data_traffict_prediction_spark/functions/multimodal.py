@@ -356,10 +356,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     three real image codecs (PGM / baseline JPEG / PNG) so the decode
     gate is exercised end-to-end, audio/video stay WAV/RAWV (all pure
     numpy + stdlib zlib). Python-side by necessity → no SQL oracle;
-    tests/test_llm_ops.py pins the round-trip values per codec."""
-    return decode_features(
+    tests/test_llm_ops.py pins the round-trip values per codec.
+
+    The feature vector is serialized to a JSON string in the returned
+    frame (internal consumers keep the array form from
+    ``decode_features``): the registered surface is scalar-only so a
+    correctness harness that sorts raw cells can canonicalize it."""
+    feats = decode_features(
         encode_media(media_table(spark, sf_dir), image_codec="mixed")
-    ).orderBy("media_id")
+    )
+    return feats.withColumn("feature", F.to_json("feature")).orderBy("media_id")
 
 
 @register("q_multimodal_frame_sample", oracle=None)

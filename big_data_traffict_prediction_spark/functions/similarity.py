@@ -546,9 +546,9 @@ WITH m AS (
 SELECT e.vec_id,
        ROUND(m.mn, 6) AS q_min,
        ROUND(m.mx, 6) AS q_max,
-       list_transform(e.embedding, x ->
+       array_to_string(list_transform(e.embedding, x ->
          CAST(FLOOR((CAST(x AS DOUBLE) - m.mn) * {QUANT_LEVELS}.0 / (m.mx - m.mn) + 0.5) AS INT)
-       ) AS q
+       ), ',') AS q
 FROM embeddings e JOIN m ON m.vec_id = e.vec_id
 ORDER BY e.vec_id
 """,
@@ -559,7 +559,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Pure per-row higher-order functions (array_min/max +
     transform): zero shuffles except the presentation sort. Rounding is
     FLOOR(x+0.5), exact on doubles, so both engines agree bit-for-bit
-    (banker's-rounding `round` would not)."""
+    (banker's-rounding `round` would not). The code vector is emitted
+    as a comma-joined string (integers render identically in every
+    engine) so the result schema is scalar-only — correctness harnesses
+    that canonicalize by sorting raw cells cannot hash list cells."""
     e = load_table(spark, sf_dir, "embeddings")
     mn = F.array_min(F.col("embedding")).cast("double")
     mx = F.array_max(F.col("embedding")).cast("double")
@@ -576,7 +579,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(mn, 6).alias("q_min"),
         F.round(mx, 6).alias("q_max"),
-        q.alias("q"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q"),
     ).orderBy("vec_id")
 
 
@@ -815,7 +818,9 @@ comp AS (
 )
 SELECT label,
        CAST(MAX(n) AS BIGINT) AS n_vectors,
-       list(FLOOR(CAST(s AS DOUBLE) / n) / {CENTROID_SCALE} ORDER BY pos) AS centroid
+       array_to_string(
+         list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos), ','
+       ) AS centroid_fp
 FROM comp
 GROUP BY label
 ORDER BY label
@@ -834,7 +839,13 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key (label, pos) is uniformly distributed and the partial
     aggregation combines map-side, so the exchange carries one row per
     (label, pos) per task, NOT the fan-out. Reassembly is a dim-sized
-    (labels × 64) collect_list."""
+    (labels × 64) collect_list.
+
+    The centroid is emitted as a comma-joined string of the exact
+    fixed-point components (units of 1/CENTROID_SCALE): integers render
+    identically in every engine, and the scalar-only schema keeps
+    raw-cell-sorting correctness harnesses from choking on list cells.
+    Divide each component by CENTROID_SCALE to recover the float mean."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode("embedding").alias("pos", "x")
@@ -846,21 +857,25 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = ex.groupBy("label", "pos").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    # Floor-divide in fixed-point, THEN widen: the mean stays an exact
-    # integer until one final division by the scale, so there is no
-    # round() whose half-way tie-breaking differs between engines
-    # (Spark HALF_UP vs DuckDB — observed divergence at the 6th
-    # decimal). floor(s/n) is exact: the true quotient is ≥ 1/n away
-    # from any other integer, far beyond double ULP at this magnitude.
-    mean = F.floor(F.col("s") / F.col("n")).cast("double") / CENTROID_SCALE
+    # Floor-divide in fixed-point and STAY there: the mean is an exact
+    # BIGINT, so there is no round() whose half-way tie-breaking differs
+    # between engines (Spark HALF_UP vs DuckDB — observed divergence at
+    # the 6th decimal) and no double-to-string formatting divergence in
+    # the serialized output. floor(s/n) is exact: the true quotient is
+    # ≥ 1/n away from any other integer, far beyond double ULP here.
+    mean_fp = F.floor(F.col("s") / F.col("n")).cast("long")
     return (
-        comp.select("label", "pos", "n", mean.alias("m"))
+        comp.select("label", "pos", "n", mean_fp.alias("m"))
         .groupBy("label")
         .agg(
             F.max("n").cast("long").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
-            ).alias("centroid"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda t: t["m"].cast("string"),
+                ),
+            ).alias("centroid_fp"),
         )
         .orderBy("label")
     )

@@ -303,8 +303,11 @@ QUANTILE_PCTS = [("p50", 50), ("p90", 90), ("p99", 99)]
     "q_approx_quantile",
     oracle=with_traffic("""
 , freq AS (
+  -- NULL counts carry no quantile information; dropping them here also
+  -- removes the engines' one ordering divergence (Spark windows order
+  -- NULLS FIRST by default, DuckDB NULLS LAST)
   SELECT camera_id, new_count, CAST(COUNT(*) AS BIGINT) AS c
-  FROM traffic GROUP BY 1, 2
+  FROM traffic WHERE new_count IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT camera_id, new_count,
          SUM(c) OVER (PARTITION BY camera_id ORDER BY new_count) AS cum,
@@ -332,7 +335,11 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it in tests/test_analytics.py, and integer rank arithmetic
     keeps both engines bit-identical."""
     h = traffic_history(spark, sf_dir)
-    freq = h.groupBy("camera_id", "new_count").agg(F.count(F.lit(1)).alias("c"))
+    freq = (
+        h.filter(F.col("new_count").isNotNull())  # mirrors the oracle; see CTE note
+        .groupBy("camera_id", "new_count")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w_cum = (
         Window.partitionBy("camera_id")
         .orderBy("new_count")
@@ -364,8 +371,10 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 AFFINITY_MIN_PAIRS = 2
 AFFINITY_TOP = 50
 # In-row pair expansion is C(k,2); cap basket membership like dedup
-# caps LSH buckets (functions/dedup.py MAX_BUCKET_EXPAND). Test SFs
-# never approach it (TPC-H baskets ≤ 7), so oracles stay exact.
+# caps LSH buckets (functions/dedup.py MAX_BUCKET_EXPAND). The oracle
+# SQL applies the IDENTICAL cap (QUALIFY row_number ≤ cap over sorted
+# partkeys), so both engines agree even on a >cap basket; test SFs
+# never approach it anyway (TPC-H baskets ≤ 7).
 AFFINITY_MAX_BASKET = 1024
 
 
@@ -373,7 +382,15 @@ AFFINITY_MAX_BASKET = 1024
     "q_part_affinity",
     oracle=f"""
 WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  -- mirror the Spark side's basket cap exactly: each order keeps its
+  -- {AFFINITY_MAX_BASKET} SMALLEST distinct partkeys (slice of
+  -- sort_array(collect_set)), so the oracle stays bit-identical even
+  -- on a pathological >cap basket instead of silently diverging
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY l_partkey
+  ) <= {AFFINITY_MAX_BASKET}
 ), n AS (
   SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
 ), item AS (

@@ -146,7 +146,12 @@ def _mul_hash(col: F.Column, add: int) -> F.Column:
 
 
 def _mul_hash_sql(col: str, add: int) -> str:
-    return f"(({col} % {HASH_M}) * {HASH_A} + {add}) % {HASH_M}"
+    # pmod-equivalent on purpose: Spark's pmod is always non-negative
+    # while SQL % follows the dividend's sign, so each % is folded back
+    # into [0, M) — the two renditions agree for NEGATIVE ids too, not
+    # just the testdata's non-negative ones.
+    inner = f"(({col} % {HASH_M}) + {HASH_M}) % {HASH_M}"
+    return f"((({inner} * {HASH_A} + {add}) % {HASH_M}) + {HASH_M}) % {HASH_M}"
 
 
 def _kmv_estimate(df: DataFrame, col: str) -> DataFrame:

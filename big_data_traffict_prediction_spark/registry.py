@@ -39,16 +39,18 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-_CHECKED_CACHE: set[str] | None = None
+_LATEST_ROW_CACHE: dict[str, dict] | None = None
 
 
-def _driver_checked_names() -> set[str]:
-    """Names that already have a driver CORRECTNESS_r*.json row.
+def _driver_latest_rows() -> dict[str, dict]:
+    """Latest driver CORRECTNESS_r*.json row per query name.
 
-    The driver samples ~50 names per round from the registry; emitting the
-    never-checked names first steers its sample onto them (harmless if it
-    samples randomly). Reads the artifacts the driver itself writes to the
-    repo root, so the ordering self-updates each round.
+    The driver samples ~50 names per round from the registry; ordering
+    the names that still need a (re-)check first steers its sample onto
+    them (harmless if it samples randomly). Reads the artifacts the
+    driver itself writes to the repo root, so the ordering self-updates
+    each round; "latest" = the row from the highest-numbered round file
+    (files sort lexicographically by round).
 
     Cached for the process lifetime so repeated all_queries() calls are
     O(1) and iteration order is stable within a run. The artifact
@@ -57,9 +59,9 @@ def _driver_checked_names() -> set[str]:
     installed package run from the repo root); with no artifacts found
     anywhere the ordering degrades to plain registration order.
     """
-    global _CHECKED_CACHE
-    if _CHECKED_CACHE is not None:
-        return _CHECKED_CACHE
+    global _LATEST_ROW_CACHE
+    if _LATEST_ROW_CACHE is not None:
+        return _LATEST_ROW_CACHE
 
     import glob
     import json
@@ -71,30 +73,61 @@ def _driver_checked_names() -> set[str]:
         if env
         else [os.path.dirname(os.path.dirname(os.path.abspath(__file__))), os.getcwd()]
     )
-    checked: set[str] = set()
+    latest: dict[str, dict] = {}
     for root in dict.fromkeys(roots):
         for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
             try:
                 with open(path) as fh:
                     data = json.load(fh)
                 if isinstance(data, dict):
-                    checked |= set(data.keys())
+                    for name, row in data.items():
+                        if isinstance(row, dict):
+                            latest[name] = row
             except (OSError, ValueError):
                 continue
-    _CHECKED_CACHE = checked
-    return checked
+    _LATEST_ROW_CACHE = latest
+    return latest
+
+
+def _row_settles(q: Query, row: dict) -> bool:
+    """Whether a driver row means this query needs no re-draw.
+
+    Settled = the latest row is a green hash match, or a clean
+    rows-only row for a query that (still) declares ``oracle=None``.
+    Everything else — a hard error (e.g. a canonicalizer crash), a hash
+    mismatch, or a ``no_oracle`` row recorded before the query gained an
+    oracle — leaves the name in the needs-check group so the driver
+    re-draws it first next round.
+    """
+    err = row.get("err")
+    if err == "no_oracle":
+        return q.oracle is None and row.get("spark_rows") is not None
+    if err:
+        return False
+    return bool(row.get("hash_match")) or q.oracle is None
 
 
 def _ordered() -> list[Query]:
-    """Registry values with never-driver-checked names first.
+    """Registry values ordered never-drawn first, then names whose
+    latest driver row is unsettled (hard err / mismatch / retro-oracled
+    ``no_oracle``), then settled names.
 
     Stable within each group (registration order), so re-ordering never
     changes *what* is registered, only the sample-steering priority.
     """
-    checked = _driver_checked_names()
-    unchecked = [q for q in _REGISTRY.values() if q.name not in checked]
-    seen = [q for q in _REGISTRY.values() if q.name in checked]
-    return unchecked + seen
+    latest = _driver_latest_rows()
+    never: list[Query] = []
+    recheck: list[Query] = []
+    settled: list[Query] = []
+    for q in _REGISTRY.values():
+        row = latest.get(q.name)
+        if row is None:
+            never.append(q)
+        elif _row_settles(q, row):
+            settled.append(q)
+        else:
+            recheck.append(q)
+    return never + recheck + settled
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -53,12 +53,19 @@ def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 # Serving parquets must outlive the lazy reader a query returns, so
-# they cannot be removed in-query like the staging dirs; they are
-# removed at interpreter exit instead of leaking one dir per call.
+# they cannot be removed in-query like the staging dirs. Each new call
+# eagerly reclaims the previous serve dir of the same prefix (the old
+# reader is superseded — single-active-reader semantics per query), so
+# a long-lived process holds at most one dir per query and a killed
+# process leaks at most one; atexit clears the remainder on a clean
+# shutdown.
 _SERVE_DIRS: list[str] = []
 
 
 def _serve_dir(prefix: str) -> str:
+    for old in [d for d in _SERVE_DIRS if f"/{prefix}" in d]:
+        shutil.rmtree(old, ignore_errors=True)
+        _SERVE_DIRS.remove(old)
     d = tempfile.mkdtemp(prefix=prefix)
     _SERVE_DIRS.append(d)
     return d

@@ -34,10 +34,15 @@ def _canon_cell(v) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort RAW cells first (exactly like the driver's harness), THEN
+    stringify for the exact-value comparison. Sorting raw on purpose:
+    a non-scalar cell (list/ndarray) is unhashable in pandas' lexsort
+    and must fail HERE, locally, the same way it fails in the driver —
+    stringify-before-sort hid exactly that crash class in round 5."""
     out = df[sorted(df.columns)].copy()
+    out = out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
     for c in out.columns:
         out[c] = out[c].map(_canon_cell)
-    out = out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 
 

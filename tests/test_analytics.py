@@ -150,10 +150,11 @@ def test_embedding_centroids_hand_mean(spark, tmp_path):
     emb_dir.mkdir()
     path = str(emb_dir)
     pq.write_table(tbl, f"{path}/embeddings.parquet")
-    out = {r.label: (r.n_vectors, list(r.centroid)) for r in
+    out = {r.label: (r.n_vectors, r.centroid_fp) for r in
            q_embedding_centroids(spark, path).collect()}
-    assert out[0] == (2, [2.0, -3.0])
-    assert out[1] == (1, [10.0, 10.0])
+    # fixed-point CSV: component * CENTROID_SCALE (1e6), comma-joined
+    assert out[0] == (2, "2000000,-3000000")
+    assert out[1] == (1, "10000000,10000000")
 
 
 def test_rising_streaks_hand_planted(spark, tmp_path):

@@ -4,6 +4,8 @@ decode plumbing, ML forecast sanity."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 
@@ -84,7 +86,9 @@ def test_multimodal_decode_values(spark, sf_dir):
             continue
         raw, kind, w, h = meta[r.media_id]
         assert r.decoded_ok, f"media {r.media_id} failed decode"
-        assert len(r.feature) == THUMB * THUMB
+        # registered surface serializes the vector to a JSON string
+        assert isinstance(r.feature, str)
+        assert len(json.loads(r.feature)) == THUMB * THUMB
         tiled = lambda n: np.resize(np.frombuffer(raw, dtype=np.uint8), n)  # noqa: E731
         if kind == "image":
             assert (r.width, r.height) == (w, h)

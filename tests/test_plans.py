@@ -103,6 +103,33 @@ def test_no_unpartitioned_ordered_window_anywhere(spark, sf_dir):
         )
 
 
+def test_all_registered_outputs_are_scalar_columns(spark, sf_dir):
+    """Registry-wide harness-compat guard: no registered query may
+    return a top-level ArrayType/MapType/StructType column. The
+    correctness harness canonicalizes results by sorting RAW cells in
+    pandas; a list cell is unhashable there and hard-crashes even the
+    row-count check (the r5 q_embedding_{centroids,quantize} /
+    q_multimodal_features failure class). Vector-valued outputs must
+    serialize to a deterministic scalar (comma-joined fixed-point
+    string, to_json) in the returned frame. Batch queries only: the
+    streaming queries execute eagerly on build, and their (static)
+    result schemas are pinned scalar-only by their own tests."""
+    from pyspark.sql import types as T
+
+    from big_data_traffict_prediction_spark import registry
+
+    offenders = []
+    for name, fn in registry.all_queries().items():
+        if name.startswith("q_stream_"):
+            continue
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, f"non-scalar output columns: {offenders}"
+
+
 def test_bucket_series_dense_broadcasts_agg_side(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.timeseries import (
         q_bucket_series_dense,
