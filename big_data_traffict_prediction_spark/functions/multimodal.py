@@ -368,12 +368,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("feature", F.to_json("feature")).orderBy("media_id")
 
 
-@register("q_multimodal_frame_sample", oracle=None)
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+SELECT media_id, n_frames,
+       CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 8)) AS BIGINT)
+         AS frame_no
+FROM (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+ORDER BY media_id, frame_no
+""",
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video payloads: decode the RAWV frame count,
     emit one row per sampled frame (every 8th) — the
     explode-after-decode shape of video pipelines. posexplode keeps
-    frame indices deterministic."""
+    frame indices deterministic.
+
+    Oracle-backed: the Spark side decodes the REAL RAWV container; the
+    DuckDB twin re-derives n_frames from the container spec
+    (len(payload)//64 + 1 frames, video = doc_id%3==2) — a hash match
+    therefore proves the binary encode→decode round trip recovered the
+    frame count exactly, a strictly stronger check than rows-only."""
     feats = decode_features(
         encode_media(media_table(spark, sf_dir).filter(F.col("kind") == "video"))
     )

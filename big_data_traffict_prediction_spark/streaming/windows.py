@@ -21,11 +21,42 @@ St4-St8).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WATERMARK = "30 minutes"
+
+# Structured Streaming fixes the state-store partition count from
+# spark.sql.shuffle.partitions at the FIRST micro-batch and keeps it
+# for the checkpoint's lifetime — it is a state-sizing knob, not a
+# batch-parallelism knob. A batch-oriented session default (Spark's
+# 200, or input-sized on a cluster) multiplies per-micro-batch task
+# scheduling + state-store open/commit overhead with no benefit on the
+# bounded replays here (measured: the stream-stream joins run 3-5×
+# faster at 32 than at 200 on the same input). Results are
+# partitioning-invariant — pinned by the chunking-invariance test and
+# every q_stream_* oracle. On a real cluster, size this to
+# (distinct keys × state bytes) / executor memory, set BEFORE first
+# start; it cannot change across restarts of the same checkpoint.
+STREAM_MAX_STATE_PARTITIONS = 32
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession):
+    """Cap shuffle partitions for the duration of one stream
+    start→drain, restoring the session value after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cap = min(int(old), STREAM_MAX_STATE_PARTITIONS)
+    except (TypeError, ValueError):  # e.g. "auto" on some builds
+        cap = STREAM_MAX_STATE_PARTITIONS
+    spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tumbling_counts(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -119,27 +150,29 @@ def run_dual_sink(
         finally:
             batch.unpersist()
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(stream.sparkSession):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append") -> DataFrame:
     """Drain a bounded stream into an in-memory table and return it."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -179,12 +212,13 @@ def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str) ->
             return
         land_rollup_partial(batch, epoch_id, part_dir)
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(stream.sparkSession):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return part_dir
