@@ -46,10 +46,32 @@ from . import simulate, state, windows
 _WM_CTE = "wm AS (SELECT MAX(ts) - INTERVAL '30 minutes' AS w FROM traffic)"
 
 
+# Staged input is a pure function of (Spark application, sf_dir): the
+# same deterministic detection frame cut into the same 4 time-ordered
+# chunks. Staging it once and replaying the SAME files for all ~12
+# streaming queries saves a count + global sort + 4 parquet writes per
+# query (the input is read-only; every query still gets a FRESH
+# checkpoint + sink scratch in `base`, which is what must not be
+# shared). Replay order is modification-time order, fixed at staging.
+_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_stage_cache() -> None:
+    for root in _STAGE_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
 def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = tempfile.mkdtemp(prefix="traffic_stream_")
-    stage = simulate.stage_stream_dir(spark, sf_dir, f"{base}/stage", n_chunks=4)
-    return stage, base
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _STAGE_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="traffic_stage_")
+        simulate.stage_stream_dir(spark, sf_dir, f"{root}/stage", n_chunks=4)
+        _STAGE_CACHE[key] = root
+    return f"{root}/stage", base
 
 
 # Serving parquets must outlive the lazy reader a query returns, so

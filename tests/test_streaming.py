@@ -375,6 +375,33 @@ def test_frame_stream_sink_round_trips(spark, sf_dir, tmp_path):
     assert all(p[:2] == b"P5" for p in parts), "parts must be the PGM frames"
 
 
+def test_stage_cache_stages_once_per_app_and_sf(monkeypatch, tmp_path):
+    """The staged replay input is a pure function of (application,
+    sf_dir): _staged must stage it exactly once and hand every query a
+    FRESH checkpoint scratch (`base`) — sharing a checkpoint would
+    corrupt state; re-staging wastes a count + global sort + 4 writes
+    per query. Spark-free: the stager is stubbed out."""
+    from big_data_traffict_prediction_spark.streaming import queries as q
+
+    calls = []
+    monkeypatch.setattr(q.simulate, "stage_stream_dir",
+                        lambda spark, sf, d, n_chunks: calls.append(d) or d)
+    monkeypatch.setattr(q, "_STAGE_CACHE", {})
+
+    class _Ctx:
+        applicationId = "app-test-1"
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    s1, b1 = q._staged(_Spark(), "/fake/sf1")
+    s2, b2 = q._staged(_Spark(), "/fake/sf1")
+    s3, _ = q._staged(_Spark(), "/fake/sf2")
+    assert len(calls) == 2, "same (app, sf_dir) must stage once"
+    assert s1 == s2 and s1 != s3
+    assert b1 != b2, "checkpoint scratch must be fresh per query"
+
+
 def test_tumbling_counts_chunking_invariant(spark, sf_dir):
     """The oracle claim for the hash-checked streaming queries is that
     the drained output is a pure function of the INPUT SET, not the
