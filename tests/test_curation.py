@@ -88,3 +88,56 @@ def test_chunks_cover_every_token_exactly_by_stride(spark, sf_dir):
         .count()
     )
     assert mismatch == 0
+
+
+def test_doc_winnow_matches_python_model_and_guarantee(spark, tmp_path):
+    """q_doc_winnow against a plain-Python winnow (same md5-60 hash,
+    same K/W), plus the MOSS guarantee: two docs sharing a substring of
+    length >= K+W-1 share at least one selected fingerprint."""
+    import hashlib
+
+    from big_data_traffict_prediction_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        q_doc_winnow,
+    )
+
+    shared = "abcdefghijk"  # exactly K+W-1 = 11 chars
+    rows = [
+        (1, "xxqq " + shared + " zz trailer", "en", "t", 0),
+        (2, "totally other lead " + shared + " yy", "en", "t", 0),
+        (3, "short", "en", "t", 0),  # < K chars after norm -> no row
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+
+    def winnow(text: str):
+        norm = " ".join(text.split()).lower().strip()
+        grams = [norm[i : i + WINNOW_K] for i in range(len(norm) - WINNOW_K + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        if not hs:
+            return None
+        wins = max(len(hs) - WINNOW_W + 1, 1)
+        mins = [min(hs[j : j + WINNOW_W]) for j in range(wins)]
+        fps = list(dict.fromkeys(mins))
+        x = 0
+        for f in fps:
+            x ^= f
+        return len(hs), len(fps), min(fps), x, set(fps)
+
+    got = {r.doc_id: r for r in q_doc_winnow(spark, path).collect()}
+    assert set(got) == {1, 2}, "sub-K doc must emit no row"
+    models = {}
+    for doc_id, text, *_ in rows[:2]:
+        n_grams, n_fp, min_fp, fp_xor, fps = winnow(text)
+        models[doc_id] = fps
+        r = got[doc_id]
+        assert (r.n_grams, r.n_fp, r.min_fp, r.fp_xor) == (
+            n_grams, n_fp, min_fp, fp_xor,
+        ), f"doc {doc_id} summary mismatch"
+    # winnowing guarantee: K+W-1 shared chars -> shared fingerprint
+    assert models[1] & models[2], "shared substring must share a fingerprint"
