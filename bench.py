@@ -150,6 +150,7 @@ EXTENDED = [
     "q_order_cohort_repeat",
     "q_fulfillment_lag",
     "q_predict_scenario",
+    "q_doc_winnow",
 ]
 
 
