@@ -279,6 +279,11 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     same definition the dedup family shuffles on).
     """
     d = load_table(spark, sf_dir, "documents")
+    # One md5 per character of corpus text is CPU-bound: spread the
+    # scan across cores even when the source is a single parquet split
+    # (same idiom as dedup._tokenized; at real scale the file count
+    # makes this shuffle a no-op cost).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     base = (
         d.select("doc_id", norm_col().alias("norm"))
         .withColumn("n_grams", (F.length("norm") - (WINNOW_K - 1)).cast("int"))
