@@ -56,8 +56,17 @@ THUMB = 8  # thumbnail / envelope edge: features are THUMB*THUMB doubles
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixture: payload = utf-8 bytes of the text,
     kind cycles by doc_id, container dimensions derived from n_chars
-    (kept small so sf0.1 stays MB-scale)."""
-    d = load_table(spark, sf_dir, "documents")
+    (kept small so sf0.1 stays MB-scale).
+
+    Repartitioned across cores up front: every consumer feeds the
+    payloads through Python codec kernels (encode_media /
+    decode_features mapInPandas), which a single parquet split would
+    serialize onto ONE Arrow worker (measured 5× at sf0.1 — the
+    dedup._tokenized idiom; at real scale the file count makes this
+    shuffle a no-op cost)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     kind = F.element_at(
         F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )

@@ -76,9 +76,12 @@ def test_multimodal_decode_values(spark, sf_dir):
 
     rows = q_multimodal_features(spark, sf_dir).limit(60).collect()
     assert rows
+    ids = [r.media_id for r in rows]  # bounded: 60 sampled media
     meta = {
         r.media_id: (bytes(r.payload), r.kind, r.width, r.height)
-        for r in media_table(spark, sf_dir).limit(60).collect()
+        for r in media_table(spark, sf_dir)
+        .filter(F.col("media_id").isin(ids))
+        .collect()
     }
     checked = 0
     for r in rows:
