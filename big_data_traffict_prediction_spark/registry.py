@@ -39,18 +39,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-_LATEST_ROW_CACHE: dict[str, dict] | None = None
+_LATEST_ROW_CACHE: dict[str, tuple[int, dict]] | None = None
 
 
-def _driver_latest_rows() -> dict[str, dict]:
-    """Latest driver CORRECTNESS_r*.json row per query name.
+def _driver_latest_rows() -> dict[str, tuple[int, dict]]:
+    """Latest driver CORRECTNESS_r*.json ``(round, row)`` per query name.
 
     The driver samples ~50 names per round from the registry; ordering
     the names that still need a (re-)check first steers its sample onto
     them (harmless if it samples randomly). Reads the artifacts the
     driver itself writes to the repo root, so the ordering self-updates
-    each round; "latest" = the row from the highest-numbered round file
-    (files sort lexicographically by round).
+    each round; "latest" = the row from the highest-numbered round file,
+    where the round is parsed *numerically* from the filename (so an
+    unpadded ``_r7`` still supersedes ``_r06``, and ``_r100`` supersedes
+    ``_r99``) and merged across all artifact roots in one pass.
 
     Cached for the process lifetime so repeated all_queries() calls are
     O(1) and iteration order is stable within a run. The artifact
@@ -66,6 +68,7 @@ def _driver_latest_rows() -> dict[str, dict]:
     import glob
     import json
     import os
+    import re
 
     env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
     roots = (
@@ -73,20 +76,133 @@ def _driver_latest_rows() -> dict[str, dict]:
         if env
         else [os.path.dirname(os.path.dirname(os.path.abspath(__file__))), os.getcwd()]
     )
-    latest: dict[str, dict] = {}
+    numbered: list[tuple[int, str]] = []
     for root in dict.fromkeys(roots):
-        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-            try:
-                with open(path) as fh:
-                    data = json.load(fh)
-                if isinstance(data, dict):
-                    for name, row in data.items():
-                        if isinstance(row, dict):
-                            latest[name] = row
-            except (OSError, ValueError):
-                continue
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if m:
+                numbered.append((int(m.group(1)), path))
+    latest: dict[str, tuple[int, dict]] = {}
+    # ascending numeric round: a higher round always overwrites a lower
+    # one regardless of which root or zero-padding produced it
+    for rnd, path in sorted(numbered, key=lambda t: t[0]):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                for name, row in data.items():
+                    if isinstance(row, dict):
+                        latest[name] = (rnd, row)
+        except (OSError, ValueError):
+            continue
     _LATEST_ROW_CACHE = latest
     return latest
+
+
+_FINGERPRINT_FILE = "_fingerprints.json"
+_FP_SNAPSHOT_CACHE: dict[str, dict] | None = None
+
+
+def _fingerprint_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), _FINGERPRINT_FILE)
+
+
+def _fingerprint(q: Query) -> str:
+    """Content hash of a query's definition: oracle SQL + function source.
+
+    Used to detect "this query changed since its last driver-green row"
+    — a green row only vouches for the code it actually ran, so a later
+    edit must push the name back into the re-check group even though the
+    stored row still says green.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = repr(q.fn)
+    payload = (q.oracle or "") + "\x00" + src
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _fingerprint_snapshot() -> dict[str, dict]:
+    """Committed snapshot mapping name -> {"fp", "round"}.
+
+    ``fp`` is the fingerprint the driver last *validated* (witnessed by
+    a settled row at round >= the round the fingerprint appeared);
+    ``round`` is the round of that name's latest settled row at refresh
+    time. Maintained by ``refresh_fingerprints()``, run at the start of
+    each build round before any code changes. Missing file → empty dict,
+    and ``_ordered`` then skips the changed-fingerprint check entirely
+    (degrading to row-status-only steering) rather than flooding the
+    re-check group with all 180+ names.
+    """
+    global _FP_SNAPSHOT_CACHE
+    if _FP_SNAPSHOT_CACHE is not None:
+        return _FP_SNAPSHOT_CACHE
+    import json
+
+    try:
+        with open(_fingerprint_path()) as fh:
+            data = json.load(fh)
+        snap = {k: v for k, v in data.items() if isinstance(v, dict)}
+    except (OSError, ValueError):
+        snap = {}
+    _FP_SNAPSHOT_CACHE = snap
+    return snap
+
+
+def refresh_fingerprints() -> dict[str, dict]:
+    """Re-baseline the fingerprint snapshot against the current code.
+
+    Run at the START of a build round, before editing queries: at that
+    moment the working tree equals the code the previous round's driver
+    draw ran against, so any settled row from that draw vouches for the
+    current fingerprint. The update rule per name:
+
+    - no stored entry → adopt the current fingerprint (round = latest
+      settled round, or 0 if never drawn);
+    - stored fp == current fp → just advance ``round`` to the latest
+      settled row's round;
+    - stored fp != current fp (the query changed during the previous
+      round) → adopt the new fp only if the latest settled row comes
+      from the *most recent* driver round (i.e. the draw that ran after
+      the change); otherwise keep the stale entry so the name stays in
+      the re-check group until a draw witnesses the new code.
+
+    Writes ``_fingerprints.json`` next to this module and returns the
+    snapshot. Invoked via ``scripts/refresh_fingerprints.py``.
+    """
+    import json
+
+    _load_modules()
+    latest = _driver_latest_rows()
+    max_round = max((rnd for rnd, _ in latest.values()), default=0)
+    snap = dict(_fingerprint_snapshot())
+    for name, q in _REGISTRY.items():
+        cur = _fingerprint(q)
+        rnd_row = latest.get(name)
+        settled_round = None
+        if rnd_row is not None and _row_settles(q, rnd_row[1]):
+            settled_round = rnd_row[0]
+        stored = snap.get(name)
+        if stored is None:
+            snap[name] = {"fp": cur, "round": settled_round or 0}
+        elif stored.get("fp") == cur:
+            if settled_round is not None and settled_round > stored.get("round", 0):
+                snap[name] = {"fp": cur, "round": settled_round}
+        elif settled_round is not None and settled_round >= max_round:
+            snap[name] = {"fp": cur, "round": settled_round}
+    # drop entries for queries no longer registered
+    snap = {k: v for k, v in snap.items() if k in _REGISTRY}
+    with open(_fingerprint_path(), "w") as fh:
+        json.dump(snap, fh, indent=1, sort_keys=True)
+    global _FP_SNAPSHOT_CACHE
+    _FP_SNAPSHOT_CACHE = snap
+    return snap
 
 
 def _row_settles(q: Query, row: dict) -> bool:
@@ -110,24 +226,35 @@ def _row_settles(q: Query, row: dict) -> bool:
 def _ordered() -> list[Query]:
     """Registry values ordered never-drawn first, then names whose
     latest driver row is unsettled (hard err / mismatch / retro-oracled
-    ``no_oracle``), then settled names.
+    ``no_oracle``) or whose definition changed since its last validated
+    fingerprint, then settled names **stalest-green first** (ascending
+    round of their latest settled row) so the driver's ~50-name sample
+    re-verifies the oldest green rows each round instead of re-drawing
+    recent ones — a silent regression in an r1-vintage query can't hide.
 
-    Stable within each group (registration order), so re-ordering never
-    changes *what* is registered, only the sample-steering priority.
+    Stable within each (group, round) via sorted()'s stability over
+    registration order, so re-ordering never changes *what* is
+    registered, only the sample-steering priority.
     """
     latest = _driver_latest_rows()
+    snap = _fingerprint_snapshot()
     never: list[Query] = []
     recheck: list[Query] = []
-    settled: list[Query] = []
+    settled: list[tuple[int, Query]] = []
     for q in _REGISTRY.values():
-        row = latest.get(q.name)
-        if row is None:
+        rnd_row = latest.get(q.name)
+        if rnd_row is None:
             never.append(q)
-        elif _row_settles(q, row):
-            settled.append(q)
+            continue
+        rnd, row = rnd_row
+        stored = snap.get(q.name)
+        changed = bool(snap) and (stored is None or stored.get("fp") != _fingerprint(q))
+        if _row_settles(q, row) and not changed:
+            settled.append((rnd, q))
         else:
             recheck.append(q)
-    return never + recheck + settled
+    settled.sort(key=lambda t: t[0])  # stable: ties keep registration order
+    return never + recheck + [q for _, q in settled]
 
 
 def all_queries() -> dict[str, QueryFn]:
