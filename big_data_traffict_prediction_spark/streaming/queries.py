@@ -466,7 +466,8 @@ def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation closes and emits it. Registered form uses
     `applyInPandasWithState`; the Spark 4 arbitrary-state v2 twin
     (`state.CongestionEpisodes`, transformWithStateInPandas) is
-    environment-gated on protobuf and equality-tested when available.
+    equality-tested against it on a RocksDB-backed state store, with a
+    vendored protobuf runtime when the env lacks one (tests/_pb_shim/).
 
     Hash-checked: on the time-ordered replay, closed episodes are
     exactly the consecutive-high gap-islands that have a later

@@ -135,9 +135,11 @@ def stateful_dedup(stream: DataFrame) -> DataFrame:
 # - `CongestionEpisodes` / `congestion_episodes_v2`: Spark 4's
 #   arbitrary-state v2 `transformWithStateInPandas` (typed state
 #   variables on a handle). Its state-server protocol needs
-#   `google.protobuf`, absent from this container, so it is
-#   environment-gated: exercised by a test that SKIPS when protobuf is
-#   missing, and equality with the v1 form is the test's assertion.
+#   `google.protobuf` (tests vendor a pure-Python runtime via
+#   tests/_pb_shim/ when no real install exists) and the RocksDB
+#   state-store provider (column-family state; the default HDFS-backed
+#   provider rejects it). Equality with the v1 form is asserted by
+#   tests/test_streaming.py::test_congestion_episodes_v2_twin_matches_v1.
 
 EPISODE_THRESHOLD = 300
 
