@@ -53,20 +53,22 @@ MIMES = {"image": "image/x-portable-graymap", "audio": "audio/wav", "video": "vi
 THUMB = 8  # thumbnail / envelope edge: features are THUMB*THUMB doubles
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """Deterministic media fixture: payload = utf-8 bytes of the text,
     kind cycles by doc_id, container dimensions derived from n_chars
     (kept small so sf0.1 stays MB-scale).
 
-    Repartitioned across cores up front: every consumer feeds the
-    payloads through Python codec kernels (encode_media /
-    decode_features mapInPandas), which a single parquet split would
-    serialize onto ONE Arrow worker (measured 5× at sf0.1 — the
-    dedup._tokenized idiom; at real scale the file count makes this
-    shuffle a no-op cost)."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    ``spread=True`` repartitions across cores up front — required by
+    consumers that feed the payloads through Python codec kernels
+    (encode_media / decode_features mapInPandas), which a single
+    parquet split would serialize onto ONE Arrow worker (measured 5×
+    at sf0.1 — the dedup._tokenized idiom; at real scale the file
+    count makes this shuffle a no-op cost). Pure-JVM consumers
+    (q_multimodal_meta's scan) keep the default: no shuffle of the
+    binary payloads at all."""
+    d = load_table(spark, sf_dir, "documents")
+    if spread:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     kind = F.element_at(
         F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )
@@ -372,7 +374,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_features``): the registered surface is scalar-only so a
     correctness harness that sorts raw cells can canonicalize it."""
     feats = decode_features(
-        encode_media(media_table(spark, sf_dir), image_codec="mixed")
+        encode_media(media_table(spark, sf_dir, spread=True), image_codec="mixed")
     )
     return feats.withColumn("feature", F.to_json("feature")).orderBy("media_id")
 
@@ -403,7 +405,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore proves the binary encode→decode round trip recovered the
     frame count exactly, a strictly stronger check than rows-only."""
     feats = decode_features(
-        encode_media(media_table(spark, sf_dir).filter(F.col("kind") == "video"))
+        encode_media(
+            media_table(spark, sf_dir, spread=True).filter(F.col("kind") == "video")
+        )
     )
     frame_idx = F.sequence(
         F.lit(0).cast("long"),
@@ -451,7 +455,7 @@ def media_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload duplicates (verified: zero duplicate normalized texts at
     test SFs), so the duplicates are planted where a crawl would have
     them."""
-    m = media_table(spark, sf_dir)
+    m = media_table(spark, sf_dir, spread=True)  # phash decodes in Python
     replicas = m.filter(F.col("media_id") % PHASH_REPLICA_EVERY == 0).withColumn(
         "media_id", F.col("media_id") + PHASH_REPLICA_OFFSET
     )

@@ -81,22 +81,23 @@ def _staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 # a long-lived process holds at most one dir per query and a killed
 # process leaks at most one; atexit clears the remainder on a clean
 # shutdown.
-_SERVE_DIRS: list[str] = []
+_SERVE_DIRS: dict[str, str] = {}  # prefix -> live dir: reclaim is exact
 
 
 def _serve_dir(prefix: str) -> str:
-    for old in [d for d in _SERVE_DIRS if f"/{prefix}" in d]:
+    old = _SERVE_DIRS.pop(prefix, None)
+    if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-        _SERVE_DIRS.remove(old)
     d = tempfile.mkdtemp(prefix=prefix)
-    _SERVE_DIRS.append(d)
+    _SERVE_DIRS[prefix] = d
     return d
 
 
 @atexit.register
 def _cleanup_serve_dirs() -> None:
-    for d in _SERVE_DIRS:
+    for d in _SERVE_DIRS.values():
         shutil.rmtree(d, ignore_errors=True)
+    _SERVE_DIRS.clear()
 
 
 @register("q_stream_iou_dedup", oracle=None)
@@ -331,25 +332,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id", "alert_id", "id")
 
 
-@register("q_stream_stream_left_join", oracle=None)
-def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every detection flows
-    through; those with no congestion alert in the next 15 minutes
-    emit null-extended ONCE their join state is evicted by the
-    watermark (obs row evictable when watermark > ts + lookback).
-
-    Rows-only by design: unlike the inner join (whose output is
-    eviction-independent and therefore hash-checked), outer-join null
-    emission is gated on per-micro-batch watermark advancement — the
-    drained null set depends on the replay chunking, which is an
-    engine-scheduling artifact, not data semantics. The STABLE
-    invariants are pinned in tests/test_streaming.py instead: the
-    matched subset equals the batch inner join exactly, and every
-    emitted null row is a row the batch LEFT join also leaves
-    unmatched. At 100 TB this is the same state-bounded interval-join
-    plan as q_stream_stream_join — both sides watermarked, both event
-    times bounded, state ∝ (watermark window × arrival rate), never
-    history."""
+def _outer_join_rows(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Drained row-level output of the watermarked stream-stream
+    interval join in the given outer mode — the shared body of the
+    LEFT and FULL OUTER queries. Null-extended rows emit once the
+    watermark evicts their join state, so the null SET depends on the
+    replay chunking (see the registered queries for why that makes
+    row-level output unsuitable as a driver signal)."""
     from pyspark.sql import functions as F
 
     stage, base = _staged(spark, sf_dir)
@@ -370,18 +359,79 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("camera_id") == F.col("a_camera"))
         & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
         & (F.col("ts") <= F.col("alert_ts")),
-        "left_outer",
+        how,
     ).select(
-        "camera_id", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count"
+        "camera_id", "a_camera", "alert_id", "alert_ts", "alert_count",
+        "id", "ts", "new_count",
     )
     out = windows.run_to_memory(
         spark,
         joined,
-        f"q_stream_stream_left_{uuid.uuid4().hex[:8]}",
+        f"q_stream_stream_{how}_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
-    return out.orderBy("camera_id", "id", "alert_id")
+    return out
+
+
+# Checksum formula shared by the streaming summaries and their batch
+# twins in tests: per-pair xxhash64 folded into [0, 2^31) so a SUM over
+# any realistic pair count stays far from long overflow (Spark 4 runs
+# ANSI mode — a wrapped sum would throw, not wrap).
+def pair_checksum(cols: list[str], when=None):
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.xxhash64(*cols), F.lit(2**31))
+    return F.sum(h if when is None else F.when(when, h))
+
+
+_MATCH_COLS = ["camera_id", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count"]
+
+
+def stream_stream_left_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level LEFT OUTER drain (tests pin subset invariants on it)."""
+    return _outer_join_rows(spark, sf_dir, "left_outer").drop("a_camera")
+
+
+@register("q_stream_stream_left_join", oracle=None)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every detection flows
+    through; those with no congestion alert in the next 15 minutes
+    emit null-extended ONCE their join state is evicted by the
+    watermark (obs row evictable when watermark > ts + lookback).
+
+    Rows-only by design: unlike the inner join (whose output is
+    eviction-independent and therefore hash-checked), outer-join null
+    emission is gated on per-micro-batch watermark advancement — the
+    drained null SET depends on the replay chunking, an
+    engine-scheduling artifact, not data semantics. The registered
+    surface therefore summarizes the drain per camera into
+    chunking-INVARIANT columns — ``matched_pairs`` and
+    ``matched_checksum`` (xxhash64 fold over every matched pair's full
+    column set) both equal the batch inner join exactly, and the row
+    count (#cameras with a matched pair) is deterministic, so the
+    driver's rows-only count is a real signal — plus the informational
+    ``null_obs_rows`` (eviction-timing dependent by nature).
+    tests/test_streaming.py pins the summary against the batch twin
+    AND the row-level subset invariants via stream_stream_left_rows.
+    At 100 TB this is the same state-bounded interval-join plan as
+    q_stream_stream_join — both sides watermarked, both event times
+    bounded, state ∝ (watermark window × arrival rate), never
+    history."""
+    from pyspark.sql import functions as F
+
+    rows = stream_stream_left_rows(spark, sf_dir)
+    matched = F.col("alert_id").isNotNull()
+    return (
+        rows.groupBy("camera_id")
+        .agg(
+            F.sum(matched.cast("long")).alias("matched_pairs"),
+            pair_checksum(_MATCH_COLS, when=matched).alias("matched_checksum"),
+            F.sum((~matched).cast("long")).alias("null_obs_rows"),
+        )
+        .filter(F.col("matched_pairs") > 0)
+        .orderBy("camera_id")
+    )
 
 
 @register(
@@ -569,6 +619,11 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(serve_dir).orderBy("camera_id", "d")
 
 
+def stream_stream_full_outer_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level FULL OUTER drain (tests pin subset invariants on it)."""
+    return _outer_join_rows(spark, sf_dir, "full_outer")
+
+
 @register("q_stream_stream_full_outer", oracle=None)
 def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream FULL OUTER interval join — the last member of the
@@ -576,41 +631,34 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the surface). Detections pair with congestion alerts in
     the 15-minute lookback; unmatched rows from EITHER side emit
     null-extended once the watermark evicts their join state. Like the
-    left join, the null sets depend on per-micro-batch watermark
-    advancement (an engine-scheduling artifact), so the query is
-    rows-only; the invariant pinned in tests is that its matched
-    subset equals the batch inner join exactly. State stays bounded on
-    both sides: both inputs watermarked and both event times
-    constrained, so state ∝ (watermark window × arrival rate)."""
+    left join, the null SETS depend on per-micro-batch watermark
+    advancement (an engine-scheduling artifact), so the registered
+    surface is the per-camera summary: chunking-invariant
+    ``matched_pairs`` + ``matched_checksum`` (equal to the batch inner
+    join, making the driver's rows-only count deterministic) alongside
+    informational ``null_obs_rows`` / ``null_alert_rows`` for the two
+    eviction-dependent unmatched sides. Row-level subset invariants
+    are pinned in tests via stream_stream_full_outer_rows. State stays
+    bounded on both sides: both inputs watermarked and both event
+    times constrained, so state ∝ (watermark window × arrival rate)."""
     from pyspark.sql import functions as F
 
-    stage, base = _staged(spark, sf_dir)
-    obs = simulate.read_stream(spark, stage).withWatermark("ts", "30 minutes")
-    alerts = (
-        simulate.read_stream(spark, stage)
-        .filter(F.col("new_count") >= ALERT_THRESHOLD)
-        .select(
-            F.col("camera_id").alias("a_camera"),
-            F.col("ts").alias("alert_ts"),
-            F.col("id").alias("alert_id"),
-            F.col("new_count").alias("alert_count"),
+    rows = stream_stream_full_outer_rows(spark, sf_dir)
+    matched = F.col("alert_id").isNotNull() & F.col("id").isNotNull()
+    null_obs = F.col("alert_id").isNull()
+    null_alert = F.col("id").isNull()
+    # unmatched alert rows carry a null left-side camera_id; fold both
+    # sides' keys so every row lands on its real camera
+    camera = F.coalesce(F.col("camera_id"), F.col("a_camera"))
+    return (
+        rows.withColumn("camera_id", camera)
+        .groupBy("camera_id")
+        .agg(
+            F.sum(matched.cast("long")).alias("matched_pairs"),
+            pair_checksum(_MATCH_COLS, when=matched).alias("matched_checksum"),
+            F.sum(null_obs.cast("long")).alias("null_obs_rows"),
+            F.sum(null_alert.cast("long")).alias("null_alert_rows"),
         )
-        .withWatermark("alert_ts", "30 minutes")
+        .filter(F.col("matched_pairs") > 0)
+        .orderBy("camera_id")
     )
-    joined = obs.join(
-        alerts,
-        (F.col("camera_id") == F.col("a_camera"))
-        & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
-        & (F.col("ts") <= F.col("alert_ts")),
-        "full_outer",
-    ).select(
-        "camera_id", "a_camera", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count"
-    )
-    out = windows.run_to_memory(
-        spark,
-        joined,
-        f"q_stream_stream_full_{uuid.uuid4().hex[:8]}",
-        f"{base}/ckpt",
-    )
-    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
-    return out.orderBy("camera_id", "a_camera", "id", "alert_id")

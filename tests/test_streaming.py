@@ -556,40 +556,70 @@ def test_query_listener_observes_progress(spark, sf_dir):
         spark.streams.removeListener(listener)
 
 
-def test_stream_stream_left_join_invariants(spark, sf_dir):
-    """LEFT OUTER stream-stream join: the matched subset equals the
-    batch inner join exactly; every null-extended row the stream emits
-    is a row the batch LEFT join also leaves unmatched (the null SET
-    depends on per-batch watermark eviction, so only the subset
-    relation is chunking-stable — see the query docstring)."""
+def _batch_alert_join(spark, sf_dir, how):
+    """Batch twin of the streaming interval join, same aliases."""
     from big_data_traffict_prediction_spark.streaming.queries import (
         ALERT_THRESHOLD,
-        q_stream_stream_left_join,
     )
-
-    out = q_stream_stream_left_join(spark, sf_dir).collect()
-    got_matched = {
-        (r.camera_id, r.alert_id, r.id) for r in out if r.alert_id is not None
-    }
-    got_null_ids = {r.id for r in out if r.alert_id is None}
 
     d = simulate.detections_frame(spark, sf_dir)
     alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
         F.col("camera_id").alias("a_camera"),
         F.col("ts").alias("alert_ts"),
         F.col("id").alias("alert_id"),
+        F.col("new_count").alias("alert_count"),
     )
     cond = (
         (F.col("camera_id") == F.col("a_camera"))
         & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
         & (F.col("ts") <= F.col("alert_ts"))
     )
+    return d.join(alerts, cond, how)
+
+
+def _batch_matched_summary(spark, sf_dir):
+    """Per-camera (matched_pairs, matched_checksum) of the batch inner
+    join — the values the streaming summaries must reproduce exactly."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        _MATCH_COLS,
+        pair_checksum,
+    )
+
+    return {
+        (r.camera_id): (r.matched_pairs, r.matched_checksum)
+        for r in _batch_alert_join(spark, sf_dir, "inner")
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_pairs"),
+            pair_checksum(_MATCH_COLS).alias("matched_checksum"),
+        )
+        .collect()
+    }
+
+
+def test_stream_stream_left_join_invariants(spark, sf_dir):
+    """LEFT OUTER stream-stream join, row level: the matched subset
+    equals the batch inner join exactly; every null-extended row the
+    stream emits is a row the batch LEFT join also leaves unmatched
+    (the null SET depends on per-batch watermark eviction, so only the
+    subset relation is chunking-stable — see the query docstring)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        stream_stream_left_rows,
+    )
+
+    out = stream_stream_left_rows(spark, sf_dir).collect()
+    got_matched = {
+        (r.camera_id, r.alert_id, r.id) for r in out if r.alert_id is not None
+    }
+    got_null_ids = {r.id for r in out if r.alert_id is None}
+
     batch_matched = {
-        (r.camera_id, r.alert_id, r.id) for r in d.join(alerts, cond).collect()
+        (r.camera_id, r.alert_id, r.id)
+        for r in _batch_alert_join(spark, sf_dir, "inner").collect()
     }
     batch_null_ids = {
         r.id
-        for r in d.join(alerts, cond, "left_outer")
+        for r in _batch_alert_join(spark, sf_dir, "left_outer")
         .filter(F.col("alert_id").isNull())
         .collect()
     }
@@ -598,6 +628,21 @@ def test_stream_stream_left_join_invariants(spark, sf_dir):
     assert got_null_ids <= batch_null_ids
     # no row appears both matched and null-extended
     assert not (got_null_ids & {i for (_, _, i) in got_matched})
+
+
+def test_stream_stream_left_join_summary_is_invariant(spark, sf_dir):
+    """The REGISTERED left-join surface: per-camera matched_pairs and
+    matched_checksum must equal the batch inner join (these columns —
+    and hence the driver's rows-only row count — are chunking
+    invariant; null_obs_rows is informational only)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        q_stream_stream_left_join,
+    )
+
+    out = q_stream_stream_left_join(spark, sf_dir).collect()
+    got = {r.camera_id: (r.matched_pairs, r.matched_checksum) for r in out}
+    assert got and got == _batch_matched_summary(spark, sf_dir)
+    assert all(r.null_obs_rows >= 0 for r in out)
 
 
 def test_rollup_partial_replay_is_idempotent(spark, tmp_path):
@@ -637,16 +682,15 @@ def test_rollup_partial_replay_is_idempotent(spark, tmp_path):
 
 
 def test_stream_stream_full_outer_invariants(spark, sf_dir):
-    """FULL OUTER stream-stream join: matched subset equals the batch
-    inner join; null-extended rows on each side are subsets of the
-    batch full join's unmatched sets (null SETS are eviction-timing
-    dependent — see the query docstring)."""
+    """FULL OUTER stream-stream join, row level: matched subset equals
+    the batch inner join; null-extended rows on each side are subsets
+    of the batch full join's unmatched sets (null SETS are
+    eviction-timing dependent — see the query docstring)."""
     from big_data_traffict_prediction_spark.streaming.queries import (
-        ALERT_THRESHOLD,
-        q_stream_stream_full_outer,
+        stream_stream_full_outer_rows,
     )
 
-    out = q_stream_stream_full_outer(spark, sf_dir).collect()
+    out = stream_stream_full_outer_rows(spark, sf_dir).collect()
     got_matched = {
         (r.camera_id, r.alert_id, r.id)
         for r in out
@@ -655,21 +699,12 @@ def test_stream_stream_full_outer_invariants(spark, sf_dir):
     got_null_obs = {r.id for r in out if r.alert_id is None and r.id is not None}
     got_null_alerts = {r.alert_id for r in out if r.id is None and r.alert_id is not None}
 
-    d = simulate.detections_frame(spark, sf_dir)
-    alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
-        F.col("camera_id").alias("a_camera"),
-        F.col("ts").alias("alert_ts"),
-        F.col("id").alias("alert_id"),
-    )
-    cond = (
-        (F.col("camera_id") == F.col("a_camera"))
-        & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
-        & (F.col("ts") <= F.col("alert_ts"))
-    )
+    full = _batch_alert_join(spark, sf_dir, "full_outer").collect()
     batch_matched = {
-        (r.camera_id, r.alert_id, r.id) for r in d.join(alerts, cond).collect()
+        (r.camera_id, r.alert_id, r.id)
+        for r in full
+        if r.alert_id is not None and r.id is not None
     }
-    full = d.join(alerts, cond, "full_outer").collect()
     batch_null_obs = {r.id for r in full if r.alert_id is None and r.id is not None}
     batch_null_alerts = {r.alert_id for r in full if r.id is None and r.alert_id is not None}
 
@@ -677,3 +712,17 @@ def test_stream_stream_full_outer_invariants(spark, sf_dir):
     assert got_null_obs <= batch_null_obs
     assert got_null_alerts <= batch_null_alerts
     assert not (got_null_obs & {i for (_, _, i) in got_matched})
+
+
+def test_stream_stream_full_outer_summary_is_invariant(spark, sf_dir):
+    """The REGISTERED full-outer surface: per-camera matched_pairs and
+    matched_checksum equal the batch inner join; the two null columns
+    exist per side and are non-negative (informational)."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        q_stream_stream_full_outer,
+    )
+
+    out = q_stream_stream_full_outer(spark, sf_dir).collect()
+    got = {r.camera_id: (r.matched_pairs, r.matched_checksum) for r in out}
+    assert got and got == _batch_matched_summary(spark, sf_dir)
+    assert all(r.null_obs_rows >= 0 and r.null_alert_rows >= 0 for r in out)
