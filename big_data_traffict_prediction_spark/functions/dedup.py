@@ -632,6 +632,80 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_MAX_ITERS = 20
 
 
+def connected_components(sym: DataFrame) -> DataFrame:
+    """Min-label connected components with pointer-doubling shortcuts
+    over a SYMMETRIC edge frame (d1, d2) — returns (doc_id, label).
+
+    Each round every vertex takes the min of (its label, its
+    neighbors' labels) — the "hooking" step — and then shortcuts
+    through its own label: label(v) := min(label(v), label(label(v)))
+    (Shiloach-Vishkin-style pointer doubling). Hooking alone converges
+    in O(diameter) rounds, which a 20-round cap cannot bound for
+    adversarial graphs (a 200-node path has diameter 199); the
+    shortcut halves pointer chains every round, so rounds are
+    O(log diameter) — a path of 2^20 nodes converges inside the cap.
+    Correctness is carried by the hooking fixed point alone (at
+    convergence every edge has equal labels ⇒ each component is
+    uniformly labeled with its min id); the shortcut only accelerates,
+    since label values are always ids of same-component vertices.
+
+    The driver loop holds only ONE scalar per round (the changed-label
+    count); labels are localCheckpoint()ed each round so lineage stays
+    flat. Exhausting CLUSTER_MAX_ITERS without convergence raises
+    rather than returning silently-wrong partial labels (see
+    SCALE.md §dedup-clustering; unreachable for any graph with
+    diameter < 2^CLUSTER_MAX_ITERS)."""
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        hooked = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "hook"
+            ),
+        )
+        # pointer doubling: follow the hooked label one more step —
+        # every label value is itself a doc_id key in `hooked`
+        via = hooked.select(
+            F.col("doc_id").alias("via_id"), F.col("hook").alias("via_label")
+        )
+        new_labels = (
+            hooked.join(via, hooked.hook == via.via_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("hook"), F.coalesce("via_label", F.col("hook"))
+                ).alias("label"),
+                "old_label",
+            )
+            .withColumn("changed", F.col("label") < F.col("old_label"))
+            .drop("old_label")
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {CLUSTER_MAX_ITERS} "
+            "rounds — graph diameter exceeds 2^cap, which no near-dup "
+            "corpus should reach (see SCALE.md)"
+        )
+    return labels
+
+
+
 @register(
     "q_dedup_clusters",
     oracle=f"""
@@ -668,18 +742,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph (3-gram Jaccard ≥
     0.5 edges): every doc in a duplicate cluster labeled with its
     cluster's minimum doc_id — the keep-one/purge-rest step of a real
-    dedup pipeline.
-
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels; converges in
-    O(diameter) rounds (near-dup clusters are small and dense, so
-    2-3 rounds in practice). The driver loop holds only ONE scalar per
-    round (the changed-label count — the standard convergence action
-    of an iterative distributed algorithm); labels are
-    localCheckpoint()ed each round so lineage stays flat. At 100 TB
-    the edge list is the LSH candidate output (work ∝ near-dups), the
-    per-round cost is one (vertex ∪ edge) shuffle, and the round count
-    is bounded by CLUSTER_MAX_ITERS.
+    dedup pipeline. Algorithm + scale bound: see
+    ``connected_components`` (O(log diameter) rounds via pointer
+    doubling; at 100 TB the edge list is the LSH candidate output, so
+    work ∝ near-dups, and the per-round cost is two key-partitioned
+    joins + one aggregation).
 
     DuckDB oracle: recursive-CTE transitive closure with min-reachable
     labels — an exact cross-engine check of an iterative graph
@@ -688,35 +755,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("d1").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(CLUSTER_MAX_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.d2 == labels.doc_id)
-            .groupBy(F.col("d1").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
-                    "changed"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+    labels = connected_components(sym)
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )

@@ -281,3 +281,30 @@ def test_holt_forecast_matches_numpy_reference(spark, sf_dir):
     assert got.keys() == series.keys()
     for cam, ys in series.items():
         assert got[cam] == ref(ys), f"camera {cam} diverges"
+
+
+def test_connected_components_converges_on_deep_path_graph(spark):
+    """Adversarial-diameter bound: a 200-node path graph (diameter 199)
+    would NOT converge under plain min-label propagation's 20-round cap
+    — the pointer-doubling shortcut must label the whole path with its
+    min id in O(log diameter) rounds. Also pins a multi-component case
+    (the path + a disjoint triangle + an isolated edge)."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    path = [(i, i + 1) for i in range(n - 1)]
+    triangle = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    lone = [(2000, 2001)]
+    edges = spark.createDataFrame(path + triangle + lone, "d1 long, d2 long")
+    sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+
+    got = {r.doc_id: r.label for r in connected_components(sym).collect()}
+    assert {k: v for k, v in got.items() if k < 1000} == {i: 0 for i in range(n)}
+    assert {k: v for k, v in got.items() if 1000 <= k < 2000} == {
+        1000: 1000, 1001: 1000, 1002: 1000
+    }
+    assert {k: v for k, v in got.items() if k >= 2000} == {2000: 2000, 2001: 2000}
