@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG codec (grayscale, ITU-T T.81).
+"""Pure-numpy baseline JPEG codec (grayscale + YCbCr color, ITU-T T.81).
 
 The container this repo runs in has no image libraries, and the
 multimodal operators gate compressed formats behind
@@ -6,16 +6,22 @@ multimodal operators gate compressed formats behind
 gap for JPEG the honest way: a REAL baseline encoder/decoder built
 from the public spec (ITU-T T.81 / ISO 10918-1) with the standard
 Annex K quantization + Huffman tables — output is decodable by any
-stock viewer, and the decoder reads any single-component (grayscale)
-baseline sequential JPEG, whoever produced it.
+stock viewer, and the decoder reads any 1- or 3-component baseline
+sequential JPEG with an interleaved scan, whoever produced it.
 
 Scope (all honestly gated, never faked):
-- encode: 8-bit grayscale, baseline DCT, JFIF container, quality
-  scaling per the classic libjpeg 5000/q | 200−2q formula, optional
-  restart markers (DRI/RSTn).
-- decode: baseline sequential (SOF0), ONE component, restart
-  intervals supported. Color / progressive raise
-  ``NotImplementedError``.
+- encode: 8-bit grayscale (``encode_gray``) and RGB color
+  (``encode_color`` — YCbCr Rec.601 full range per JFIF, 4:4:4 or
+  4:2:0 chroma subsampling, Annex-K luma tables in slot 0 + chroma
+  tables in slot 1), baseline DCT, JFIF container, quality scaling
+  per the classic libjpeg 5000/q | 200−2q formula, optional restart
+  markers (DRI/RSTn).
+- decode: baseline sequential (SOF0), 1 or 3 components, interleaved
+  scan, any integer-ratio sampling factors ≤ 4 (nearest-neighbor
+  chroma upsampling), restart intervals supported. ``decode_gray``
+  returns the (luma) Y plane; ``decode_rgb`` full color.
+  Progressive / extended / arithmetic, 4-component (CMYK), and
+  non-interleaved multi-scan streams raise ``NotImplementedError``.
 
 Everything block-parallel is vectorized numpy (DCT/quantization run
 as one einsum over all blocks); only the entropy coder is a per-block
@@ -76,6 +82,51 @@ AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K.2: chrominance quantization (natural order).
+STD_CHROMA_QUANT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.4: chrominance DC Huffman (BITS, HUFFVAL).
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+# Annex K.6: chrominance AC Huffman.
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # Zigzag scan order (natural index for each zigzag position).
 ZIGZAG = np.array(
     [
@@ -113,14 +164,25 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 _DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+_DC_CHROMA_ENC = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_AC_CHROMA_ENC = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
 
 
 def quant_table(quality: int) -> np.ndarray:
     """Annex-K luminance table scaled by the classic quality formula."""
-    quality = min(100, max(1, int(quality)))
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (STD_LUMA_QUANT * scale + 50) // 100
-    return np.clip(q, 1, 255).astype(np.int64)
+    return _scaled_quant(STD_LUMA_QUANT, quality)
+
+
+def chroma_quant_table(quality: int) -> np.ndarray:
+    """Annex-K chrominance table scaled by the same quality formula."""
+    return _scaled_quant(STD_CHROMA_QUANT, quality)
 
 
 class _BitWriter:
@@ -167,6 +229,59 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _zigzag_blocks(plane: np.ndarray, q: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Pad a 2-D uint8 plane (edge mode) to ph×pw, forward-DCT +
+    quantize every 8×8 block at once, return the (by, bx, 64) zigzag
+    coefficient grid in row-major block order."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(
+        -1, 8, 8
+    )
+    # Vectorized forward DCT + quantization over ALL blocks at once.
+    dct = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks - 128.0, _DCT_C)
+    coefs = np.round(dct / q).astype(np.int64)
+    return coefs.reshape(-1, 64)[:, ZIGZAG].reshape(ph // 8, pw // 8, 64)
+
+
+def _emit_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int, dc_enc, ac_enc) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    size = _category(diff)
+    code, length = dc_enc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(_amplitude(diff, size), size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_enc[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(_amplitude(v, size), size)
+        run = 0
+    if last < 63:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.write(c, ln)
+    return int(blk[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+_APP0_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
 def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -> bytes:
     """Encode a 2-D uint8 array as a baseline JFIF JPEG.
 
@@ -178,15 +293,8 @@ def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -
         raise ValueError("encode_gray expects a non-empty 2-D array")
     h, w = a.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
-    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(
-        -1, 8, 8
-    )
     q = quant_table(quality)
-    # Vectorized forward DCT + quantization over ALL blocks at once.
-    dct = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks - 128.0, _DCT_C)
-    coefs = np.round(dct / q).astype(np.int64)
-    zz = coefs.reshape(-1, 64)[:, ZIGZAG]
+    zz = _zigzag_blocks(a, q, ph, pw).reshape(-1, 64)
 
     bw = _BitWriter()
     prev_dc = 0
@@ -194,49 +302,131 @@ def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -
         if restart_interval and i and i % restart_interval == 0:
             bw.emit_marker(0xD0 + ((i // restart_interval - 1) % 8))
             prev_dc = 0
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        size = _category(diff)
-        code, length = _DC_ENC[size]
-        bw.write(code, length)
-        if size:
-            bw.write(_amplitude(diff, size), size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if nz.size else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = _AC_ENC[0xF0]  # ZRL
-                bw.write(c, ln)
-                run -= 16
-            size = _category(v)
-            c, ln = _AC_ENC[(run << 4) | size]
-            bw.write(c, ln)
-            bw.write(_amplitude(v, size), size)
-            run = 0
-        if last < 63:
-            c, ln = _AC_ENC[0x00]  # EOB
-            bw.write(c, ln)
+        prev_dc = _emit_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
     entropy = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))  # DQT
-    out += seg(  # SOF0: 8-bit, h×w, 1 component (id 1, 1×1 sampling, qtable 0)
+    out += _seg(0xFFE0, _APP0_JFIF)  # APP0
+    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))  # DQT
+    out += _seg(  # SOF0: 8-bit, h×w, 1 component (id 1, 1×1 sampling, qtable 0)
         0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
     )
-    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
-    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
+    out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+# Rec.601 full-range RGB <-> YCbCr (the JFIF color space).
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    y, cb, cr = (p.astype(np.float64) for p in (y, cb, cr))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _box_subsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Mean-pool by (fy, fx), edge-padding ragged borders first."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_color(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+
+    YCbCr (Rec.601 full range per JFIF), Annex-K luminance tables for
+    Y (quant/Huffman slot 0) and chrominance tables for Cb/Cr (slot
+    1). ``subsampling`` is ``"4:2:0"`` (2×2 Y blocks + one Cb + one Cr
+    per 16×16 MCU — the overwhelmingly common camera layout) or
+    ``"4:4:4"`` (no chroma subsampling). ``restart_interval`` counts
+    MCUs, resetting all three DC predictors."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3 or a.size == 0:
+        raise ValueError("encode_color expects a non-empty (h, w, 3) array")
+    factors = {"4:2:0": (2, 2), "4:4:4": (1, 1)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hs, vs = factors[subsampling]
+    h, w = a.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(a)
+    qy, qc = quant_table(quality), chroma_quant_table(quality)
+
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
+    # Y padded to the full MCU grid; chroma subsampled then padded to
+    # its own 8-multiple grid (mcux × mcuy blocks).
+    y_zz = _zigzag_blocks(
+        np.clip(np.round(y), 0, 255).astype(np.uint8), qy, mcuy * mcu_h, mcux * mcu_w
+    )
+    chroma = [
+        _zigzag_blocks(
+            np.clip(np.round(_box_subsample(p, vs, hs)), 0, 255).astype(np.uint8),
+            qc,
+            mcuy * 8,
+            mcux * 8,
+        )
+        for p in (cb, cr)
+    ]
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # DC predictors: Y, Cb, Cr
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.emit_marker(0xD0 + ((mcu_i // restart_interval - 1) % 8))
+                prev = [0, 0, 0]
+            for v in range(vs):
+                for u in range(hs):
+                    prev[0] = _emit_block(
+                        bw, y_zz[my * vs + v, mx * hs + u], prev[0], _DC_ENC, _AC_ENC
+                    )
+            for ci, czz in enumerate(chroma, start=1):
+                prev[ci] = _emit_block(
+                    bw, czz[my, mx], prev[ci], _DC_CHROMA_ENC, _AC_CHROMA_ENC
+                )
+            mcu_i += 1
+    entropy = bw.flush()
+
+    samp_y = (hs << 4) | vs
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, _APP0_JFIF)
+    out += _seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(  # SOF0: 3 components — Y (slot 0), Cb, Cr (slot 1)
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
     return out
@@ -319,32 +509,54 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential single-component JPEG to uint8.
+    """Decode a baseline sequential JPEG to a uint8 luma grid.
 
-    Restart-interval (DRI/RSTn) streams are fully supported; color,
-    progressive, and arithmetic-coded streams raise
-    ``NotImplementedError`` — gated, not faked. Structurally malformed
-    foreign streams (truncated segments, references to undeclared
-    tables, garbage lengths) surface as ``ValueError`` — never raw
-    ``KeyError``/``IndexError``/``struct.error`` from parse internals,
-    so a corrupt blob in a media column fails with a classifiable
-    error the decode UDF can report per-row.
+    Single-component streams pass through; 3-component (YCbCr) color
+    streams return the upsampled Y plane — exactly the Rec.601 luma,
+    mirroring png.decode_gray's color collapse. Restart-interval
+    (DRI/RSTn) streams are fully supported; progressive,
+    arithmetic-coded, 4-component (CMYK) and non-interleaved
+    multi-scan streams raise ``NotImplementedError`` — gated, not
+    faked. Structurally malformed foreign streams (truncated segments,
+    references to undeclared tables, garbage lengths) surface as
+    ``ValueError`` — never raw ``KeyError``/``IndexError``/
+    ``struct.error`` from parse internals, so a corrupt blob in a
+    media column fails with a classifiable error the decode UDF can
+    report per-row.
     """
+    planes, h, w = _decode_baseline(data)
+    return planes[0]  # 1-comp: the image; 3-comp: Y = Rec.601 luma
+
+
+def decode_rgb(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB.
+
+    3-component streams convert YCbCr→RGB (Rec.601 full range, the
+    JFIF mapping); single-component streams replicate the gray plane
+    across channels. Same gates/errors as ``decode_gray``."""
+    planes, h, w = _decode_baseline(data)
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(*planes)
+
+
+def _decode_baseline(data: bytes) -> tuple[list[np.ndarray], int, int]:
+    """Shared parse: full-resolution uint8 planes (1 → gray, 3 →
+    Y/Cb/Cr in SOF order, chroma upsampled by replication) plus h, w."""
     try:
-        return _decode_gray_impl(data)
+        return _decode_impl(data)
     except (KeyError, IndexError, struct.error) as exc:
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
 
-def _decode_gray_impl(data: bytes) -> np.ndarray:
+def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comp_q = 0
-    comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     dri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -385,34 +597,67 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if ncomp != 1:
-                raise NotImplementedError("only single-component (grayscale) JPEG")
-            comp_q = payload[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (only grayscale and YCbCr)"
+                )
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 segment")
+            comps = [
+                (payload[6 + 3 * i], payload[7 + 3 * i] >> 4,
+                 payload[7 + 3 * i] & 0xF, payload[8 + 3 * i])
+                for i in range(ncomp)
+            ]
+            if any(hi < 1 or vi < 1 or hi > 4 or vi > 4 for _, hi, vi, _ in comps):
+                raise ValueError("invalid sampling factors")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG (progressive/extended)")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", payload)
         elif marker == 0xDA:  # SOS → entropy data follows
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0xF
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG"
+                )
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
+                raise NotImplementedError("non-integer chroma upsampling ratios")
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            # scan-order table selectors, matched to SOF comps by id
+            sel = {payload[1 + 2 * i]: payload[2 + 2 * i] for i in range(ns)}
+            scan = []
+            for cid, hi, vi, tq in comps:
+                if cid not in sel:
+                    raise ValueError(f"scan references unknown component {cid}")
+                td, ta = sel[cid] >> 4, sel[cid] & 0xF
+                scan.append((htables[(0, td)], htables[(1, ta)], hi, vi))
             end = _entropy_end(data, pos)
-            blocks = _decode_entropy(
-                data[pos:end],
-                htables[(0, comp_dc)],
-                htables[(1, comp_ac)],
-                n_blocks=(-(-h // 8)) * (-(-w // 8)),
-                dri=dri,
-            )
-            pos = end
-            # Dequantize + vectorized inverse DCT over all blocks.
-            deq = blocks.reshape(-1, 8, 8) * qtables[comp_q]
-            pix = np.einsum("xu,nuv,yv->nxy", _DCT_C.T, deq.astype(np.float64), _DCT_C.T)
-            pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
-            bw_, bh_ = -(-w // 8), -(-h // 8)
-            grid = pix.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(
-                bh_ * 8, bw_ * 8
-            )
-            return grid[:h, :w]
+            per_comp = _decode_entropy(data[pos:end], scan, mcux, mcuy, dri)
+            planes = []
+            for (cid, hi, vi, tq), blocks in zip(comps, per_comp):
+                deq = blocks.reshape(-1, 8, 8) * qtables[tq]
+                pix = np.einsum(
+                    "xu,nuv,yv->nxy", _DCT_C.T, deq.astype(np.float64), _DCT_C.T
+                )
+                pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+                by, bx = mcuy * vi, mcux * hi
+                grid = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+                    by * 8, bx * 8
+                )
+                # crop to the component's own resolution, then upsample
+                # to full by replication (nearest-neighbor per spec note)
+                ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+                plane = grid[:ch, :cw]
+                if vi != vmax or hi != hmax:
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                    )
+                planes.append(plane[:h, :w])
+            return planes, h, w
         # APPn / COM / others: skipped
     raise ValueError("no scan data found")
 
@@ -427,38 +672,57 @@ def _entropy_end(data: bytes, start: int) -> int:
     return len(data)
 
 
+def _decode_one_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int) -> np.ndarray:
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(br, dc_tab)
+    diff = _extend(br.read(size), size) if size else 0
+    zz[0] = prev_dc + diff
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    return zz
+
+
 def _decode_entropy(
     data: bytes,
-    dc_tab: dict[tuple[int, int], int],
-    ac_tab: dict[tuple[int, int], int],
-    n_blocks: int,
+    scan: list[tuple[dict, dict, int, int]],
+    mcux: int,
+    mcuy: int,
     dri: int = 0,
-) -> np.ndarray:
+) -> list[np.ndarray]:
+    """Interleaved-scan entropy decode: per MCU, each component
+    contributes vi×hi blocks in raster order (T.81 A.2.3). Returns one
+    (n_blocks, 64) natural-order array per component, blocks stored in
+    (block_row, block_col) order of the component's own grid."""
     br = _BitReader(data)
-    out = np.zeros((n_blocks, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(n_blocks):
-        if dri and b and b % dri == 0:
-            br.sync_restart()
-            prev_dc = 0
-        zz = np.zeros(64, dtype=np.int64)
-        size = _read_symbol(br, dc_tab)
-        diff = _extend(br.read(size), size) if size else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_symbol(br, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = _extend(br.read(size), size)
-            k += 1
-        out[b, ZIGZAG] = zz
+    out = [
+        np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64)
+        for _, _, hi, vi in scan
+    ]
+    prev = [0] * len(scan)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.sync_restart()
+                prev = [0] * len(scan)
+            for ci, (dc_tab, ac_tab, hi, vi) in enumerate(scan):
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = _decode_one_block(br, dc_tab, ac_tab, prev[ci])
+                        prev[ci] = int(zz[0])
+                        b = (my * vi + v) * (mcux * hi) + (mx * hi + u)
+                        out[ci][b, ZIGZAG] = zz
+            mcu_i += 1
     return out

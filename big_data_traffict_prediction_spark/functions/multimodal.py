@@ -16,13 +16,15 @@ this module writes (pure numpy, no external codecs):
 - video: ``RAWV`` (magic + ``<HHI`` w/h/frame-count + raw grayscale
   frames) — per-frame decode, mean-frame thumbnail.
 
-Baseline grayscale **JPEG** is also real, via the from-spec pure-numpy
-codec in ``functions/jpeg.py`` (ITU-T T.81, standard Annex-K tables;
-decodes any single-component baseline JPEG, not just our own output),
+Baseline **JPEG** is also real — grayscale AND 3-component YCbCr color
+(4:4:4 / 4:2:0, collapsing to the Y/luma plane on decode) — via the
+from-spec pure-numpy codec in ``functions/jpeg.py`` (ITU-T T.81,
+standard Annex-K tables; decodes any 1- or 3-component interleaved
+baseline JPEG, not just our own output),
 and so is **PNG** (``functions/png.py`` — stdlib zlib DEFLATE + real
 chunk/CRC/filter handling; decodes 8-bit grey/RGB/RGBA from any
 producer, collapsing color to Rec.601 luma). Formats still without a
-decoder (MP3/H.264, color/progressive JPEG, palette/interlaced PNG)
+decoder (MP3/H.264, progressive/CMYK JPEG, palette/interlaced PNG)
 raise ``NotImplementedError``, so the gate stays honest instead of
 faking them.
 
@@ -159,6 +161,14 @@ def _encode_jpeg(raw: bytes, w: int, h: int) -> bytes:
     return jpeg.encode_gray(_tile(raw, w * h).reshape(h, w))
 
 
+def _encode_jpeg_color(raw: bytes, w: int, h: int) -> bytes:
+    """Real baseline COLOR (YCbCr 4:2:0) JPEG: payload bytes tiled
+    across all three RGB channels (functions/jpeg.py encode_color)."""
+    from . import jpeg
+
+    return jpeg.encode_color(_tile(raw, w * h * 3).reshape(h, w, 3))
+
+
 def _encode_png(raw: bytes, w: int, h: int) -> bytes:
     """Real (lossless) PNG of the tiled payload grid (functions/png.py)."""
     from . import png
@@ -174,10 +184,16 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     data. ``image_codec="jpeg"`` routes images through the from-spec
     baseline JPEG encoder (lossy — feature invariants, not byte
     equality, are what survives the round trip); ``"png"`` through the
-    lossless zlib-backed PNG writer; ``"mixed"`` cycles pgm/jpeg/png
-    deterministically by media_id so one fixture exercises every
-    decoder."""
-    codecs = {"pgm": _encode_pgm, "jpeg": _encode_jpeg, "png": _encode_png}
+    lossless zlib-backed PNG writer; ``"jpeg_color"`` through the
+    color (YCbCr 4:2:0) encoder; ``"mixed"`` cycles
+    pgm/jpeg/png/jpeg_color deterministically by media_id so one
+    fixture exercises every decoder, including the color→luma path."""
+    codecs = {
+        "pgm": _encode_pgm,
+        "jpeg": _encode_jpeg,
+        "png": _encode_png,
+        "jpeg_color": _encode_jpeg_color,
+    }
     mix = list(codecs.values())
     # Validate on the DRIVER: a typo'd codec must fail before the job
     # launches, not as a KeyError from an executor mid-scan.
@@ -189,7 +205,7 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
 
     def pick(media_id: int):
         if image_codec == "mixed":
-            return mix[(int(media_id) // 3) % 3]
+            return mix[(int(media_id) // 3) % len(mix)]
         return codecs[image_codec]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

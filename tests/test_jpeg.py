@@ -80,11 +80,11 @@ def test_quant_table_quality_scaling():
 def test_unsupported_streams_gated_not_faked():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_gray(img))
-    # fake a 3-component SOF0 → must raise, not silently decode
+    # fake a 4-component (CMYK-style) SOF0 → must raise, not fake
     sof = bytes(data).index(b"\xff\xc0")
-    color = bytes(data[: sof + 9]) + b"\x03" + bytes(data[sof + 10 :])
+    cmyk = bytes(data[: sof + 9]) + b"\x04" + bytes(data[sof + 10 :])
     with pytest.raises(NotImplementedError):
-        decode_gray(color)
+        decode_gray(cmyk)
     # progressive marker (SOF2) → gated
     prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(NotImplementedError):
@@ -223,3 +223,107 @@ def test_fill_bytes_before_markers_tolerated():
     padded = bytes(out)
     assert len(padded) > len(data)
     assert (decode_gray(padded) == plain).all()
+
+
+# ------------------------------------------------------------- color
+
+
+def _gradient_rgb(h: int = 33, w: int = 46) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_color_structure_and_round_trip_bounds():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rgb = _gradient_rgb()
+    for ss, bound in (("4:4:4", 6), ("4:2:0", 12)):
+        data = encode_color(rgb, 90, subsampling=ss)
+        # structure: SOI, APP0, two DQT, SOF0, four DHT, SOS, EOI
+        markers = _walk_markers(data)
+        assert markers.count(0xDB) == 2, "luma + chroma quant tables"
+        assert markers.count(0xC4) == 4, "DC/AC × luma/chroma Huffman"
+        out = decode_rgb(data)
+        assert out.shape == rgb.shape
+        err = np.abs(out.astype(int) - rgb.astype(int)).max()
+        assert err <= bound, f"{ss}: max channel error {err} > {bound}"
+
+
+def test_color_luma_plane_matches_rec601():
+    """decode_gray on a color stream returns the Y plane — within
+    rounding of the Rec.601 luma of the source (luma is NOT chroma
+    subsampled, so 4:2:0 must not degrade it)."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        encode_color,
+    )
+
+    rgb = _gradient_rgb()
+    ref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for ss in ("4:4:4", "4:2:0"):
+        y = decode_gray(encode_color(rgb, 90, subsampling=ss))
+        assert y.shape == ref.shape
+        assert np.abs(y.astype(float) - ref).max() <= 3.0
+
+
+def test_color_solid_blocks_exact():
+    """A solid-color 16×16 (one full 4:2:0 MCU) survives the round
+    trip exactly: DC-only blocks, quantization error ~0 after clip."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255), (128, 128, 128)]:
+        img = np.full((16, 16, 3), color, np.uint8)
+        out = decode_rgb(encode_color(img, 95, subsampling="4:2:0"))
+        assert np.abs(out.astype(int) - np.array(color)).max() <= 2, color
+
+
+def test_color_restart_markers_do_not_change_pixels():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rgb = _gradient_rgb(40, 56)
+    plain = decode_rgb(encode_color(rgb, 85, subsampling="4:2:0"))
+    for dri in (1, 2, 5):
+        data = encode_color(rgb, 85, subsampling="4:2:0", restart_interval=dri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert (decode_rgb(data) == plain).all(), f"dri={dri} diverged"
+
+
+def test_decode_rgb_on_grayscale_stream_replicates():
+    from big_data_traffict_prediction_spark.functions.jpeg import decode_rgb
+
+    img = (np.arange(24 * 17).reshape(24, 17) % 251).astype(np.uint8)
+    out = decode_rgb(encode_gray(img, 90))
+    assert out.shape == (24, 17, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 1] == out[:, :, 2]).all()
+    assert (out[:, :, 0] == decode_gray(encode_gray(img, 90))).all()
+
+
+def test_color_odd_dimensions_and_noise_bounded():
+    """Ragged (non-MCU-multiple) sizes crop correctly, and even a
+    worst-case noise image stays within the coarse lossy envelope."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(9, 10), (17, 31), (8, 8), (23, 16)]:
+        noise = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_rgb(encode_color(noise, 95, subsampling="4:4:4"))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(float) - noise.astype(float)).mean() < 16.0

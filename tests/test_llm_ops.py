@@ -96,11 +96,21 @@ def test_multimodal_decode_values(spark, sf_dir):
         if kind == "image":
             assert (r.width, r.height) == (w, h)
             assert r.n_samples == w * h
-            exact_mean = tiled(w * h).astype(float).mean()
-            if (r.media_id // 3) % 3 == 1:  # jpeg leg of the codec mix: lossy
-                assert abs(r.level_mean - exact_mean) < 8.0
-            else:  # pgm / png legs are lossless
-                assert abs(r.level_mean - exact_mean) < 1e-9
+            leg = (r.media_id // 3) % 4  # pgm / jpeg / png / jpeg_color
+            if leg == 3:
+                # color jpeg: payload tiles all 3 RGB channels; decode
+                # returns the Y plane → compare against Rec.601 luma
+                rgbt = tiled(w * h * 3).reshape(h, w, 3).astype(float)
+                exact_mean = (
+                    0.299 * rgbt[..., 0] + 0.587 * rgbt[..., 1] + 0.114 * rgbt[..., 2]
+                ).mean()
+                assert abs(r.level_mean - exact_mean) < 8.0  # lossy
+            else:
+                exact_mean = tiled(w * h).astype(float).mean()
+                if leg == 1:  # grayscale jpeg: lossy
+                    assert abs(r.level_mean - exact_mean) < 8.0
+                else:  # pgm / png legs are lossless
+                    assert abs(r.level_mean - exact_mean) < 1e-9
         elif kind == "audio":
             assert r.n_samples == len(raw)
             expect = (tiled(len(raw)).astype(np.int16) - 128) * 256
