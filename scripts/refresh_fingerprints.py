@@ -13,11 +13,26 @@ correctness sample.
 """
 
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from big_data_traffict_prediction_spark import registry  # noqa: E402
+
+# The refresh rule assumes the working tree equals the code the last
+# driver draw ran against — true only at round start, before edits. A
+# dirty tree means edits already happened; re-baselining now would
+# vouch for code no draw has seen. Require --force to override.
+dirty = subprocess.run(
+    ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+).stdout.strip()
+if dirty and "--force" not in sys.argv:
+    sys.exit(
+        "refusing to refresh: working tree is dirty (run at round START, "
+        "before editing queries; --force to override)\n" + dirty
+    )
 
 snap = registry.refresh_fingerprints()
 changed = sum(1 for v in snap.values() if v.get("round", 0) == 0)
