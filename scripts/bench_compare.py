@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Compare a fresh BENCH_DETAIL.json against the committed record.
+
+Usage:  python scripts/bench_compare.py [ref_git_rev]
+
+Diffs the working-tree BENCH_DETAIL.json (written by `python bench.py`)
+against the version committed at ``ref_git_rev`` (default HEAD) and
+prints per-query deltas, flagging anything slower by more than the
+noise threshold. Median-of-3 numbers on an idle host are stable to
+roughly ±15%; a >50% jump on a single query is a real plan regression
+until proven otherwise (check `.explain("formatted")` before blaming
+the host — see SCALE.md). Exit code 1 when any query trips the flag
+threshold, so a round script can gate on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+FLAG_RATIO = 1.5  # new/old above this → flagged
+NOISE_FLOOR = 0.2  # seconds; sub-floor queries are all noise
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    rev = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    cur_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(cur_path) as fh:
+        cur = json.load(fh)
+    ref_raw = subprocess.run(
+        ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if ref_raw.returncode != 0:
+        sys.exit(f"no BENCH_DETAIL.json at {rev}: {ref_raw.stderr.strip()}")
+    ref = json.loads(ref_raw.stdout)
+
+    flagged = []
+    for key in ("queries_min", "queries_extended"):
+        old = ref.get(key, {})
+        new = cur.get(key, {})
+        for name in sorted(set(old) & set(new)):
+            o, n = old[name], new[name]
+            if max(o, n) < NOISE_FLOOR:
+                continue
+            ratio = n / o if o else float("inf")
+            mark = ""
+            if ratio > FLAG_RATIO:
+                mark = "  <-- REGRESSION?"
+                flagged.append(name)
+            if ratio > FLAG_RATIO or ratio < 1 / FLAG_RATIO:
+                print(f"{key[8:]:>9} {name:35s} {o:7.3f} -> {n:7.3f}  ({ratio:.2f}x){mark}")
+        gone = sorted(set(old) - set(new))
+        added = sorted(set(new) - set(old))
+        if gone:
+            print(f"{key}: dropped {gone}")
+        if added:
+            print(f"{key}: added {added}")
+
+    ot, nt = ref.get("value_min"), cur.get("value_min")
+    if ot and nt:
+        print(f"headline min total: {ot:.3f} -> {nt:.3f} ({nt / ot:.2f}x)")
+    if flagged:
+        print(f"\n{len(flagged)} flagged: {flagged}")
+        return 1
+    print("no regressions flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
