@@ -97,6 +97,40 @@ def read_cameras_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_cameras_xml(spark: SparkSession, path: str) -> DataFrame:
+    """S7 twin over Spark 4's NATIVE XML datasource: the same
+    camera-config payload as an XML feed (`<cameras><camera>...`), with
+    the identical edge normalization — lat/lng read as string (XML
+    attributes/elements are inherently text, so the mixed-type drift
+    the JSON config exhibits is the XML default) and cast once here.
+    Same output schema as ``read_cameras_json``, so downstream
+    operators are source-agnostic."""
+    pin_session_conf(spark)
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "camera")
+        .schema(_CAMERAS_RAW)
+        .load(path)
+    )
+    return raw.select(
+        "id",
+        "name",
+        "url",
+        "active",
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lng").cast("double").alias("lng"),
+        "mirror_id",
+    )
+
+
+def write_cameras_xml(df: DataFrame, path: str) -> None:
+    """Config export leg of the XML twin (rootTag/rowTag mirroring the
+    reader; one file — configs are driver-scale, not data-scale)."""
+    df.coalesce(1).write.mode("overwrite").format("xml").option(
+        "rootTag", "cameras"
+    ).option("rowTag", "camera").save(path)
+
+
 def cameras_schema() -> T.StructType:
     return CAMERAS
 

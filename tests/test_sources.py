@@ -63,6 +63,44 @@ def test_cameras_json_normalizes_mixed_lat_lng(spark, tmp_path):
     assert abs(got["b"] + 6.954) < 1e-9
 
 
+def test_cameras_xml_round_trip_matches_json_source(spark, tmp_path):
+    """S7 XML twin (Spark 4 native XML datasource): a hand-written XML
+    config parses with the same normalization as the JSON source, and
+    the write→read round trip is lossless — downstream operators are
+    source-agnostic."""
+    xml = """<?xml version="1.0"?>
+<cameras>
+  <camera><id>a</id><name>Cam A</name><url>u</url><active>true</active>
+    <lat>-6.9667</lat><lng>107.6073</lng></camera>
+  <camera><id>b</id><name>Cam B</name><url>u</url><active>false</active>
+    <lat>-6.954</lat><lng>107.61</lng><mirror_id>a</mirror_id></camera>
+</cameras>"""
+    p = tmp_path / "cfg.xml"
+    p.write_text(xml)
+    df = lake.read_cameras_xml(spark, str(p))
+    assert dict(df.dtypes)["lat"] == "double"
+    got = {r["id"]: (r["lat"], r["active"], r["mirror_id"]) for r in df.collect()}
+    assert abs(got["a"][0] + 6.9667) < 1e-9 and got["a"][1] is True
+    assert got["b"] == (-6.954, False, "a")
+
+    out = str(tmp_path / "export")
+    lake.write_cameras_xml(df, out)
+    back = lake.read_cameras_xml(spark, out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # parity with the JSON source on identical content
+    rows = [
+        {"id": "a", "name": "Cam A", "url": "u", "active": True,
+         "lat": -6.9667, "lng": 107.6073, "mirror_id": None},
+        {"id": "b", "name": "Cam B", "url": "u", "active": False,
+         "lat": "-6.954", "lng": "107.61", "mirror_id": "a"},
+    ]
+    j = tmp_path / "cfg.json"
+    j.write_text("\n".join(json.dumps(r) for r in rows))
+    jdf = lake.read_cameras_json(spark, str(j))
+    assert {tuple(r) for r in jdf.collect()} == {tuple(r) for r in df.collect()}
+
+
 def test_migrate_json_history(spark, tmp_path):
     rows = [
         {"camera_id": "1", "ts": 1706659200.5, "count": 5, "cars": 3,
