@@ -545,7 +545,7 @@ def _decode_baseline(data: bytes) -> tuple[list[np.ndarray], int, int]:
     Y/Cb/Cr in SOF order, chroma upsampled by replication) plus h, w."""
     try:
         return _decode_impl(data)
-    except (KeyError, IndexError, struct.error) as exc:
+    except (KeyError, IndexError, struct.error, OverflowError) as exc:
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
 
@@ -675,6 +675,12 @@ def _entropy_end(data: bytes, start: int) -> int:
 def _decode_one_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int) -> np.ndarray:
     zz = np.zeros(64, dtype=np.int64)
     size = _read_symbol(br, dc_tab)
+    # T.81 F.1.2.1: DC size category ≤ 11 for 8-bit precision. A
+    # corrupted DHT can declare any byte as a "size" symbol; reading
+    # that many amplitude bits would build an unbounded int (found by
+    # the byte-flip fuzz test as an int64 OverflowError).
+    if size > 11:
+        raise ValueError(f"invalid DC size category {size}")
     diff = _extend(br.read(size), size) if size else 0
     zz[0] = prev_dc + diff
     k = 1

@@ -327,3 +327,34 @@ def test_color_odd_dimensions_and_noise_bounded():
         out = decode_rgb(encode_color(noise, 95, subsampling="4:4:4"))
         assert out.shape == (h, w, 3)
         assert np.abs(out.astype(float) - noise.astype(float)).mean() < 16.0
+
+
+def test_corrupt_streams_raise_classifiable_errors():
+    """Error classification contract for the decode UDF: ANY byte
+    corruption of a (gray or color) stream either still decodes, or
+    raises ValueError / NotImplementedError — never a raw KeyError /
+    IndexError / struct.error escaping parse internals. Deterministic
+    sweep: flip one byte at a stride across the whole stream."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    gray = encode_gray((np.arange(256) % 256).astype(np.uint8).reshape(16, 16), 80)
+    color = encode_color(_gradient_rgb(16, 16), 80, subsampling="4:2:0")
+    for data, dec in ((gray, decode_gray), (color, decode_rgb)):
+        for pos in range(2, len(data) - 2, 7):
+            mutated = bytearray(data)
+            mutated[pos] ^= 0x5A
+            try:
+                out = dec(bytes(mutated))
+                assert out.dtype == np.uint8  # decoded despite the flip: fine
+            except (ValueError, NotImplementedError):
+                pass  # classifiable — the decode UDF reports per-row
+    # truncations, both kinds
+    for data, dec in ((gray, decode_gray), (color, decode_rgb)):
+        for cut in (3, len(data) // 3, len(data) - 3):
+            try:
+                dec(bytes(data[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
