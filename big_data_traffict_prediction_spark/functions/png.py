@@ -98,7 +98,18 @@ def decode_gray(data: bytes) -> np.ndarray:
     Greyscale passes through; RGB/RGBA collapse via Rec.601
     (0.299 R + 0.587 G + 0.114 B); alpha is ignored. Palette,
     interlace, and 1/2/4/16-bit depths raise ``NotImplementedError``.
+    Structurally malformed streams surface as ``ValueError`` (same
+    classification contract as jpeg.decode_gray: never a raw
+    struct/zlib/index error from parse internals, so the decode UDF
+    can report per-row).
     """
+    try:
+        return _decode_gray_impl(data)
+    except (KeyError, IndexError, struct.error, OverflowError, zlib.error) as exc:
+        raise ValueError(f"malformed PNG stream: {exc!r}") from exc
+
+
+def _decode_gray_impl(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

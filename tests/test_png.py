@@ -134,3 +134,31 @@ def test_spark_pipeline_decodes_png_images(spark, sf_dir):
         gr = pgm_rows[mid]
         assert pr.decoded_ok and (pr.width, pr.height) == (gr.width, gr.height)
         assert pr.level_mean == gr.level_mean and pr.feature == gr.feature
+
+
+def test_corrupt_png_streams_raise_classifiable_errors():
+    """Same classification contract as the JPEG codec: any single-byte
+    flip or truncation either decodes or raises ValueError /
+    NotImplementedError — never a raw struct/zlib/index error (found:
+    a flipped chunk-length field asked struct for a 1.5 GB buffer)."""
+    import numpy as np
+
+    from big_data_traffict_prediction_spark.functions.png import (
+        decode_gray,
+        encode_gray,
+    )
+
+    data = encode_gray((np.arange(256) % 251).astype(np.uint8).reshape(16, 16))
+    for pos in range(2, len(data) - 2, 3):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0x5A
+        try:
+            out = decode_gray(bytes(mutated))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(data), 5):
+        try:
+            decode_gray(bytes(data[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
