@@ -274,7 +274,17 @@ def _decode_payload(payload: bytes, kind: str) -> dict:
     """REAL decode kernel for the containers this module writes (pure
     numpy; PNG/JPEG via the from-spec codecs in this package). Unknown
     magics raise — general codec libraries are not in this container
-    and faking them would be dishonest."""
+    and faking them would be dishonest. Malformed containers raise
+    ``ValueError`` (the same classification contract as the png/jpeg
+    codecs — never a raw struct/index error), so ``decode_features``'s
+    ``on_error="mark"`` mode can catch per-row."""
+    try:
+        return _decode_payload_impl(payload, kind)
+    except (KeyError, IndexError, struct.error, OverflowError, AssertionError) as exc:
+        raise ValueError(f"malformed {kind} container: {exc!r}") from exc
+
+
+def _decode_payload_impl(payload: bytes, kind: str) -> dict:
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         from . import png
 
@@ -296,7 +306,8 @@ def _decode_payload(payload: bytes, kind: str) -> dict:
         (fmt_len,) = struct.unpack_from("<I", payload, 16)
         audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, 20)
         data_off = 20 + fmt_len
-        assert payload[data_off : data_off + 4] == b"data"
+        if payload[data_off : data_off + 4] != b"data":
+            raise ValueError("WAV data chunk not found after fmt")
         (data_len,) = struct.unpack_from("<I", payload, data_off + 4)
         samples = np.frombuffer(
             payload, dtype="<i2", offset=data_off + 8, count=data_len // 2
@@ -341,16 +352,47 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+_DECODE_ERROR_ROW = {
+    "decoded_ok": False,
+    "width": None,
+    "height": None,
+    "n_frames": None,
+    "n_samples": None,
+    "level_mean": None,
+    "level_std": None,
+    "feature": None,
+}
+
+
+def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """mapInPandas decode/feature-extract: Arrow batches in, one
     feature row per media out. This is the one legitimately-Python
     operator in the engine (codec/model kernels), batched exactly the
-    way a real GPU/codec kernel would want."""
+    way a real GPU/codec kernel would want.
+
+    ``on_error`` is the 100 TB-crawl knob: ``"raise"`` (default —
+    fixtures are well-formed, a failure is a bug and must fail the
+    job) or ``"mark"`` — a payload whose decode raises ValueError /
+    NotImplementedError yields its row with ``decoded_ok=False`` and
+    null stats instead of killing the task, because at real corpus
+    scale corrupt and exotic blobs are data, not exceptions. Only
+    classifiable decode errors are absorbed; genuine bugs still
+    propagate."""
+    if on_error not in ("raise", "mark"):
+        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
+
+    def decode_one(payload: bytes, kind: str) -> dict:
+        if on_error == "raise":
+            return _decode_payload(payload, kind)
+        try:
+            return _decode_payload(payload, kind)
+        except (ValueError, NotImplementedError):
+            return _DECODE_ERROR_ROW
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _decode_payload(bytes(p), k)
+                decode_one(bytes(p), k)
                 for p, k in zip(pdf["payload"], pdf["kind"], strict=True)
             ]
             out = pd.DataFrame(

@@ -318,3 +318,44 @@ def test_connected_components_converges_on_deep_path_graph(spark):
         1000: 1000, 1001: 1000, 1002: 1000
     }
     assert {k: v for k, v in got.items() if k >= 2000} == {2000: 2000, 2001: 2000}
+
+
+def test_decode_features_on_error_mark_survives_corrupt_blobs(spark):
+    """The 100 TB-crawl contract: with on_error='mark', corrupt and
+    codec-gated payloads yield decoded_ok=False rows with null stats
+    instead of failing the task; good rows decode normally. Default
+    mode still raises (a corrupt fixture is a bug)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions import jpeg
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        decode_features,
+    )
+
+    import numpy as np
+
+    good = jpeg.encode_gray((np.arange(64) % 251).astype(np.uint8).reshape(8, 8))
+    corrupt = good[:10]  # truncated mid-header
+    gated = good.replace(b"\xff\xc0", b"\xff\xc2")  # progressive → gated
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(corrupt)),
+        (3, "image", bytearray(gated)),
+        (4, "audio", bytearray(b"\x00garbage-not-riff")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    out = {r.media_id: r for r in decode_features(df, on_error="mark").collect()}
+    assert out[1].decoded_ok and out[1].width == 8
+    for mid in (2, 3, 4):
+        r = out[mid]
+        assert r.decoded_ok is False
+        assert r.width is None and r.level_mean is None and r.feature is None
+        assert r.payload_bytes > 0  # metadata still flows
+
+    with pytest.raises(Exception):  # default: fail fast
+        decode_features(df).collect()
+
+    with pytest.raises(ValueError):
+        decode_features(df, on_error="ignore")
