@@ -116,6 +116,15 @@ def _fingerprint(q: Query) -> str:
     — a green row only vouches for the code it actually ran, so a later
     edit must push the name back into the re-check group even though the
     stored row still says green.
+
+    Scope is deliberately first-order: the hash covers the registered
+    function's own source + oracle text, NOT helpers it calls. Hashing
+    whole modules (or the import graph) would flood the re-check group
+    on any shared-helper or docstring edit, starving the stalest-green
+    rotation that is this ordering's main job. The gap is covered
+    procedurally instead: every build round runs the full local driver
+    simulation (all queries vs their DuckDB oracles at sf0.01), which
+    validates helper changes transitively regardless of steering.
     """
     import hashlib
     import inspect
