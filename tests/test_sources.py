@@ -221,3 +221,45 @@ def test_binaryfile_media_ingest_to_features(spark, tmp_path):
     means = sorted(r.level_mean for r in img_rows)
     assert abs(means[-1] - means[0]) < 8.0
     assert rows["audio"].decoded_ok
+
+
+def test_media_drop_with_corrupt_files_survives_in_mark_mode(spark, tmp_path):
+    """Crawl-scale ingestion contract end to end: a drop directory with
+    truncated / codec-gated files flows binaryFile → decode_features
+    (on_error='mark') without failing the job; good files decode, bad
+    ones surface as decoded_ok=False rows. Includes a COLOR jpeg so
+    the 3-component path is exercised from real files on disk."""
+    import numpy as np
+
+    from big_data_traffict_prediction_spark.functions import jpeg
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        decode_features,
+    )
+    from big_data_traffict_prediction_spark.sources.lake import read_media_files
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    img = ((np.arange(24 * 16) * 7) % 256).astype(np.uint8).reshape(24, 16)
+    rgb = np.stack([img, img[::-1], img], axis=-1).astype(np.uint8)
+    good_gray = jpeg.encode_gray(img, 85)
+    (d / "ok_gray.jpg").write_bytes(good_gray)
+    (d / "ok_color.jpg").write_bytes(jpeg.encode_color(rgb, 85))
+    (d / "trunc.jpg").write_bytes(good_gray[: len(good_gray) // 2])
+    # progressive marker: decodes nowhere here — the gated-format case
+    (d / "progressive.jpg").write_bytes(
+        good_gray.replace(b"\xff\xc0", b"\xff\xc2")
+    )
+
+    out = decode_features(
+        read_media_files(spark, str(d)).select(
+            F.monotonically_increasing_id().alias("media_id"), "kind", "payload"
+        ),
+        on_error="mark",
+    ).collect()
+    ok = [r for r in out if r.decoded_ok]
+    bad = [r for r in out if not r.decoded_ok]
+    assert len(ok) == 2 and len(bad) == 2, out
+    assert all((r.width, r.height) == (16, 24) for r in ok)
+    assert all(r.level_mean is None and r.feature is None for r in bad)
+    assert all(r.payload_bytes > 0 for r in bad)  # metadata still flows
