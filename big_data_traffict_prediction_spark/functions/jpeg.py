@@ -622,6 +622,14 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) baseline JPEG"
                 )
+            if ns == 1:
+                # T.81 A.2.2: a scan with Ns=1 is NON-interleaved — one
+                # data unit per MCU in the component's own raster order,
+                # sampling factors notwithstanding. Treating declared
+                # 2x2 factors as interleaved MCUs mis-laid blocks of
+                # spec-valid grayscale streams (caught in review; the
+                # pre-color decoder ignored sampling factors here).
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(hi for _, hi, _, _ in comps)
             vmax = max(vi for _, _, vi, _ in comps)
             if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):

@@ -391,15 +391,21 @@ def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null payloads (failed fetch rows in a crawl) decode as
+            # empty bytes → the unknown-magic gate classifies them, so
+            # mark mode absorbs them instead of dying on bytes(None)
             meta = [
-                decode_one(bytes(p), k)
+                decode_one(bytes(p) if p is not None else b"", k)
                 for p, k in zip(pdf["payload"], pdf["kind"], strict=True)
             ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "payload_bytes": [
+                        len(bytes(p)) if p is not None else 0
+                        for p in pdf["payload"]
+                    ],
                 }
             )
             for col in (

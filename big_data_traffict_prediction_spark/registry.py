@@ -101,6 +101,7 @@ def _driver_latest_rows() -> dict[str, tuple[int, dict]]:
 
 _FINGERPRINT_FILE = "_fingerprints.json"
 _FP_SNAPSHOT_CACHE: dict[str, dict] | None = None
+_FP_VALUE_CACHE: dict[str, str] = {}  # name -> computed fingerprint
 
 
 def _fingerprint_path() -> str:
@@ -129,12 +130,20 @@ def _fingerprint(q: Query) -> str:
     import hashlib
     import inspect
 
+    cached = _FP_VALUE_CACHE.get(q.name)
+    if cached is not None:
+        return cached
     try:
         src = inspect.getsource(q.fn)
     except (OSError, TypeError):
-        src = repr(q.fn)
+        # stable fallback for source-less deployments (pyc/zipimport):
+        # repr(fn) would embed the process memory address and flood
+        # every name into the re-check group on each run
+        src = f"{q.fn.__module__}.{q.fn.__qualname__}"
     payload = (q.oracle or "") + "\x00" + src
-    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+    fp = hashlib.sha256(payload.encode()).hexdigest()[:16]
+    _FP_VALUE_CACHE[q.name] = fp
+    return fp
 
 
 def _fingerprint_snapshot() -> dict[str, dict]:

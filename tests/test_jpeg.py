@@ -358,3 +358,18 @@ def test_corrupt_streams_raise_classifiable_errors():
                 dec(bytes(data[:cut]))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: an Ns=1 scan is NON-interleaved — one data unit per
+    MCU in raster order, whatever sampling factors the SOF declares.
+    A spec-valid grayscale stream with sampling byte 0x22 must decode
+    identically to its 0x11 twin (review-found regression: the
+    interleaved-MCU layout scrambled blocks / over-read the stream)."""
+    for h, w in [(24, 8), (32, 32), (16, 24)]:
+        img = ((np.arange(h * w) * 11) % 256).astype(np.uint8).reshape(h, w)
+        data = encode_gray(img, 90)
+        sof = data.index(b"\xff\xc0")
+        assert data[sof + 11] == 0x11  # sampling byte location sanity
+        patched = data[: sof + 11] + b"\x22" + data[sof + 12 :]
+        assert (decode_gray(patched) == decode_gray(data)).all(), (h, w)

@@ -343,11 +343,13 @@ def test_decode_features_on_error_mark_survives_corrupt_blobs(spark):
         (2, "image", bytearray(corrupt)),
         (3, "image", bytearray(gated)),
         (4, "audio", bytearray(b"\x00garbage-not-riff")),
+        (5, "image", None),  # failed-fetch row: NULL payload
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
 
     out = {r.media_id: r for r in decode_features(df, on_error="mark").collect()}
     assert out[1].decoded_ok and out[1].width == 8
+    assert out[5].decoded_ok is False and out[5].payload_bytes == 0
     for mid in (2, 3, 4):
         r = out[mid]
         assert r.decoded_ok is False
