@@ -361,3 +361,56 @@ def test_decode_features_on_error_mark_survives_corrupt_blobs(spark):
 
     with pytest.raises(ValueError):
         decode_features(df, on_error="ignore")
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: on seeded random graphs the distributed min-label CC
+    equals an independent driver-side union-find (path compression).
+    Covers mixtures of chains, cliques, stars, and isolated edges that
+    the fixed path-graph test does not."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        connected_components,
+    )
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 120
+        edges = set()
+        # random chains
+        chain = rng.sample(range(n), 30)
+        edges |= {tuple(sorted(p)) for p in zip(chain, chain[1:])}
+        # a clique
+        cl = rng.sample(range(n, n + 20), 8)
+        edges |= {tuple(sorted((a, b))) for a in cl for b in cl if a < b}
+        # stars + random edges
+        hub = n + 50
+        edges |= {(hub, hub + i) for i in range(1, 12)}
+        edges |= {
+            tuple(sorted(rng.sample(range(2 * n), 2))) for _ in range(40)
+        }
+        edges = [(a, b) for a, b in edges if a != b]
+
+        e = spark.createDataFrame(edges, "d1 long, d2 long")
+        sym = e.union(e.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        got = {r.doc_id: r.label for r in connected_components(sym).collect()}
+        assert got == union_find_labels(edges), f"trial {trial} diverged"
