@@ -1,0 +1,61 @@
+"""Pin scripts/bench_compare.py's flag logic (pure Python, no Spark).
+
+The script gates future rounds on per-query bench regressions, so its
+thresholds and exit semantics must not drift silently.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(tmp_path, monkeypatch, ref: dict, cur: dict):
+    """Execute bench_compare's main() against a throwaway git repo."""
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(ref))
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "ref"],
+        cwd=repo,
+        check=True,
+    )
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(cur))
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(REPO, "scripts", "bench_compare.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "REPO", str(repo))
+    monkeypatch.setattr(mod.sys, "argv", ["bench_compare.py", "HEAD"])
+    return mod.main()
+
+
+def test_regression_flagged_and_exit_code(tmp_path, monkeypatch):
+    ref = {"queries_min": {"q_a": 1.0, "q_b": 1.0}, "queries_extended": {},
+           "value_min": 2.0}
+    cur = {"queries_min": {"q_a": 1.0, "q_b": 2.0}, "queries_extended": {},
+           "value_min": 3.0}
+    assert _run(tmp_path, monkeypatch, ref, cur) == 1, ">1.5x must flag"
+
+
+def test_noise_floor_and_improvements_not_flagged(tmp_path, monkeypatch):
+    ref = {
+        "queries_min": {"q_fast": 0.05, "q_slow": 2.0},
+        "queries_extended": {"q_x": 1.0},
+        "value_min": 2.05,
+    }
+    cur = {
+        "queries_min": {"q_fast": 0.15, "q_slow": 1.0},  # sub-floor 3x + a win
+        "queries_extended": {"q_x": 1.4},  # 1.4x < 1.5x threshold
+        "value_min": 1.15,
+    }
+    assert _run(tmp_path, monkeypatch, ref, cur) == 0

@@ -373,3 +373,52 @@ def test_single_component_scan_ignores_sampling_factors():
         assert data[sof + 11] == 0x11  # sampling byte location sanity
         patched = data[: sof + 11] + b"\x22" + data[sof + 12 :]
         assert (decode_gray(patched) == decode_gray(data)).all(), (h, w)
+
+
+def test_color_round_trip_property_random():
+    """Hypothesis-style sweep without fixture cost: random shapes,
+    contents, subsampling modes, and restart intervals all round-trip
+    within the lossy envelope and preserve shape/dtype. Uses the
+    hypothesis library for shrinkable case generation."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        ss=st.sampled_from(["4:4:4", "4:2:0"]),
+        dri=st.sampled_from([0, 1, 3]),
+        flat=st.booleans(),
+    )
+    def check(h, w, seed, ss, dri, flat):
+        rng = np.random.default_rng(seed)
+        if flat:
+            rgb = np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+        else:
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_rgb(encode_color(rgb, 90, subsampling=ss, restart_interval=dri))
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        if flat:
+            # DC-only blocks: near-exact regardless of subsampling
+            assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+        elif ss == "4:4:4":
+            # noise is JPEG's worst case; assert the coarse DCT envelope
+            assert np.abs(out.astype(float) - rgb.astype(float)).mean() < 24.0
+        else:
+            # 4:2:0 legitimately averages chroma across 2x2 pixels (a
+            # 1x2 saturated-noise image can shift single channels by
+            # ~100 — hypothesis found that), but LUMA is never
+            # subsampled, so its envelope must hold regardless of size
+            def luma(a):
+                f = a.astype(float)
+                return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+            assert np.abs(luma(out) - luma(rgb)).mean() < 24.0
+
+    check()
