@@ -154,6 +154,67 @@ EXTENDED = [
 ]
 
 
+def _is_degraded_run(new_detail: dict, committed: dict, tol: float = 1.10) -> bool:
+    """True when ``new_detail`` looks like a loaded-host run vs the
+    committed record: its min-of-sweeps total over the SHARED headline
+    queries exceeds the committed total by more than ``tol``.
+
+    Compared over the key intersection so adding/removing a headline
+    query between rounds doesn't poison the comparison. Conservative on
+    missing data: un-comparable inputs are never called degraded.
+    """
+    new_q = new_detail.get("queries_min") or {}
+    old_q = committed.get("queries_min") or {}
+    shared = set(new_q) & set(old_q)
+    if not shared:
+        return False
+    new_total = sum(new_q[k] for k in shared)
+    old_total = sum(old_q[k] for k in shared)
+    return old_total > 0 and new_total > old_total * tol
+
+
+def _committed_detail(repo_dir: str) -> dict | None:
+    """The BENCH_DETAIL.json committed at HEAD, or None."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=repo_dir,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None
+    try:
+        data = json.loads(out.stdout)
+    except ValueError:
+        return None
+    return data if isinstance(data, dict) else None
+
+
+def resolve_detail_path(detail: dict, repo_dir: str) -> str:
+    """Where to write this run's detail artifact.
+
+    A loaded-host sweep (>10% slower than the committed record over the
+    shared headline queries) must NOT clobber the committed idle-host
+    record — it lands in ``BENCH_DETAIL.loaded.json`` instead, keeping
+    the canonical file a monotone best-known-idle record.
+    ``SPARK_BENCH_FORCE_DETAIL=1`` bypasses the guard (e.g. after an
+    intentional headline-set change that makes totals incomparable).
+    """
+    canonical = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    if os.environ.get("SPARK_BENCH_FORCE_DETAIL") == "1":
+        return canonical
+    committed = _committed_detail(repo_dir)
+    if committed is not None and _is_degraded_run(detail, committed):
+        return os.path.join(repo_dir, "BENCH_DETAIL.loaded.json")
+    return canonical
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -243,9 +304,14 @@ def main() -> None:
         "queries_extended": extended,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = resolve_detail_path(detail, repo_dir)
+    if detail_path.endswith(".loaded.json"):
+        print(
+            "bench: >10% slower than committed record — writing "
+            "BENCH_DETAIL.loaded.json, keeping the idle-host record",
+            file=sys.stderr,
+        )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")

@@ -176,6 +176,14 @@ def _encode_png(raw: bytes, w: int, h: int) -> bytes:
     return png.encode_gray(_tile(raw, w * h).reshape(h, w))
 
 
+def _encode_png_palette(raw: bytes, w: int, h: int) -> bytes:
+    """Real (lossless) PALETTE PNG — exercises the PLTE-lookup decode
+    path end-to-end with an identity-gray palette."""
+    from . import png
+
+    return png.encode_palette(_tile(raw, w * h).reshape(h, w))
+
+
 def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     """Ingest-side container encode (Arrow-batched): wraps each raw
     payload in a real PGM/JPEG / WAV / RAWV container per its kind,
@@ -184,15 +192,18 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     data. ``image_codec="jpeg"`` routes images through the from-spec
     baseline JPEG encoder (lossy — feature invariants, not byte
     equality, are what survives the round trip); ``"png"`` through the
-    lossless zlib-backed PNG writer; ``"jpeg_color"`` through the
+    lossless zlib-backed PNG writer; ``"png_palette"`` through the
+    palette (PLTE-lookup) PNG writer; ``"jpeg_color"`` through the
     color (YCbCr 4:2:0) encoder; ``"mixed"`` cycles
-    pgm/jpeg/png/jpeg_color deterministically by media_id so one
-    fixture exercises every decoder, including the color→luma path."""
+    pgm/jpeg/png/jpeg_color/png_palette deterministically by media_id
+    so one fixture exercises every decoder, including the color→luma
+    and palette-lookup paths."""
     codecs = {
         "pgm": _encode_pgm,
         "jpeg": _encode_jpeg,
         "png": _encode_png,
         "jpeg_color": _encode_jpeg_color,
+        "png_palette": _encode_png_palette,
     }
     mix = list(codecs.values())
     # Validate on the DRIVER: a typo'd codec must fail before the job
@@ -428,9 +439,9 @@ def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container encode → REAL decode + feature extract over binary
     payloads via two mapInPandas stages — images cycle through all
-    three real image codecs (PGM / baseline JPEG / PNG) so the decode
-    gate is exercised end-to-end, audio/video stay WAV/RAWV (all pure
-    numpy + stdlib zlib). Python-side by necessity → no SQL oracle;
+    five real image codecs (PGM / baseline JPEG / PNG / color JPEG /
+    palette PNG) so every decode gate is exercised end-to-end,
+    audio/video stay WAV/RAWV (all pure numpy + stdlib zlib). Python-side by necessity → no SQL oracle;
     tests/test_llm_ops.py pins the round-trip values per codec.
 
     The feature vector is serialized to a JSON string in the returned

@@ -5,16 +5,18 @@ provides for real (``zlib``) — so unlike JPEG there is nothing to
 hand-roll beyond the container: chunk framing with CRC-32, scanline
 filters, and pixel layout. This module implements:
 
-- encode: 8-bit grayscale, filter type 0, single IDAT — a fully
-  standard PNG any viewer opens;
-- decode: 8-bit greyscale / truecolor (RGB) / truecolor+alpha /
-  greyscale+alpha, all five scanline filters (None/Sub/Up/Average/
-  Paeth), non-interlaced. Color collapses to luma via the Rec.601
-  weights so downstream features are a single grid.
+- encode: 8-bit grayscale (filter type 0) and 8-bit palette
+  (identity-gray PLTE), single IDAT — fully standard PNGs any viewer
+  opens;
+- decode: greyscale (1/2/4/8-bit) / palette (1/2/4/8-bit, PLTE
+  lookup) / truecolor (RGB) / truecolor+alpha / greyscale+alpha, all
+  five scanline filters (None/Sub/Up/Average/Paeth), non-interlaced.
+  Color collapses to luma via the Rec.601 weights so downstream
+  features are a single grid; sub-byte grayscale expands to 8-bit via
+  the exact 255/(2^d−1) integer factor.
 
-Interlaced (Adam7), palette, and sub-byte depths raise
-``NotImplementedError`` — gated, not faked, same policy as
-``functions/jpeg.py``.
+Interlaced (Adam7) and 16-bit depths raise ``NotImplementedError`` —
+gated, not faked, same policy as ``functions/jpeg.py``.
 """
 
 from __future__ import annotations
@@ -26,8 +28,10 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type -> allowed bit depths (16-bit stays gated everywhere)
+_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -53,9 +57,42 @@ def encode_gray(arr: np.ndarray, compress_level: int = 6) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse the per-scanline filters; returns (h, w*ch) uint8."""
-    stride = w * ch
+def encode_palette(arr: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode a 2-D uint8 array as an 8-bit PALETTE PNG (color type 3).
+
+    The PLTE maps index i -> (i, i, i), so the image renders — and
+    round-trips through decode_gray's Rec.601 collapse — exactly as
+    the grayscale original while still exercising the full palette
+    decode path (PLTE parse + index lookup) of any standards-compliant
+    reader.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("encode_palette expects a non-empty 2-D array")
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(v for i in range(256) for v in (i, i, i))
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = a
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters; returns (h, stride) uint8.
+
+    ``stride`` is the filtered byte count per scanline and ``bpp`` the
+    filter's left-neighbor distance in bytes — per the spec, the bytes
+    per complete pixel rounded UP to one, so sub-byte depths filter
+    with bpp=1 over packed bytes.
+    """
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
@@ -66,22 +103,22 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 1:  # Sub: per-channel prefix sum mod 256
-            # cur[x] = (line[x] + cur[x-ch]) & 0xFF unrolls to a running
-            # sum down each channel column; int64 cumsum is exact, and a
+            # cur[x] = (line[x] + cur[x-bpp]) & 0xFF unrolls to a running
+            # sum down each byte column; int64 cumsum is exact, and a
             # single final mask equals masking every step (mod-add
             # associativity) — no per-byte Python loop.
-            cur = np.cumsum(line.reshape(-1, ch), axis=0, dtype=np.int64).reshape(
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64).reshape(
                 stride
             ) & 0xFF
         elif ftype in (3, 4):  # Average / Paeth need a sequential left scan
             cur = np.zeros(stride, np.int64)
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 if ftype == 3:
                     cur[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
                 else:
                     up = prev[x]
-                    ul = prev[x - ch] if x >= ch else 0
+                    ul = prev[x - bpp] if x >= bpp else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
@@ -92,12 +129,28 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
-def decode_gray(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to a uint8 luma grid.
+def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed bytes -> (h, w) sample values in [0, 2^depth).
 
-    Greyscale passes through; RGB/RGBA collapse via Rec.601
-    (0.299 R + 0.587 G + 0.114 B); alpha is ignored. Palette,
-    interlace, and 1/2/4/16-bit depths raise ``NotImplementedError``.
+    PNG packs sub-byte samples MSB-first within each byte; trailing
+    pad bits at the end of a scanline are dropped by the [:w] slice.
+    """
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
+    vals = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced PNG to a uint8 luma grid.
+
+    8-bit greyscale passes through; 1/2/4-bit greyscale expands by the
+    exact 255/(2^d−1) factor; palette (1/2/4/8-bit) resolves through
+    PLTE then collapses like truecolor; RGB/RGBA collapse via Rec.601
+    (0.299 R + 0.587 G + 0.114 B); alpha (tRNS or channel) is ignored.
+    Interlace and 16-bit depth raise ``NotImplementedError``.
     Structurally malformed streams surface as ``ValueError`` (same
     classification contract as jpeg.decode_gray: never a raw
     struct/zlib/index error from parse internals, so the decode UDF
@@ -109,12 +162,20 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed PNG stream: {exc!r}") from exc
 
 
+def _rec601(rgb: np.ndarray) -> np.ndarray:
+    """(…, 3) float64 RGB -> uint8 luma, Rec.601 weights."""
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
 def _decode_gray_impl(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     w = h = 0
+    depth = 8
     ctype = -1
+    plte: np.ndarray | None = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -128,14 +189,18 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if ctype == 3:
-                raise NotImplementedError("palette PNG")
             if ctype not in _CHANNELS:
                 raise ValueError(f"bad PNG color type {ctype}")
+            if depth == 16:
+                raise NotImplementedError("16-bit PNG")
+            if depth not in _DEPTHS[ctype]:
+                raise ValueError(f"bad depth {depth} for color type {ctype}")
             if interlace:
                 raise NotImplementedError("Adam7 interlaced PNG")
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -143,14 +208,26 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
     if not (w and h) or ctype < 0:
         raise ValueError("missing IHDR")
     ch = _CHANNELS[ctype]
+    stride = (w * ch * depth + 7) // 8  # packed bytes per scanline
+    bpp = max(1, (ch * depth) // 8)  # filter left-distance, per spec
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (w * ch + 1):
+    if raw.size != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
-    px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    rows = _unfilter(raw, h, stride, bpp)
+    if ctype == 3:  # palette: indices -> PLTE RGB -> luma
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = _unpack_samples(rows, w, depth)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return _rec601(plte[idx].astype(np.float64))
     if ctype == 0:
-        return px[:, :, 0].copy()
+        g = _unpack_samples(rows, w, depth)
+        if depth == 8:
+            return g.copy()
+        # exact expansion: 255/(2^d−1) is integral for d in {1,2,4}
+        return (g.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    px = rows.reshape(h, w, ch)
     if ctype == 4:  # grey + alpha
         return px[:, :, 0].copy()
-    rgb = px[:, :, :3].astype(np.float64)
-    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    return _rec601(px[:, :, :3].astype(np.float64))

@@ -85,7 +85,9 @@ def _driver_latest_rows() -> dict[str, tuple[int, dict]]:
     latest: dict[str, tuple[int, dict]] = {}
     # ascending numeric round: a higher round always overwrites a lower
     # one regardless of which root or zero-padding produced it
-    for rnd, path in sorted(numbered, key=lambda t: t[0]):
+    # tie-break equal rounds by path so e.g. _r07 vs _r7 (or the same
+    # round found under two artifact roots) merge deterministically
+    for rnd, path in sorted(numbered, key=lambda t: (t[0], t[1])):
         try:
             with open(path) as fh:
                 data = json.load(fh)

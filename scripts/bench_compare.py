@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Compare a fresh BENCH_DETAIL.json against the committed record.
 
-Usage:  python scripts/bench_compare.py [ref_git_rev]
+Usage:  python scripts/bench_compare.py [ref_git_rev] [--allow-drops]
 
 Diffs the working-tree BENCH_DETAIL.json (written by `python bench.py`)
 against the version committed at ``ref_git_rev`` (default HEAD) and
@@ -27,7 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    rev = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    argv = [a for a in sys.argv[1:] if a != "--allow-drops"]
+    allow_drops = "--allow-drops" in sys.argv[1:]
+    rev = argv[0] if argv else "HEAD"
     cur_path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(cur_path) as fh:
         cur = json.load(fh)
@@ -59,7 +61,11 @@ def main() -> int:
         gone = sorted(set(old) - set(new))
         added = sorted(set(new) - set(old))
         if gone:
-            print(f"{key}: dropped {gone}")
+            # a query silently vanishing from the sweep (renamed, or
+            # erroring out) is itself a regression unless waived
+            print(f"{key}: dropped {gone}" + ("" if allow_drops else "  <-- GATED"))
+            if not allow_drops:
+                flagged.extend(f"dropped:{g}" for g in gone)
         if added:
             print(f"{key}: added {added}")
 

@@ -3,10 +3,13 @@
 The ``transformWithStateInPandas`` (arbitrary-state v2) Python worker
 imports ``pyspark.sql.streaming.proto.StateMessage_pb2``, which needs
 the ``google.protobuf`` runtime. This container has no pip-installed
-protobuf, but the google-cloud-sdk ships a pure-Python runtime (6.32)
-that this shim exposes via the ``vendor/google`` symlink next to this
-file. Test plumbing only — production clusters install protobuf
-normally and this hook then does nothing.
+protobuf, but the google-cloud-sdk ships a pure-Python runtime (6.32).
+Rather than committing a machine-specific symlink, this hook probes a
+small list of known install locations at runtime (override with the
+``PB_SHIM_GOOGLE_ROOT`` env var — the directory CONTAINING ``google/``)
+and appends the first root whose ``google/protobuf`` exists to
+``sys.path``. Test plumbing only — production clusters install
+protobuf normally and this hook then does nothing.
 
 Activated by tests/conftest.py putting this directory on PYTHONPATH
 before the SparkSession (hence the JVM, hence its Python workers)
@@ -23,7 +26,17 @@ import importlib.util
 import os
 import sys
 
-_VENDOR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+# Roots whose google/protobuf may hold a pure-Python runtime, probed in
+# order. Each entry is the directory CONTAINING the google/ package.
+_CANDIDATE_ROOTS = [
+    os.environ.get("PB_SHIM_GOOGLE_ROOT", ""),
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    "/usr/lib64/google-cloud-sdk/platform/google_appengine",
+    "/opt/google-cloud-sdk/platform/google_appengine",
+    os.path.expanduser("~/google-cloud-sdk/platform/google_appengine"),
+    # legacy layout: a vendor/google symlink next to this file
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor"),
+]
 
 
 def _importable(name: str) -> bool:
@@ -38,15 +51,23 @@ def _importable(name: str) -> bool:
     return spec is not None and spec.origin is not None
 
 
+def _find_runtime_root() -> str | None:
+    for root in _CANDIDATE_ROOTS:
+        if root and os.path.isdir(os.path.join(root, "google", "protobuf")):
+            return root
+    return None
+
+
 def _enable() -> bool:
     """Idempotent; returns True iff google.protobuf is importable."""
     if _importable("google.protobuf"):
         return True  # a real install exists — never shadow it
-    if not os.path.isdir(os.path.join(_VENDOR, "google", "protobuf")):
+    root = _find_runtime_root()
+    if root is None:
         return False
-    if _VENDOR not in sys.path:
+    if root not in sys.path:
         # append, not prepend: a later real install still wins lookups
-        sys.path.append(_VENDOR)
+        sys.path.append(root)
     if not _importable("google.protobuf"):
         return False
     try:

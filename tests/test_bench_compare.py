@@ -14,9 +14,11 @@ import subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(tmp_path, monkeypatch, ref: dict, cur: dict):
+def _run(tmp_path, monkeypatch, ref: dict, cur: dict, extra_args: tuple = ()):
     """Execute bench_compare's main() against a throwaway git repo."""
-    repo = tmp_path / "r"
+    import uuid
+
+    repo = tmp_path / f"r-{uuid.uuid4().hex[:8]}"
     repo.mkdir()
     subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
     (repo / "BENCH_DETAIL.json").write_text(json.dumps(ref))
@@ -35,7 +37,9 @@ def _run(tmp_path, monkeypatch, ref: dict, cur: dict):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     monkeypatch.setattr(mod, "REPO", str(repo))
-    monkeypatch.setattr(mod.sys, "argv", ["bench_compare.py", "HEAD"])
+    monkeypatch.setattr(
+        mod.sys, "argv", ["bench_compare.py", "HEAD", *extra_args]
+    )
     return mod.main()
 
 
@@ -59,3 +63,12 @@ def test_noise_floor_and_improvements_not_flagged(tmp_path, monkeypatch):
         "value_min": 1.15,
     }
     assert _run(tmp_path, monkeypatch, ref, cur) == 0
+
+
+def test_dropped_query_gates_unless_waived(tmp_path, monkeypatch):
+    ref = {"queries_min": {"q_a": 1.0, "q_b": 1.0}, "queries_extended": {},
+           "value_min": 2.0}
+    cur = {"queries_min": {"q_a": 1.0}, "queries_extended": {},
+           "value_min": 1.0}
+    assert _run(tmp_path, monkeypatch, ref, cur) == 1, "silent drop must gate"
+    assert _run(tmp_path, monkeypatch, ref, cur, ("--allow-drops",)) == 0

@@ -96,7 +96,8 @@ def test_multimodal_decode_values(spark, sf_dir):
         if kind == "image":
             assert (r.width, r.height) == (w, h)
             assert r.n_samples == w * h
-            leg = (r.media_id // 3) % 4  # pgm / jpeg / png / jpeg_color
+            # mixed cycle: pgm / jpeg / png / jpeg_color / png_palette
+            leg = (r.media_id // 3) % 5
             if leg == 3:
                 # color jpeg: payload tiles all 3 RGB channels; decode
                 # returns the Y plane → compare against Rec.601 luma
@@ -109,7 +110,7 @@ def test_multimodal_decode_values(spark, sf_dir):
                 exact_mean = tiled(w * h).astype(float).mean()
                 if leg == 1:  # grayscale jpeg: lossy
                     assert abs(r.level_mean - exact_mean) < 8.0
-                else:  # pgm / png legs are lossless
+                else:  # pgm / png / palette-png legs are lossless
                     assert abs(r.level_mean - exact_mean) < 1e-9
         elif kind == "audio":
             assert r.n_samples == len(raw)

@@ -96,20 +96,138 @@ def test_crc_and_gates():
         decode_gray(bytes(data))
     with pytest.raises(ValueError):
         decode_gray(b"\xff\xd8not a png")
-    # palette and interlace are gated, not faked
-    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-    pal = _SIG + _chunk(b"IHDR", ihdr_pal)
-    with pytest.raises(NotImplementedError):
-        decode_gray(pal)
+    # interlace and 16-bit depth are gated, not faked
     ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
     inter = _SIG + _chunk(b"IHDR", ihdr_i)
     with pytest.raises(NotImplementedError):
         decode_gray(inter)
+    ihdr_16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    deep = _SIG + _chunk(b"IHDR", ihdr_16)
+    with pytest.raises(NotImplementedError):
+        decode_gray(deep)
 
 
-def test_spark_pipeline_decodes_png_images(spark, sf_dir):
-    """encode_media(image_codec='png') → decode_features must equal the
-    lossless PGM path bit-for-bit (both are lossless containers)."""
+def _palette_png(
+    idx: np.ndarray, plte: np.ndarray, depth: int, filters: list[int] | None = None
+) -> bytes:
+    """Independent palette encoder: packs sub-byte indices MSB-first
+    and writes chosen per-line filter types (bpp=1 for depth<=8)."""
+    h, w = idx.shape
+    filters = filters or [0]
+    lines = bytearray()
+    prev = None
+    for y in range(h):
+        if depth == 8:
+            packed = idx[y].astype(np.uint8)
+        else:
+            bits = (
+                (idx[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).ravel()
+            packed = np.packbits(bits)  # MSB-first, zero-padded tail
+        ft = filters[y % len(filters)]
+        lines.append(ft)
+        enc = packed.astype(np.int64)
+        up = prev.astype(np.int64) if prev is not None else np.zeros_like(enc)
+        if ft == 1:  # Sub, bpp=1
+            enc = np.diff(enc, prepend=0) & 0xFF
+        elif ft == 2:  # Up
+            enc = (enc - up) & 0xFF
+        lines += bytes(enc.astype(np.uint8))
+        prev = packed
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_identity_round_trip():
+    from big_data_traffict_prediction_spark.functions.png import encode_palette
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    assert (decode_gray(encode_palette(img)) == img).all()
+
+
+def test_foreign_palette_permuted_colors_and_filters():
+    """A non-identity PLTE proves indices resolve through the palette
+    (not passed through as gray values), across Sub/Up filters."""
+    rng = np.random.default_rng(22)
+    plte = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    out = decode_gray(_palette_png(idx, plte, depth=8, filters=[0, 1, 2]))
+    rgb = plte[idx].astype(np.float64)
+    exp = np.clip(
+        np.round(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (out == exp).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_foreign_palette_sub_byte_depths(depth):
+    rng = np.random.default_rng(23 + depth)
+    n = 1 << depth
+    plte = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    # width NOT a multiple of 8/depth so the padded tail bits matter
+    idx = rng.integers(0, n, (6, 11), dtype=np.uint8)
+    out = decode_gray(_palette_png(idx, plte, depth=depth))
+    rgb = plte[idx].astype(np.float64)
+    exp = np.clip(
+        np.round(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (out == exp).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub_byte_grayscale_exact_expansion(depth):
+    """1/2/4-bit grayscale expands by the exact 255/(2^d−1) factor."""
+    rng = np.random.default_rng(31 + depth)
+    n = 1 << depth
+    vals = rng.integers(0, n, (5, 10), dtype=np.uint8)
+    # reuse the palette packer but write ctype 0 (no PLTE)
+    data = bytearray(_palette_png(vals, np.zeros((n, 3), np.uint8), depth=depth))
+    # surgically rewrite IHDR color type 3 -> 0 and drop the PLTE chunk
+    ihdr = struct.pack(">IIBBBBB", 10, 5, depth, 0, 0, 0, 0)
+    plte_len = 12 + 3 * n
+    rebuilt = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + bytes(data[8 + 25 + plte_len :])  # IDAT onward
+    )
+    out = decode_gray(rebuilt)
+    assert (out == vals * (255 // (n - 1))).all()
+
+
+def test_palette_error_cases():
+    rng = np.random.default_rng(41)
+    idx = rng.integers(0, 4, (4, 4), dtype=np.uint8)
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    # index beyond palette length → ValueError, not a numpy IndexError
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 7
+    with pytest.raises(ValueError, match="palette index"):
+        decode_gray(_palette_png(bad_idx, plte, depth=8))
+    # palette image with its PLTE chunk stripped → ValueError
+    data = _palette_png(idx, plte, depth=8)
+    plte_len = 12 + 12
+    stripped = data[: 8 + 25] + data[8 + 25 + plte_len :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_gray(stripped)
+
+
+@pytest.mark.parametrize("codec", ["png", "png_palette"])
+def test_spark_pipeline_decodes_png_images(spark, sf_dir, codec):
+    """encode_media(image_codec='png'/'png_palette') → decode_features
+    must equal the lossless PGM path bit-for-bit (all are lossless
+    containers; the palette variant proves the PLTE-lookup decode path
+    end-to-end through q_multimodal_features' mapInPandas kernel)."""
     from big_data_traffict_prediction_spark.functions.multimodal import (
         decode_features,
         encode_media,
@@ -119,7 +237,7 @@ def test_spark_pipeline_decodes_png_images(spark, sf_dir):
     m = media_table(spark, sf_dir).limit(90)
     png_rows = {
         r.media_id: r
-        for r in decode_features(encode_media(m, image_codec="png"))
+        for r in decode_features(encode_media(m, image_codec=codec))
         .filter("kind = 'image'")
         .collect()
     }
