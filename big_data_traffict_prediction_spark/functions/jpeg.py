@@ -16,12 +16,20 @@ Scope (all honestly gated, never faked):
   tables in slot 1), baseline DCT, JFIF container, quality scaling
   per the classic libjpeg 5000/q | 200−2q formula, optional restart
   markers (DRI/RSTn).
-- decode: baseline sequential (SOF0), 1 or 3 components, interleaved
-  scan, any integer-ratio sampling factors ≤ 4 (nearest-neighbor
-  chroma upsampling), restart intervals supported. ``decode_gray``
-  returns the (luma) Y plane; ``decode_rgb`` full color.
-  Progressive / extended / arithmetic, 4-component (CMYK), and
-  non-interleaved multi-scan streams raise ``NotImplementedError``.
+- decode: baseline sequential (SOF0) AND progressive (SOF2 —
+  spectral selection, successive approximation, DC/AC first +
+  refinement scans, EOB runs, per T.81 Annex G), 1 or 3 components,
+  any integer-ratio sampling factors ≤ 4 (nearest-neighbor chroma
+  upsampling), restart intervals supported. ``decode_gray`` returns
+  the (luma) Y plane; ``decode_rgb`` full color. Extended (SOF1) /
+  lossless / arithmetic-coded, 4-component (CMYK), and
+  non-interleaved multi-scan *baseline* streams raise
+  ``NotImplementedError``.
+- progressive encode (``encode_progressive``): libjpeg-style scan
+  script (DC first w/ point transform, spectral-split AC first scans,
+  AC refinement, DC refinement) for grayscale and YCbCr color —
+  exists so the decoder can be property-tested against streams with
+  every scan kind.
 
 Everything block-parallel is vectorized numpy (DCT/quantization run
 as one einsum over all blocks); only the entropy coder is a per-block
@@ -432,6 +440,249 @@ def encode_color(
     return out
 
 
+# ----------------------------------------------- progressive encoder
+
+
+def _emit_ac_first_block(
+    bw: _BitWriter, blk: np.ndarray, ss: int, se: int, al: int, ac_enc
+) -> None:
+    """AC first-pass block (G.1.2.2 encoder side): point-transformed
+    magnitudes, ZRL for 16-zero runs, a single-block EOB0 when the band
+    ends early (this encoder never accumulates multi-block EOB runs —
+    valid, just less compact)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if v < 0:
+            t = -t
+        while r > 15:
+            c, ln = ac_enc[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        size = _category(t)
+        c, ln = ac_enc[(r << 4) | size]
+        bw.write(c, ln)
+        bw.write(_amplitude(t, size), size)
+        r = 0
+    if r:
+        c, ln = ac_enc[0x00]  # EOB0: this block only
+        bw.write(c, ln)
+
+
+def _emit_ac_refine_block(
+    bw: _BitWriter, blk: np.ndarray, ss: int, se: int, al: int, ac_enc
+) -> None:
+    """AC refinement block (G.1.2.3 encoder side): newly-significant
+    coefficients as run/1 + sign bit; previously-nonzero coefficients
+    contribute buffered correction bits emitted after the next symbol
+    (the interleaving the decoder's forward walk expects)."""
+    pending: list[int] = []
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_enc[0xF0]
+            bw.write(c, ln)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            r -= 16
+        if t > 1:  # already nonzero at the previous precision
+            pending.append(t & 1)
+            continue
+        c, ln = ac_enc[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r or pending:
+        c, ln = ac_enc[0x00]
+        bw.write(c, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def _sos_payload(
+    comp_sel: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int
+) -> bytes:
+    body = bytes([len(comp_sel)])
+    for cid, td, ta in comp_sel:
+        body += bytes([cid, (td << 4) | ta])
+    return body + bytes([ss, se, (ah << 4) | al])
+
+
+def encode_progressive(
+    arr: np.ndarray, quality: int = 75, subsampling: str = "4:2:0"
+) -> bytes:
+    """Encode a 2-D grayscale or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE (SOF2) JFIF JPEG, libjpeg-style scan script: DC first
+    pass at Al=1, spectral-split AC first passes at Al=1, AC
+    refinement to Al=0, DC refinement last. Decoding it recovers
+    exactly the same quantized coefficients as the baseline encoder at
+    the same quality — the entropy layer is lossless — so
+    ``decode_gray(encode_progressive(x))`` equals
+    ``decode_gray(encode_gray(x))`` bit-for-bit."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2 and a.size:
+        return _encode_progressive_gray(a, quality)
+    if a.ndim == 3 and a.shape[2] == 3 and a.size:
+        return _encode_progressive_color(a, quality, subsampling)
+    raise ValueError("encode_progressive expects 2-D gray or (h, w, 3) RGB")
+
+
+def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
+    h, w = a.shape
+    nby, nbx = -(-h // 8), -(-w // 8)
+    q = quant_table(quality)
+    zz = _zigzag_blocks(a, q, nby * 8, nbx * 8)  # (nby, nbx, 64)
+    flat = zz.reshape(-1, 64)
+
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, _APP0_JFIF)
+    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+
+    # scan 1: DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
+    bw = _BitWriter()
+    pred = 0
+    for blk in flat:
+        t = int(blk[0]) >> 1
+        diff = t - pred
+        pred = t
+        size = _category(diff)
+        c, ln = _DC_ENC[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(_amplitude(diff, size), size)
+    out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 0, 0, 1)) + bw.flush()
+
+    # scans 2+3: AC first passes, spectral split, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        bw = _BitWriter()
+        for blk in flat:
+            _emit_ac_first_block(bw, blk, ss, se, 1, _AC_ENC)
+        out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], ss, se, 0, 1)) + bw.flush()
+
+    # scan 4: AC refinement to full precision
+    bw = _BitWriter()
+    for blk in flat:
+        _emit_ac_refine_block(bw, blk, 1, 63, 0, _AC_ENC)
+    out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], 1, 63, 1, 0)) + bw.flush()
+
+    # scan 5: DC refinement — one raw bit per block
+    bw = _BitWriter()
+    for blk in flat:
+        bw.write(int(blk[0]) & 1, 1)
+    out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 0, 1, 0)) + bw.flush()
+    return out + b"\xff\xd9"
+
+
+def _encode_progressive_color(a: np.ndarray, quality: int, subsampling: str) -> bytes:
+    factors = {"4:2:0": (2, 2), "4:4:4": (1, 1)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hs, vs = factors[subsampling]
+    h, w = a.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(a)
+    qy, qc = quant_table(quality), chroma_quant_table(quality)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    y_zz = _zigzag_blocks(
+        np.clip(np.round(y), 0, 255).astype(np.uint8), qy, mcuy * 8 * vs, mcux * 8 * hs
+    )
+    chroma = [
+        _zigzag_blocks(
+            np.clip(np.round(_box_subsample(p, vs, hs)), 0, 255).astype(np.uint8),
+            qc,
+            mcuy * 8,
+            mcux * 8,
+        )
+        for p in (cb, cr)
+    ]
+    grids = [y_zz, *chroma]
+    samps = [(hs, vs), (1, 1), (1, 1)]
+    # each component's own (non-interleaved) grid for the AC scans
+    own = [_comp_block_dims(hi, vi, hs, vs, h, w) for hi, vi in samps]
+
+    samp_y = (hs << 4) | vs
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, _APP0_JFIF)
+    out += _seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+
+    dc_encs = [_DC_ENC, _DC_CHROMA_ENC, _DC_CHROMA_ENC]
+    ac_encs = [_AC_ENC, _AC_CHROMA_ENC, _AC_CHROMA_ENC]
+    all_sel = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+
+    # scan 1: DC first, all components interleaved over the MCU grid
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), grid) in enumerate(zip(samps, grids)):
+                for v in range(vi):
+                    for u in range(hi):
+                        t = int(grid[my * vi + v, mx * hi + u, 0]) >> 1
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        size = _category(diff)
+                        c, ln = dc_encs[ci][size]
+                        bw.write(c, ln)
+                        if size:
+                            bw.write(_amplitude(diff, size), size)
+    out += _seg(0xFFDA, _sos_payload(all_sel, 0, 0, 0, 1)) + bw.flush()
+
+    # AC first passes (Al=1): luma spectrally split, chroma full band
+    ac_script = [(0, 1, 5), (1, 1, 63), (2, 1, 63), (0, 6, 63)]
+    for ci, ss, se in ac_script:
+        nby, nbx = own[ci]
+        bw = _BitWriter()
+        for cy in range(nby):
+            for cx in range(nbx):
+                _emit_ac_first_block(bw, grids[ci][cy, cx], ss, se, 1, ac_encs[ci])
+        out += _seg(0xFFDA, _sos_payload([all_sel[ci]], ss, se, 0, 1)) + bw.flush()
+
+    # AC refinement passes to Al=0
+    for ci in (0, 1, 2):
+        nby, nbx = own[ci]
+        bw = _BitWriter()
+        for cy in range(nby):
+            for cx in range(nbx):
+                _emit_ac_refine_block(bw, grids[ci][cy, cx], 1, 63, 0, ac_encs[ci])
+        out += _seg(0xFFDA, _sos_payload([all_sel[ci]], 1, 63, 1, 0)) + bw.flush()
+
+    # final scan: DC refinement, interleaved raw bits
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for (hi, vi), grid in zip(samps, grids):
+                for v in range(vi):
+                    for u in range(hi):
+                        bw.write(int(grid[my * vi + v, mx * hi + u, 0]) & 1, 1)
+    out += _seg(0xFFDA, _sos_payload(all_sel, 0, 0, 1, 0)) + bw.flush()
+    return out + b"\xff\xd9"
+
+
 # ----------------------------------------------------------- decoder
 
 
@@ -549,6 +800,43 @@ def _decode_baseline(data: bytes) -> tuple[list[np.ndarray], int, int]:
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
 
+def _reconstruct(
+    comps: list[tuple[int, int, int, int]],
+    per_comp: list[np.ndarray],
+    qtables: dict[int, np.ndarray],
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
+) -> list[np.ndarray]:
+    """Natural-order (n_blocks, 64) coefficient grids -> uint8 planes:
+    dequantize, inverse DCT, reassemble each component's block grid,
+    crop to its own resolution, upsample to full by replication."""
+    planes = []
+    for (cid, hi, vi, tq), blocks in zip(comps, per_comp):
+        deq = blocks.reshape(-1, 8, 8) * qtables[tq]
+        pix = np.einsum(
+            "xu,nuv,yv->nxy", _DCT_C.T, deq.astype(np.float64), _DCT_C.T
+        )
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        by, bx = mcuy * vi, mcux * hi
+        grid = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
+        )
+        # crop to the component's own resolution, then upsample
+        # to full by replication (nearest-neighbor per spec note)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = grid[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
+    return planes
+
+
 def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -558,6 +846,10 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
     h = w = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     dri = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per comp (by, bx, 64) ZIGZAG order
+    scans_seen = 0
+    hmax = vmax = mcux = mcuy = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -595,14 +887,15 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _decode_tree(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (only grayscale and YCbCr)"
                 )
             if len(payload) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             comps = [
                 (payload[6 + 3 * i], payload[7 + 3 * i] >> 4,
                  payload[7 + 3 * i] & 0xF, payload[8 + 3 * i])
@@ -610,18 +903,45 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
             ]
             if any(hi < 1 or vi < 1 or hi > 4 or vi > 4 for _, hi, vi, _ in comps):
                 raise ValueError("invalid sampling factors")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG (progressive/extended)")
+            if not (w and h):
+                raise ValueError("zero image dimensions")
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
+                raise NotImplementedError("non-integer chroma upsampling ratios")
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            if progressive:
+                # persistent coefficient store, filled scan by scan;
+                # sized to the full interleaved MCU grid (a superset of
+                # each component's own non-interleaved grid)
+                coef = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for _, hi, vi, _ in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline JPEG (extended/arithmetic)")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", payload)
         elif marker == 0xDA:  # SOS → entropy data follows
             if not comps:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                end = _entropy_end(data, pos)
+                _progressive_scan(
+                    data[pos:end], payload, comps, coef, htables,
+                    mcux, mcuy, hmax, vmax, h, w, dri,
+                )
+                scans_seen += 1
+                pos = end
+                continue
             ns = payload[0]
             if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) baseline JPEG"
                 )
+            bcomps = comps
+            bhmax, bvmax = hmax, vmax
+            bmcux, bmcuy = mcux, mcuy
             if ns == 1:
                 # T.81 A.2.2: a scan with Ns=1 is NON-interleaved — one
                 # data unit per MCU in the component's own raster order,
@@ -629,44 +949,39 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 # 2x2 factors as interleaved MCUs mis-laid blocks of
                 # spec-valid grayscale streams (caught in review; the
                 # pre-color decoder ignored sampling factors here).
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
-            hmax = max(hi for _, hi, _, _ in comps)
-            vmax = max(vi for _, _, vi, _ in comps)
-            if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
-                raise NotImplementedError("non-integer chroma upsampling ratios")
-            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                bcomps = [(comps[0][0], 1, 1, comps[0][3])]
+                bhmax = bvmax = 1
+                bmcux, bmcuy = -(-w // 8), -(-h // 8)
             # scan-order table selectors, matched to SOF comps by id
             sel = {payload[1 + 2 * i]: payload[2 + 2 * i] for i in range(ns)}
             scan = []
-            for cid, hi, vi, tq in comps:
+            for cid, hi, vi, tq in bcomps:
                 if cid not in sel:
                     raise ValueError(f"scan references unknown component {cid}")
                 td, ta = sel[cid] >> 4, sel[cid] & 0xF
                 scan.append((htables[(0, td)], htables[(1, ta)], hi, vi))
             end = _entropy_end(data, pos)
-            per_comp = _decode_entropy(data[pos:end], scan, mcux, mcuy, dri)
-            planes = []
-            for (cid, hi, vi, tq), blocks in zip(comps, per_comp):
-                deq = blocks.reshape(-1, 8, 8) * qtables[tq]
-                pix = np.einsum(
-                    "xu,nuv,yv->nxy", _DCT_C.T, deq.astype(np.float64), _DCT_C.T
-                )
-                pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
-                by, bx = mcuy * vi, mcux * hi
-                grid = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
-                    by * 8, bx * 8
-                )
-                # crop to the component's own resolution, then upsample
-                # to full by replication (nearest-neighbor per spec note)
-                ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
-                plane = grid[:ch, :cw]
-                if vi != vmax or hi != hmax:
-                    plane = np.repeat(
-                        np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
-                    )
-                planes.append(plane[:h, :w])
-            return planes, h, w
+            per_comp = _decode_entropy(data[pos:end], scan, bmcux, bmcuy, dri)
+            return (
+                _reconstruct(
+                    bcomps, per_comp, qtables, bmcux, bmcuy, bhmax, bvmax, h, w
+                ),
+                h,
+                w,
+            )
         # APPn / COM / others: skipped
+    if progressive and scans_seen and coef is not None:
+        # zigzag store -> natural order, then the shared reconstruction
+        per_comp = []
+        for zz in coef:
+            nat = np.zeros_like(zz.reshape(-1, 64))
+            nat[:, ZIGZAG] = zz.reshape(-1, 64)
+            per_comp.append(nat)
+        return (
+            _reconstruct(comps, per_comp, qtables, mcux, mcuy, hmax, vmax, h, w),
+            h,
+            w,
+        )
     raise ValueError("no scan data found")
 
 
@@ -706,6 +1021,203 @@ def _decode_one_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int) -> np.ndarra
         zz[k] = _extend(br.read(size), size)
         k += 1
     return zz
+
+
+def _comp_block_dims(
+    hi: int, vi: int, hmax: int, vmax: int, h: int, w: int
+) -> tuple[int, int]:
+    """A component's OWN (non-interleaved) block-grid dims: ceil of its
+    subsampled resolution over 8 (T.81 A.2.2)."""
+    ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _dc_unit(
+    br: _BitReader,
+    carr: np.ndarray,
+    byi: int,
+    bxi: int,
+    dc_tab,
+    preds: list[int],
+    si: int,
+    ah: int,
+    al: int,
+) -> None:
+    """One DC data unit of a progressive scan (G.1.2.1 / G.1.2.3)."""
+    if ah == 0:  # first pass: baseline diff coding of v >> Al
+        size = _read_symbol(br, dc_tab)
+        if size > 11:
+            raise ValueError(f"invalid DC size category {size}")
+        diff = _extend(br.read(size), size) if size else 0
+        preds[si] += diff
+        carr[byi, bxi, 0] = preds[si] << al
+    else:  # refinement: one raw bit appends bit Al (two's complement |=)
+        if br.read_bit():
+            carr[byi, bxi, 0] |= 1 << al
+
+
+def _ac_first_unit(
+    br: _BitReader, blk: np.ndarray, ss: int, se: int, al: int, ac_tab, eobrun: int
+) -> int:
+    """One block of an AC FIRST scan (G.1.2.2); returns remaining EOBRUN."""
+    if eobrun:
+        return eobrun - 1  # whole band zero for this block
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, ac_tab)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1 << r) + ext blocks ending here, incl. this one
+            return (1 << r) + (br.read(r) if r else 0) - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_unit(
+    br: _BitReader, blk: np.ndarray, ss: int, se: int, al: int, ac_tab, eobrun: int
+) -> int:
+    """One block of an AC REFINEMENT scan (G.1.2.3): newly-significant
+    coefficients arrive as run/1 symbols with a sign bit; every
+    previously-nonzero coefficient passed over contributes one
+    correction bit (sign-magnitude append of bit Al). Returns the
+    remaining EOBRUN."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:  # EOBn → rest of this block refines below
+                    eobrun = (1 << r) + (br.read(r) if r else 0)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement AC size must be 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    # correction bit for a previously-nonzero coefficient
+                    if br.read_bit() and not (abs(c) >> al) & 1:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+        else:
+            return 0  # walked the whole band, no EOB pending
+    # EOB mode: remaining coefficients of this block get correction bits
+    while k <= se:
+        c = int(blk[k])
+        if c != 0 and br.read_bit() and not (abs(c) >> al) & 1:
+            blk[k] = c + (p1 if c > 0 else m1)
+        k += 1
+    return eobrun - 1
+
+
+def _progressive_scan(
+    entropy: bytes,
+    payload: bytes,
+    comps: list[tuple[int, int, int, int]],
+    coef: list[np.ndarray],
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]],
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
+    dri: int,
+) -> None:
+    """Decode one SOF2 scan into the persistent ZIGZAG-order
+    coefficient store (T.81 Annex G.2): DC scans may interleave
+    several components over the MCU grid; AC scans are always
+    single-component over that component's own block grid. Restart
+    markers reset DC predictors and the EOB run."""
+    ns = payload[0]
+    if ns < 1 or len(payload) < 4 + 2 * ns:
+        raise ValueError("truncated SOS header")
+    ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+    ahal = payload[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if al > 13 or ah > 13:
+        raise ValueError("bad successive-approximation bit positions")
+    if ah and ah != al + 1:
+        raise ValueError("refinement scan must have Ah = Al + 1")
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    sel: list[tuple[int, int, int]] = []  # (comp index, Td, Ta)
+    for i in range(ns):
+        cid = payload[1 + 2 * i]
+        if cid not in by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+        tsel = payload[2 + 2 * i]
+        sel.append((by_id[cid], tsel >> 4, tsel & 0xF))
+    br = _BitReader(entropy)
+    mcu_i = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        preds = [0] * ns
+        if ns == 1:  # non-interleaved: the component's own grid
+            ci, td, _ = sel[0]
+            _, hi, vi, _ = comps[ci]
+            dc_tab = htables[(0, td)] if ah == 0 else None
+            nby, nbx = _comp_block_dims(hi, vi, hmax, vmax, h, w)
+            for cy in range(nby):
+                for cx in range(nbx):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        br.sync_restart()
+                        preds = [0] * ns
+                    _dc_unit(br, coef[ci], cy, cx, dc_tab, preds, 0, ah, al)
+                    mcu_i += 1
+        else:  # interleaved over the full MCU grid
+            tabs = [htables[(0, td)] if ah == 0 else None for _, td, _ in sel]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        br.sync_restart()
+                        preds = [0] * ns
+                    for si, (ci, _, _) in enumerate(sel):
+                        _, hi, vi, _ = comps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                _dc_unit(
+                                    br, coef[ci], my * vi + v, mx * hi + u,
+                                    tabs[si], preds, si, ah, al,
+                                )
+                    mcu_i += 1
+    else:  # AC scan
+        if ns != 1:
+            raise ValueError("AC progressive scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError("bad spectral band")
+        ci, _, ta = sel[0]
+        _, hi, vi, _ = comps[ci]
+        ac_tab = htables[(1, ta)]
+        carr = coef[ci]
+        unit = _ac_first_unit if ah == 0 else _ac_refine_unit
+        eobrun = 0
+        nby, nbx = _comp_block_dims(hi, vi, hmax, vmax, h, w)
+        for cy in range(nby):
+            for cx in range(nbx):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    br.sync_restart()
+                    eobrun = 0
+                eobrun = unit(br, carr[cy, cx], ss, se, al, ac_tab, eobrun)
+                mcu_i += 1
 
 
 def _decode_entropy(

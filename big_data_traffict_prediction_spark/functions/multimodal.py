@@ -19,14 +19,15 @@ this module writes (pure numpy, no external codecs):
 Baseline **JPEG** is also real — grayscale AND 3-component YCbCr color
 (4:4:4 / 4:2:0, collapsing to the Y/luma plane on decode) — via the
 from-spec pure-numpy codec in ``functions/jpeg.py`` (ITU-T T.81,
-standard Annex-K tables; decodes any 1- or 3-component interleaved
-baseline JPEG, not just our own output),
+standard Annex-K tables; decodes any 1- or 3-component baseline
+SOF0 *or progressive SOF2* JPEG, not just our own output),
 and so is **PNG** (``functions/png.py`` — stdlib zlib DEFLATE + real
-chunk/CRC/filter handling; decodes 8-bit grey/RGB/RGBA from any
-producer, collapsing color to Rec.601 luma). Formats still without a
-decoder (MP3/H.264, progressive/CMYK JPEG, palette/interlaced PNG)
-raise ``NotImplementedError``, so the gate stays honest instead of
-faking them.
+chunk/CRC/filter handling; decodes grey at 1/2/4/8-bit, palette via
+PLTE lookup, and RGB/RGBA from any producer, collapsing color to
+Rec.601 luma). Formats still without a decoder (MP3/H.264,
+extended/arithmetic/CMYK JPEG, interlaced/16-bit PNG) raise
+``NotImplementedError``, so the gate stays honest instead of faking
+them.
 
 The media table is derived deterministically from ``documents`` so
 every scale factor has a multimodal fixture without writing anywhere;
@@ -184,6 +185,14 @@ def _encode_png_palette(raw: bytes, w: int, h: int) -> bytes:
     return png.encode_palette(_tile(raw, w * h).reshape(h, w))
 
 
+def _encode_jpeg_progressive(raw: bytes, w: int, h: int) -> bytes:
+    """Real PROGRESSIVE (SOF2) JPEG — exercises the multi-scan
+    spectral-selection/successive-approximation decode path."""
+    from . import jpeg
+
+    return jpeg.encode_progressive(_tile(raw, w * h).reshape(h, w))
+
+
 def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     """Ingest-side container encode (Arrow-batched): wraps each raw
     payload in a real PGM/JPEG / WAV / RAWV container per its kind,
@@ -194,16 +203,19 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     equality, are what survives the round trip); ``"png"`` through the
     lossless zlib-backed PNG writer; ``"png_palette"`` through the
     palette (PLTE-lookup) PNG writer; ``"jpeg_color"`` through the
-    color (YCbCr 4:2:0) encoder; ``"mixed"`` cycles
-    pgm/jpeg/png/jpeg_color/png_palette deterministically by media_id
-    so one fixture exercises every decoder, including the color→luma
-    and palette-lookup paths."""
+    color (YCbCr 4:2:0) encoder; ``"jpeg_progressive"`` through the
+    multi-scan SOF2 encoder; ``"mixed"`` cycles
+    pgm/jpeg/png/jpeg_color/png_palette/jpeg_progressive
+    deterministically by media_id so one fixture exercises every
+    decoder, including the color→luma, palette-lookup, and
+    progressive-scan paths."""
     codecs = {
         "pgm": _encode_pgm,
         "jpeg": _encode_jpeg,
         "png": _encode_png,
         "jpeg_color": _encode_jpeg_color,
         "png_palette": _encode_png_palette,
+        "jpeg_progressive": _encode_jpeg_progressive,
     }
     mix = list(codecs.values())
     # Validate on the DRIVER: a typo'd codec must fail before the job
@@ -439,9 +451,10 @@ def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container encode → REAL decode + feature extract over binary
     payloads via two mapInPandas stages — images cycle through all
-    five real image codecs (PGM / baseline JPEG / PNG / color JPEG /
-    palette PNG) so every decode gate is exercised end-to-end,
-    audio/video stay WAV/RAWV (all pure numpy + stdlib zlib). Python-side by necessity → no SQL oracle;
+    six real image codecs (PGM / baseline JPEG / PNG / color JPEG /
+    palette PNG / progressive JPEG) so every decode gate is exercised
+    end-to-end, audio/video stay WAV/RAWV (all pure numpy + stdlib
+    zlib). Python-side by necessity → no SQL oracle;
     tests/test_llm_ops.py pins the round-trip values per codec.
 
     The feature vector is serialized to a JSON string in the returned

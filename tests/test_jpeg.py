@@ -85,9 +85,14 @@ def test_unsupported_streams_gated_not_faked():
     cmyk = bytes(data[: sof + 9]) + b"\x04" + bytes(data[sof + 10 :])
     with pytest.raises(NotImplementedError):
         decode_gray(cmyk)
-    # progressive marker (SOF2) → gated
+    # extended sequential (SOF1) and arithmetic (SOF9) → still gated
+    for marker in (b"\xff\xc1", b"\xff\xc9"):
+        with pytest.raises(NotImplementedError):
+            decode_gray(bytes(data).replace(b"\xff\xc0", marker))
+    # a baseline stream mislabeled SOF2 carries a baseline SOS header
+    # (Ss=0, Se=63) that is invalid progressive → classifiable error
     prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_gray(prog)
     with pytest.raises(ValueError):
         decode_gray(b"\x89PNG\r\n\x1a\n")
@@ -422,3 +427,118 @@ def test_color_round_trip_property_random():
             assert np.abs(luma(out) - luma(rgb)).mean() < 24.0
 
     check()
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_equals_baseline_gray():
+    """The progressive entropy layer is lossless over the same
+    quantized coefficients, so progressive decode must equal the
+    baseline decode of the same image BIT-FOR-BIT."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(51)
+    for shape in [(1, 1), (5, 7), (8, 8), (17, 23), (64, 48)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_gray(encode_gray(img, quality=75))
+        prog = decode_gray(encode_progressive(img, quality=75))
+        assert (base == prog).all(), shape
+
+
+def test_progressive_equals_baseline_color():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(52)
+    for shape in [(8, 8), (17, 23), (24, 24), (33, 41)]:
+        for sub in ("4:4:4", "4:2:0"):
+            img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+            base = decode_rgb(encode_color(img, 80, subsampling=sub))
+            prog = decode_rgb(encode_progressive(img, 80, subsampling=sub))
+            assert (base == prog).all(), (shape, sub)
+
+
+def test_progressive_round_trip_property():
+    """Hypothesis sweep: progressive decode equals baseline decode
+    bit-for-bit across random shapes/contents/subsampling — a strictly
+    stronger claim than 'within the baseline tolerance'."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+        encode_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        ss=st.sampled_from(["4:4:4", "4:2:0"]),
+        gray=st.booleans(),
+        q=st.sampled_from([50, 75, 90]),
+    )
+    def check(h, w, seed, ss, gray, q):
+        rng = np.random.default_rng(seed)
+        if gray:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            base = decode_gray(encode_gray(img, q))
+            prog = decode_gray(encode_progressive(img, q))
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            base = decode_rgb(encode_color(img, q, subsampling=ss))
+            prog = decode_rgb(encode_progressive(img, q, subsampling=ss))
+        assert base.shape == prog.shape and (base == prog).all()
+
+    check()
+
+
+def test_progressive_decode_rgb_on_gray_replicates():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_progressive,
+    )
+
+    img = (np.arange(120) % 251).astype(np.uint8).reshape(10, 12)
+    out = decode_rgb(encode_progressive(img))
+    assert out.shape == (10, 12, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_corrupt_progressive_streams_raise_classifiable_errors():
+    """Same classification contract as baseline: any single-byte flip
+    or truncation of a progressive stream either decodes or raises
+    ValueError / NotImplementedError — never a raw parse-internal
+    error. Progressive adds scan-header state (Ss/Se/Ah/Al, EOB runs)
+    that corrupt bytes can hit."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_progressive,
+    )
+
+    gray = encode_progressive(
+        (np.arange(256) % 256).astype(np.uint8).reshape(16, 16), 80
+    )
+    color = encode_progressive(_gradient_rgb(16, 16), 80, subsampling="4:2:0")
+    for data, dec in ((gray, decode_gray), (color, decode_rgb)):
+        for pos in range(2, len(data) - 2, 7):
+            mutated = bytearray(data)
+            mutated[pos] ^= 0x5A
+            try:
+                out = dec(bytes(mutated))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in (3, len(data) // 3, len(data) - 3):
+            try:
+                dec(bytes(data[:cut]))
+            except (ValueError, NotImplementedError):
+                pass

@@ -97,7 +97,8 @@ def test_multimodal_decode_values(spark, sf_dir):
             assert (r.width, r.height) == (w, h)
             assert r.n_samples == w * h
             # mixed cycle: pgm / jpeg / png / jpeg_color / png_palette
-            leg = (r.media_id // 3) % 5
+            #              / jpeg_progressive
+            leg = (r.media_id // 3) % 6
             if leg == 3:
                 # color jpeg: payload tiles all 3 RGB channels; decode
                 # returns the Y plane → compare against Rec.601 luma
@@ -108,7 +109,7 @@ def test_multimodal_decode_values(spark, sf_dir):
                 assert abs(r.level_mean - exact_mean) < 8.0  # lossy
             else:
                 exact_mean = tiled(w * h).astype(float).mean()
-                if leg == 1:  # grayscale jpeg: lossy
+                if leg in (1, 5):  # grayscale jpeg (baseline/progressive): lossy
                     assert abs(r.level_mean - exact_mean) < 8.0
                 else:  # pgm / png / palette-png legs are lossless
                     assert abs(r.level_mean - exact_mean) < 1e-9
