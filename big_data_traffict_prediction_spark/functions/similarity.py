@@ -8,9 +8,10 @@
 - **embedding near-dup**: all-pairs cosine ≥ threshold — exact
   semantics, physically a blocked equi-join (B² skew-free cells), not
   a nested loop; still O(n²) work by definition.
-- **IVF (inverted-file) ANN**: the 100 TB path — KMeans coarse
-  quantizer over a sample, search only the query's nearest cells.
-  Model-based → Spark-only (rows-only driver check).
+- **IVF (inverted-file) ANN**: the 100 TB path — deterministic
+  data-point-seeded coarse quantizer (k-means++ step-0), search only
+  the query's nearest cells. Fixed-point dots end to end →
+  hash-checked against a DuckDB oracle.
 - **MLlib MinHashLSH**: library twin of functions/dedup's hand-rolled
   LSH; Spark-only.
 - **Product quantization + exact re-rank**: the 100 TB storage answer
@@ -427,46 +428,120 @@ IVF_CELLS = 8
 IVF_PROBES = 2
 
 
-@register("q_ann_ivf", oracle=None)
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+WITH {_VECS_CTE},
+params AS (
+  SELECT GREATEST((MAX(vec_id) + 1) // {IVF_CELLS}, 1) AS stride FROM vecs
+),
+centers AS (
+  SELECT CAST(v.vec_id // p.stride AS INT) AS cell, v.embedding AS center
+  FROM vecs v, params p
+  WHERE v.vec_id % p.stride = 0 AND v.vec_id < p.stride * {IVF_CELLS}
+),
+scored AS (
+  SELECT v.vec_id, v.label, v.embedding, v.norm_fp, c.cell,
+         {_dot_fp_sql("v.embedding", "c.center")} AS d
+  FROM vecs v CROSS JOIN centers c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM scored
+),
+assigned AS (
+  SELECT vec_id, label, embedding, norm_fp, cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm_fp AS qn, cell
+  FROM ranked WHERE rn <= {IVF_PROBES} AND vec_id < {QUERY_LIMIT}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+         {_dot_fp_sql("p.q_emb", "a.embedding")} AS dot_fp,
+         p.qn, a.norm_fp AS cn
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM topk WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, the scale path: KMeans coarse quantizer (MLlib, trained
-    on the candidate set), candidates assigned to their nearest cell,
-    each query searched only in its IVF_PROBES nearest cells — a
-    cell-id equi-join replaces the all-pairs cross join.
+    """IVF ANN, the scale path: a DETERMINISTIC coarse quantizer —
+    IVF_CELLS centers seeded from evenly-strided data points (the
+    k-means++ step-0 bootstrap faiss uses before Lloyd iterations;
+    at 100 TB the refinement pass is the q_embedding_centroids-style
+    fixed-point mean, itself exactly reproducible). Candidates are
+    assigned to their max-dot center and each query searches only its
+    IVF_PROBES nearest cells — a cell-id equi-join replaces the
+    all-pairs cross join.
 
-    Model-based (KMeans) → no SQL oracle; the driver records a
-    rows-only check. tests/test_llm_ops.py asserts recall vs
-    q_ann_bruteforce instead."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vecs = _vecs(spark, sf_dir).withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    Assignment runs as an executor-local higher-order function over
+    the broadcast 8-center array (no N×cells shuffle, no window over
+    the corpus), so the plan is scan → project → broadcast-probe join:
+    the exact shape that survives a 1000-executor 100 TB corpus.
+    Fixed-point dots make assignment, probing, and ranking
+    bit-identical in DuckDB — hash-checked against the oracle."""
+    vecs = _vecs(spark, sf_dir)
+    params = vecs.agg(
+        F.greatest(
+            F.floor((F.max("vec_id") + 1) / IVF_CELLS), F.lit(1)
+        ).cast("long").alias("stride")
     )
-    km = KMeans(k=IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(vecs.select("features"))
-    assigned = model.transform(vecs)
-
-    # bounded: IVF_CELLS model centers — fitted model state, not data.
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, center array<double>",
+    centers = (
+        vecs.crossJoin(F.broadcast(params))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * IVF_CELLS)
+        )
+        .select(
+            F.floor(F.col("vec_id") / F.col("stride")).cast("int").alias("cell"),
+            F.col("embedding").alias("center"),
+        )
     )
-    # each query probes its IVF_PROBES nearest cells
-    q = assigned.filter(F.col("vec_id") < QUERY_LIMIT).select(
+    # one row holding all centers, broadcast: per-vector scoring is a
+    # HOF over ≤ IVF_CELLS structs — executor-local, shuffle-free
+    centers_row = centers.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("cs")
+    )
+    # struct (d, negcell): lexicographic max/sort = dot DESC, cell ASC
+    scores = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _dot_fp(F.col("embedding"), c["center"]).alias("d"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+    scored = vecs.crossJoin(F.broadcast(centers_row)).withColumn("scores", scores)
+    assigned = scored.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "norm_fp",
+        (-F.array_max("scores")["negcell"]).cast("int").alias("cell"),
+    )
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort("scores")), 1, IVF_PROBES),
+        lambda s: (-s["negcell"]).cast("int"),
+    )
+    probes = scored.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_fp").alias("qn"),
-    )
-    qc = q.crossJoin(F.broadcast(centers)).withColumn(
-        "dist_fp",
-        -_dot_fp(F.col("q_emb"), F.col("center")),  # max dot ≈ min angular dist
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist_fp"), F.asc("cell"))
-    probes = (
-        qc.withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= IVF_PROBES)
-        .select("query_id", "q_emb", "qn", "cell")
+        F.explode(probe_cells).alias("cell"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
