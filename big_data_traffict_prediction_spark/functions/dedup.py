@@ -711,6 +711,87 @@ def connected_components(sym: DataFrame) -> DataFrame:
     return labels
 
 
+def connected_components_star(sym: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    (doc_id, label) contract as ``connected_components``, provided as
+    the documented upgrade for graphs whose intermediate DEGREE
+    explodes (see SCALE.md §dedup-clustering).
+
+    Why a second algorithm: pointer-doubling keeps one label per
+    vertex, so its per-round shuffle is O(V) — but the hooking join
+    must route every EDGE through its endpoint's partition, and a hub
+    vertex with 10^8 neighbors concentrates that adjacency in one
+    task every round. The star operations instead rewrite the edge
+    set itself: each round every vertex points its strictly-larger
+    (large-star) / not-larger (small-star) neighbors at its minimum
+    neighbor, which provably contracts components in O(log² n) rounds
+    while edges only ever move toward smaller ids — the per-round
+    output never exceeds the input edge count, and a hub's adjacency
+    shrinks geometrically instead of being re-shuffled intact.
+
+    Rounds are capped at CLUSTER_MAX_ITERS with the same
+    raise-don't-return-partial contract; convergence = the canonical
+    (bigger, smaller) edge set reaching a fixed point, checked by a
+    two-sided anti-join (exact, not a count heuristic)."""
+    nodes = sym.select(F.col("d1").alias("doc_id")).distinct()
+    edges = (
+        sym.filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.greatest("d1", "d2").alias("u"), F.least("d1", "d2").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        # large-star: for each u, connect every strictly-larger
+        # neighbor to m = min(N(u) ∪ {u})
+        adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the large-star output: orient u ≥ v, connect
+        # every not-larger neighbor (and u itself) to the minimum
+        or_adj = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = or_adj.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            or_adj.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n"), F.col("m")
+            )
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: the canonical edge set stopped changing
+        changed = (
+            small.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(small, ["u", "v"], "left_anti").count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{CLUSTER_MAX_ITERS} rounds (see SCALE.md)"
+        )
+    # final star forest: every node's label = min(self, neighbors)
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    return nodes.join(
+        labels, nodes.doc_id == labels.u, "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+
 
 @register(
     "q_dedup_clusters",
