@@ -22,12 +22,12 @@ from-spec pure-numpy codec in ``functions/jpeg.py`` (ITU-T T.81,
 standard Annex-K tables; decodes any 1- or 3-component baseline
 SOF0 *or progressive SOF2* JPEG, not just our own output),
 and so is **PNG** (``functions/png.py`` — stdlib zlib DEFLATE + real
-chunk/CRC/filter handling; decodes grey at 1/2/4/8-bit, palette via
-PLTE lookup, and RGB/RGBA from any producer, collapsing color to
-Rec.601 luma). Formats still without a decoder (MP3/H.264,
-extended/arithmetic/CMYK JPEG, interlaced/16-bit PNG) raise
-``NotImplementedError``, so the gate stays honest instead of faking
-them.
+chunk/CRC/filter handling; decodes the FULL ISO 15948 still-image
+matrix: grey at 1/2/4/8/16-bit, palette via PLTE lookup, RGB/RGBA at
+8/16-bit, non-interlaced and Adam7, from any producer, collapsing
+color to Rec.601 luma). Formats still without a decoder (MP3/H.264,
+extended/arithmetic/CMYK JPEG) raise ``NotImplementedError``, so the
+gate stays honest instead of faking them.
 
 The media table is derived deterministically from ``documents`` so
 every scale factor has a multimodal fixture without writing anywhere;

@@ -8,15 +8,15 @@ filters, and pixel layout. This module implements:
 - encode: 8-bit grayscale (filter type 0) and 8-bit palette
   (identity-gray PLTE), single IDAT — fully standard PNGs any viewer
   opens;
-- decode: greyscale (1/2/4/8-bit) / palette (1/2/4/8-bit, PLTE
-  lookup) / truecolor (RGB) / truecolor+alpha / greyscale+alpha, all
-  five scanline filters (None/Sub/Up/Average/Paeth), non-interlaced.
+- decode: the FULL ISO 15948 still-image matrix — greyscale
+  (1/2/4/8/16-bit) / palette (1/2/4/8-bit, PLTE lookup) / truecolor
+  (RGB, 8/16-bit) / truecolor+alpha / greyscale+alpha, all five
+  scanline filters (None/Sub/Up/Average/Paeth), BOTH interlace
+  methods (none and Adam7's seven independently-filtered passes).
   Color collapses to luma via the Rec.601 weights so downstream
   features are a single grid; sub-byte grayscale expands to 8-bit via
-  the exact 255/(2^d−1) integer factor.
-
-Interlaced (Adam7) and 16-bit depths raise ``NotImplementedError`` —
-gated, not faked, same policy as ``functions/jpeg.py``.
+  the exact 255/(2^d−1) integer factor; 16-bit reduces to its high
+  byte. No gates remain in this module.
 """
 
 from __future__ import annotations
@@ -30,8 +30,14 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-# color type -> allowed bit depths (16-bit stays gated everywhere)
-_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# color type -> legal bit depths (the full ISO 15948 matrix)
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -144,17 +150,19 @@ def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced PNG to a uint8 luma grid.
+    """Decode any standard PNG to a uint8 luma grid.
 
-    8-bit greyscale passes through; 1/2/4-bit greyscale expands by the
-    exact 255/(2^d−1) factor; palette (1/2/4/8-bit) resolves through
-    PLTE then collapses like truecolor; RGB/RGBA collapse via Rec.601
-    (0.299 R + 0.587 G + 0.114 B); alpha (tRNS or channel) is ignored.
-    Interlace and 16-bit depth raise ``NotImplementedError``.
-    Structurally malformed streams surface as ``ValueError`` (same
-    classification contract as jpeg.decode_gray: never a raw
-    struct/zlib/index error from parse internals, so the decode UDF
-    can report per-row).
+    All five color types at every legal bit depth, non-interlaced OR
+    Adam7 interlaced: 8-bit greyscale passes through; 1/2/4-bit
+    greyscale expands by the exact 255/(2^d−1) factor; 16-bit reduces
+    to its high byte (the standard 16→8 reduction); palette
+    (1/2/4/8-bit) resolves through PLTE then collapses like truecolor;
+    RGB/RGBA collapse via Rec.601 (0.299 R + 0.587 G + 0.114 B);
+    alpha (tRNS or channel) is ignored. Nothing is gated — the full
+    ISO 15948 still-image matrix decodes. Structurally malformed
+    streams surface as ``ValueError`` (same classification contract
+    as jpeg.decode_gray: never a raw struct/zlib/index error from
+    parse internals, so the decode UDF can report per-row).
     """
     try:
         return _decode_gray_impl(data)
@@ -168,6 +176,38 @@ def _rec601(rgb: np.ndarray) -> np.ndarray:
     return np.clip(np.round(luma), 0, 255).astype(np.uint8)
 
 
+# Adam7 pass origins/strides: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _consume_subimage(
+    raw: np.ndarray, off: int, h: int, w: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image of h×w pixels starting at
+    byte ``off`` of the inflated stream; returns ((h, w, ch) uint16
+    raw sample values, next offset). Sub-byte depths only occur with
+    ch == 1 (grey / palette) per the spec's legal matrix."""
+    stride = (w * ch * depth + 7) // 8  # packed bytes per scanline
+    bpp = max(1, (ch * depth) // 8)  # filter left-distance, per spec
+    need = h * (stride + 1)
+    chunk = raw[off : off + need]
+    if chunk.size != need:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = _unfilter(chunk, h, stride, bpp)
+    if depth == 8:
+        samples = rows.reshape(h, w, ch).astype(np.uint16)
+    elif depth == 16:  # network byte order: high byte first
+        hi = rows[:, 0::2].astype(np.uint16)
+        lo = rows[:, 1::2].astype(np.uint16)
+        samples = ((hi << 8) | lo).reshape(h, w, ch)
+    else:
+        samples = _unpack_samples(rows, w, depth).astype(np.uint16)[:, :, None]
+    return samples, off + need
+
+
 def _decode_gray_impl(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
@@ -175,6 +215,7 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
     w = h = 0
     depth = 8
     ctype = -1
+    interlace = 0
     plte: np.ndarray | None = None
     idat = bytearray()
     while pos < len(data):
@@ -191,12 +232,10 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
             )
             if ctype not in _CHANNELS:
                 raise ValueError(f"bad PNG color type {ctype}")
-            if depth == 16:
-                raise NotImplementedError("16-bit PNG")
             if depth not in _DEPTHS[ctype]:
                 raise ValueError(f"bad depth {depth} for color type {ctype}")
-            if interlace:
-                raise NotImplementedError("Adam7 interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
         elif tag == b"PLTE":
             if length == 0 or length % 3 or length > 768:
                 raise ValueError(f"bad PLTE length {length}")
@@ -208,26 +247,32 @@ def _decode_gray_impl(data: bytes) -> np.ndarray:
     if not (w and h) or ctype < 0:
         raise ValueError("missing IHDR")
     ch = _CHANNELS[ctype]
-    stride = (w * ch * depth + 7) // 8  # packed bytes per scanline
-    bpp = max(1, (ch * depth) // 8)  # filter left-distance, per spec
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    if interlace == 0:
+        samples, off = _consume_subimage(raw, 0, h, w, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        samples = np.zeros((h, w, ch), dtype=np.uint16)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            wp = (w - xs + xstep - 1) // xstep
+            hp = (h - ys + ystep - 1) // ystep
+            if wp <= 0 or hp <= 0:
+                continue  # pass entirely absent for tiny images
+            sub, off = _consume_subimage(raw, off, hp, wp, ch, depth)
+            samples[ys::ystep, xs::xstep, :] = sub
+    if off != raw.size:
         raise ValueError("PNG pixel data size mismatch")
-    rows = _unfilter(raw, h, stride, bpp)
     if ctype == 3:  # palette: indices -> PLTE RGB -> luma
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        idx = _unpack_samples(rows, w, depth)
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
         return _rec601(plte[idx].astype(np.float64))
-    if ctype == 0:
-        g = _unpack_samples(rows, w, depth)
-        if depth == 8:
-            return g.copy()
-        # exact expansion: 255/(2^d−1) is integral for d in {1,2,4}
-        return (g.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    px = rows.reshape(h, w, ch)
-    if ctype == 4:  # grey + alpha
-        return px[:, :, 0].copy()
-    return _rec601(px[:, :, :3].astype(np.float64))
+    if depth == 16:  # standard 16->8 reduction: high byte
+        samples = samples >> 8
+    elif depth < 8:  # exact expansion: 255/(2^d−1) is integral
+        samples = samples * (255 // ((1 << depth) - 1))
+    if ctype in (0, 4):  # grey / grey+alpha: the grey channel
+        return samples[:, :, 0].astype(np.uint8)
+    return _rec601(samples[:, :, :3].astype(np.float64))

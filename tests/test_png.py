@@ -88,7 +88,7 @@ def test_foreign_rgba_and_grey_alpha():
     assert (out == ga[:, :, 0]).all()  # grey channel passes through
 
 
-def test_crc_and_gates():
+def test_crc_and_malformed_streams():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_gray(img))
     data[40] ^= 0xFF  # corrupt inside IDAT → CRC must catch it
@@ -96,15 +96,135 @@ def test_crc_and_gates():
         decode_gray(bytes(data))
     with pytest.raises(ValueError):
         decode_gray(b"\xff\xd8not a png")
-    # interlace and 16-bit depth are gated, not faked
-    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
-    inter = _SIG + _chunk(b"IHDR", ihdr_i)
-    with pytest.raises(NotImplementedError):
-        decode_gray(inter)
-    ihdr_16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    deep = _SIG + _chunk(b"IHDR", ihdr_16)
-    with pytest.raises(NotImplementedError):
-        decode_gray(deep)
+    # header-only streams (no IDAT) classify, whatever the layout says
+    for ihdr in (
+        struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1),  # interlaced
+        struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0),  # 16-bit
+    ):
+        with pytest.raises(ValueError):
+            decode_gray(_SIG + _chunk(b"IHDR", ihdr))
+    # interlace method beyond Adam7 is a format error
+    bad = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_gray(_SIG + _chunk(b"IHDR", bad))
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_png(px: np.ndarray, ctype: int, filters: list[int]) -> bytes:
+    """Independent Adam7 encoder (8-bit): seven sub-images, each with
+    its OWN filter chain (Up refers to the previous line of the same
+    pass, never across passes)."""
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w, ch)
+    lines = bytearray()
+    for xs, ys, xst, yst in _ADAM7:
+        sub = flat[ys::yst, xs::xst, :]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        prev = np.zeros(wp * ch, np.int64)
+        for y in range(hp):
+            cur = sub[y].reshape(-1).astype(np.int64)
+            ft = filters[y % len(filters)]
+            lines.append(ft)
+            if ft == 0:
+                enc = cur
+            elif ft == 2:  # Up within the pass
+                enc = (cur - prev) & 0xFF
+            else:
+                raise AssertionError("test encoder supports filters 0/2")
+            lines += bytes(enc.astype(np.uint8))
+            prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _png16_gray(img16: np.ndarray, filters: list[int]) -> bytes:
+    """Independent 16-bit grayscale encoder (big-endian samples)."""
+    h, w = img16.shape
+    rows = np.zeros((h, 2 * w), np.uint8)
+    rows[:, 0::2] = (img16 >> 8).astype(np.uint8)
+    rows[:, 1::2] = (img16 & 0xFF).astype(np.uint8)
+    lines = bytearray()
+    prev = np.zeros(2 * w, np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        ft = filters[y % len(filters)]
+        lines.append(ft)
+        enc = cur if ft == 0 else (cur - prev) & 0xFF
+        lines += bytes(enc.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_interlaced_gray_round_trip():
+    rng = np.random.default_rng(61)
+    for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (16, 16), (17, 23)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_gray(_interlaced_png(img, ctype=0, filters=[0, 2]))
+        assert (out == img).all(), shape
+
+
+def test_adam7_interlaced_rgb_matches_luma():
+    rng = np.random.default_rng(62)
+    rgb = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    out = decode_gray(_interlaced_png(rgb, ctype=2, filters=[2, 0]))
+    f = rgb.astype(np.float64)
+    exp = np.clip(
+        np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (out == exp).all()
+
+
+def test_16bit_gray_reduces_to_high_byte():
+    rng = np.random.default_rng(63)
+    img16 = rng.integers(0, 1 << 16, (9, 14), dtype=np.uint16)
+    out = decode_gray(_png16_gray(img16, filters=[0, 2]))
+    assert (out == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_corrupt_interlaced_and_16bit_streams_classify():
+    """Error-classification fuzz over the newly-decodable layouts."""
+    rng = np.random.default_rng(64)
+    streams = [
+        _interlaced_png(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8), 0, [0, 2]
+        ),
+        _png16_gray(rng.integers(0, 1 << 16, (12, 12), dtype=np.uint16), [0, 2]),
+    ]
+    for data in streams:
+        for pos in range(2, len(data) - 2, 5):
+            mutated = bytearray(data)
+            mutated[pos] ^= 0x5A
+            try:
+                out = decode_gray(bytes(mutated))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(1, len(data), 7):
+            try:
+                decode_gray(bytes(data[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def _palette_png(
