@@ -20,8 +20,9 @@ Scope (all honestly gated, never faked):
   spectral selection, successive approximation, DC/AC first +
   refinement scans, EOB runs, per T.81 Annex G), 1 or 3 components,
   any integer-ratio sampling factors ≤ 4 (nearest-neighbor chroma
-  upsampling), restart intervals supported. ``decode_gray`` returns
-  the (luma) Y plane; ``decode_rgb`` full color. Extended (SOF1) /
+  upsampling), restart intervals supported; 8-bit extended sequential
+  (SOF1) decodes on the baseline path. ``decode_gray`` returns the
+  (luma) Y plane; ``decode_rgb`` full color. 12-bit precision,
   lossless / arithmetic-coded, 4-component (CMYK), and
   non-interleaved multi-scan *baseline* streams raise
   ``NotImplementedError``.
@@ -887,9 +888,16 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _decode_tree(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+            # An 8-bit-precision SOF1 stream is Huffman-baseline-
+            # compatible (extended adds only 12-bit precision and two
+            # extra table slots), so it decodes on the SOF0 path;
+            # 12-bit stays gated below.
             progressive = marker == 0xC2
-            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit sample precision")
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (only grayscale and YCbCr)"
@@ -918,8 +926,8 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                     np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
                     for _, hi, vi, _ in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG (extended/arithmetic)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline JPEG (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", payload)
         elif marker == 0xDA:  # SOS → entropy data follows

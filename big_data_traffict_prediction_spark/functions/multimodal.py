@@ -26,7 +26,7 @@ chunk/CRC/filter handling; decodes the FULL ISO 15948 still-image
 matrix: grey at 1/2/4/8/16-bit, palette via PLTE lookup, RGB/RGBA at
 8/16-bit, non-interlaced and Adam7, from any producer, collapsing
 color to Rec.601 luma). Formats still without a decoder (MP3/H.264,
-extended/arithmetic/CMYK JPEG) raise ``NotImplementedError``, so the
+12-bit/lossless/arithmetic/CMYK JPEG) raise ``NotImplementedError``, so the
 gate stays honest instead of faking them.
 
 The media table is derived deterministically from ``documents`` so

@@ -85,10 +85,20 @@ def test_unsupported_streams_gated_not_faked():
     cmyk = bytes(data[: sof + 9]) + b"\x04" + bytes(data[sof + 10 :])
     with pytest.raises(NotImplementedError):
         decode_gray(cmyk)
-    # extended sequential (SOF1) and arithmetic (SOF9) → still gated
-    for marker in (b"\xff\xc1", b"\xff\xc9"):
+    # 8-bit extended sequential (SOF1) is baseline-compatible → decodes
+    img2 = (np.arange(64) % 251).astype(np.uint8).reshape(8, 8)
+    base_stream = encode_gray(img2)
+    sof1 = bytes(base_stream).replace(b"\xff\xc0", b"\xff\xc1")
+    assert (decode_gray(sof1) == decode_gray(base_stream)).all()
+    # arithmetic (SOF9) and lossless (SOF3) → still gated
+    for marker in (b"\xff\xc9", b"\xff\xc3"):
         with pytest.raises(NotImplementedError):
             decode_gray(bytes(data).replace(b"\xff\xc0", marker))
+    # 12-bit precision → gated (the only thing extended adds)
+    sof = bytes(data).index(b"\xff\xc0")
+    deep = bytes(data[: sof + 4]) + b"\x0c" + bytes(data[sof + 5 :])
+    with pytest.raises(NotImplementedError):
+        decode_gray(deep)
     # a baseline stream mislabeled SOF2 carries a baseline SOS header
     # (Ss=0, Se=63) that is invalid progressive → classifiable error
     prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2")
