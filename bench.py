@@ -209,8 +209,19 @@ def resolve_detail_path(detail: dict, repo_dir: str) -> str:
     canonical = os.path.join(repo_dir, "BENCH_DETAIL.json")
     if os.environ.get("SPARK_BENCH_FORCE_DETAIL") == "1":
         return canonical
-    committed = _committed_detail(repo_dir)
-    if committed is not None and _is_degraded_run(detail, committed):
+    # guard against BOTH the committed record and a better
+    # not-yet-committed record already sitting in the working tree
+    # (e.g. an idle-host run earlier this round) — the canonical file
+    # is a monotone best-known-idle record either way
+    records = [_committed_detail(repo_dir)]
+    try:
+        with open(canonical) as fh:
+            working = json.load(fh)
+        if isinstance(working, dict):
+            records.append(working)
+    except (OSError, ValueError):
+        pass
+    if any(r is not None and _is_degraded_run(detail, r) for r in records):
         return os.path.join(repo_dir, "BENCH_DETAIL.loaded.json")
     return canonical
 

@@ -772,13 +772,17 @@ def connected_components_star(sym: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixed point: the canonical edge set stopped changing
-        changed = (
-            small.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(small, ["u", "v"], "left_anti").count()
+        # fixed point: the canonical edge set stopped changing — one
+        # job for the symmetric difference (union of both anti-joins),
+        # not two separate count() actions per round
+        converged = (
+            small.join(edges, ["u", "v"], "left_anti")
+            .select("u", "v")
+            .unionAll(edges.join(small, ["u", "v"], "left_anti").select("u", "v"))
+            .isEmpty()
         )
         edges = small
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(

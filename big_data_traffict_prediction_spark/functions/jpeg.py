@@ -291,6 +291,69 @@ def _seg(marker: int, payload: bytes) -> bytes:
 _APP0_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
 
+def _gray_headers(q: np.ndarray, h: int, w: int, sof_marker: int) -> bytes:
+    """SOI through the Huffman tables for a 1-component stream — the
+    single source of truth shared by the baseline and progressive
+    encoders (their bit-for-bit decode equality depends on identical
+    tables/headers)."""
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _APP0_JFIF)
+        + _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))
+        + _seg(sof_marker, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    )
+
+
+def _color_headers(
+    qy: np.ndarray, qc: np.ndarray, h: int, w: int, samp_y: int, sof_marker: int
+) -> bytes:
+    """SOI through the Huffman tables for a 3-component YCbCr stream."""
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _APP0_JFIF)
+        + _seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+        + _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+        + _seg(
+            sof_marker,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    )
+
+
+def _color_coef_grids(a: np.ndarray, quality: int, subsampling: str):
+    """Shared color preprocessing: RGB -> YCbCr -> subsample ->
+    quantized zigzag block grids. Returns
+    (y_zz, [cb_zz, cr_zz], mcux, mcuy, hs, vs, qy, qc)."""
+    factors = {"4:2:0": (2, 2), "4:4:4": (1, 1)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hs, vs = factors[subsampling]
+    h, w = a.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(a)
+    qy, qc = quant_table(quality), chroma_quant_table(quality)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    y_zz = _zigzag_blocks(
+        np.clip(np.round(y), 0, 255).astype(np.uint8), qy, mcuy * 8 * vs, mcux * 8 * hs
+    )
+    chroma = [
+        _zigzag_blocks(
+            np.clip(np.round(_box_subsample(p, vs, hs)), 0, 255).astype(np.uint8),
+            qc,
+            mcuy * 8,
+            mcux * 8,
+        )
+        for p in (cb, cr)
+    ]
+    return y_zz, chroma, mcux, mcuy, hs, vs, qy, qc
+
+
 def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -> bytes:
     """Encode a 2-D uint8 array as a baseline JFIF JPEG.
 
@@ -314,14 +377,7 @@ def encode_gray(arr: np.ndarray, quality: int = 75, restart_interval: int = 0) -
         prev_dc = _emit_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
     entropy = bw.flush()
 
-    out = b"\xff\xd8"  # SOI
-    out += _seg(0xFFE0, _APP0_JFIF)  # APP0
-    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))  # DQT
-    out += _seg(  # SOF0: 8-bit, h×w, 1 component (id 1, 1×1 sampling, qtable 0)
-        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
-    )
-    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
-    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    out = _gray_headers(q, h, w, 0xFFC0)
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
@@ -374,30 +430,12 @@ def encode_color(
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3 or a.size == 0:
         raise ValueError("encode_color expects a non-empty (h, w, 3) array")
-    factors = {"4:2:0": (2, 2), "4:4:4": (1, 1)}
-    if subsampling not in factors:
-        raise ValueError(f"unknown subsampling {subsampling!r}")
-    hs, vs = factors[subsampling]
     h, w = a.shape[:2]
-    y, cb, cr = _rgb_to_ycbcr(a)
-    qy, qc = quant_table(quality), chroma_quant_table(quality)
-
-    mcu_w, mcu_h = 8 * hs, 8 * vs
-    mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
     # Y padded to the full MCU grid; chroma subsampled then padded to
     # its own 8-multiple grid (mcux × mcuy blocks).
-    y_zz = _zigzag_blocks(
-        np.clip(np.round(y), 0, 255).astype(np.uint8), qy, mcuy * mcu_h, mcux * mcu_w
+    y_zz, chroma, mcux, mcuy, hs, vs, qy, qc = _color_coef_grids(
+        a, quality, subsampling
     )
-    chroma = [
-        _zigzag_blocks(
-            np.clip(np.round(_box_subsample(p, vs, hs)), 0, 255).astype(np.uint8),
-            qc,
-            mcuy * 8,
-            mcux * 8,
-        )
-        for p in (cb, cr)
-    ]
 
     bw = _BitWriter()
     prev = [0, 0, 0]  # DC predictors: Y, Cb, Cr
@@ -419,20 +457,7 @@ def encode_color(
             mcu_i += 1
     entropy = bw.flush()
 
-    samp_y = (hs << 4) | vs
-    out = b"\xff\xd8"  # SOI
-    out += _seg(0xFFE0, _APP0_JFIF)
-    out += _seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += _seg(  # SOF0: 3 components — Y (slot 0), Cb, Cr (slot 1)
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
-    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
-    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    out = _color_headers(qy, qc, h, w, (hs << 4) | vs, 0xFFC0)
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))  # SOS
@@ -548,12 +573,7 @@ def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
     zz = _zigzag_blocks(a, q, nby * 8, nbx * 8)  # (nby, nbx, 64)
     flat = zz.reshape(-1, 64)
 
-    out = b"\xff\xd8"
-    out += _seg(0xFFE0, _APP0_JFIF)
-    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out = _gray_headers(q, h, w, 0xFFC2)
 
     # scan 1: DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
     bw = _BitWriter()
@@ -591,45 +611,16 @@ def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
 
 
 def _encode_progressive_color(a: np.ndarray, quality: int, subsampling: str) -> bytes:
-    factors = {"4:2:0": (2, 2), "4:4:4": (1, 1)}
-    if subsampling not in factors:
-        raise ValueError(f"unknown subsampling {subsampling!r}")
-    hs, vs = factors[subsampling]
     h, w = a.shape[:2]
-    y, cb, cr = _rgb_to_ycbcr(a)
-    qy, qc = quant_table(quality), chroma_quant_table(quality)
-    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
-    y_zz = _zigzag_blocks(
-        np.clip(np.round(y), 0, 255).astype(np.uint8), qy, mcuy * 8 * vs, mcux * 8 * hs
+    y_zz, chroma, mcux, mcuy, hs, vs, qy, qc = _color_coef_grids(
+        a, quality, subsampling
     )
-    chroma = [
-        _zigzag_blocks(
-            np.clip(np.round(_box_subsample(p, vs, hs)), 0, 255).astype(np.uint8),
-            qc,
-            mcuy * 8,
-            mcux * 8,
-        )
-        for p in (cb, cr)
-    ]
     grids = [y_zz, *chroma]
     samps = [(hs, vs), (1, 1), (1, 1)]
     # each component's own (non-interleaved) grid for the AC scans
     own = [_comp_block_dims(hi, vi, hs, vs, h, w) for hi, vi in samps]
 
-    samp_y = (hs << 4) | vs
-    out = b"\xff\xd8"
-    out += _seg(0xFFE0, _APP0_JFIF)
-    out += _seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += _seg(
-        0xFFC2,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
-    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
-    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    out = _color_headers(qy, qc, h, w, (hs << 4) | vs, 0xFFC2)
 
     dc_encs = [_DC_ENC, _DC_CHROMA_ENC, _DC_CHROMA_ENC]
     ac_encs = [_AC_ENC, _AC_CHROMA_ENC, _AC_CHROMA_ENC]
@@ -761,16 +752,18 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to a uint8 luma grid.
+    """Decode a baseline (SOF0/8-bit SOF1) or progressive (SOF2) JPEG
+    to a uint8 luma grid.
 
     Single-component streams pass through; 3-component (YCbCr) color
     streams return the upsampled Y plane — exactly the Rec.601 luma,
     mirroring png.decode_gray's color collapse. Restart-interval
-    (DRI/RSTn) streams are fully supported; progressive,
-    arithmetic-coded, 4-component (CMYK) and non-interleaved
-    multi-scan streams raise ``NotImplementedError`` — gated, not
-    faked. Structurally malformed foreign streams (truncated segments,
-    references to undeclared tables, garbage lengths) surface as
+    (DRI/RSTn) streams are fully supported, in progressive scans too;
+    12-bit precision, lossless/arithmetic-coded, 4-component (CMYK)
+    and non-interleaved multi-scan *baseline* streams raise
+    ``NotImplementedError`` — gated, not faked. Structurally malformed
+    foreign streams (truncated segments, references to undeclared
+    tables, garbage lengths, invalid scan headers) surface as
     ``ValueError`` — never raw ``KeyError``/``IndexError``/
     ``struct.error`` from parse internals, so a corrupt blob in a
     media column fails with a classifiable error the decode UDF can
@@ -781,7 +774,8 @@ def decode_gray(data: bytes) -> np.ndarray:
 
 
 def decode_rgb(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB.
+    """Decode a baseline (SOF0/8-bit SOF1) or progressive (SOF2) JPEG
+    to (h, w, 3) uint8 RGB.
 
     3-component streams convert YCbCr→RGB (Rec.601 full range, the
     JFIF mapping); single-component streams replicate the gray plane

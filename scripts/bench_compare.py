@@ -31,6 +31,21 @@ def main() -> int:
     allow_drops = "--allow-drops" in sys.argv[1:]
     rev = argv[0] if argv else "HEAD"
     cur_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # bench.py's loaded-host guard diverts degraded runs to
+    # BENCH_DETAIL.loaded.json, leaving the canonical file untouched;
+    # if that diverted artifact is the NEWER of the two, it IS the
+    # latest run — comparing the stale canonical file against itself
+    # would silently pass a real regression.
+    loaded_path = os.path.join(REPO, "BENCH_DETAIL.loaded.json")
+    if os.path.exists(loaded_path) and (
+        not os.path.exists(cur_path)
+        or os.path.getmtime(loaded_path) > os.path.getmtime(cur_path)
+    ):
+        cur_path = loaded_path
+        print(
+            "note: latest run was guard-diverted to BENCH_DETAIL.loaded.json "
+            "— comparing it (expect host-load inflation OR a real regression)"
+        )
     with open(cur_path) as fh:
         cur = json.load(fh)
     ref_raw = subprocess.run(

@@ -65,6 +65,42 @@ def test_noise_floor_and_improvements_not_flagged(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, ref, cur) == 0
 
 
+def test_guard_diverted_run_still_gates(tmp_path, monkeypatch):
+    """When bench.py diverts a degraded run to BENCH_DETAIL.loaded.json,
+    bench_compare must pick up that newer artifact instead of silently
+    diffing the stale canonical file against itself."""
+    import os as _os
+    import time
+    import uuid
+
+    repo = tmp_path / f"r-{uuid.uuid4().hex[:8]}"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    ref = {"queries_min": {"q_a": 1.0}, "queries_extended": {}, "value_min": 1.0}
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(ref))
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "r"],
+        cwd=repo,
+        check=True,
+    )
+    time.sleep(0.05)
+    loaded = {"queries_min": {"q_a": 2.0}, "queries_extended": {}, "value_min": 2.0}
+    (repo / "BENCH_DETAIL.loaded.json").write_text(json.dumps(loaded))
+    _os.utime(repo / "BENCH_DETAIL.loaded.json")  # strictly newer
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(REPO, "scripts", "bench_compare.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "REPO", str(repo))
+    monkeypatch.setattr(mod.sys, "argv", ["bench_compare.py", "HEAD"])
+    assert mod.main() == 1, "diverted 2x regression must still flag"
+
+
 def test_dropped_query_gates_unless_waived(tmp_path, monkeypatch):
     ref = {"queries_min": {"q_a": 1.0, "q_b": 1.0}, "queries_extended": {},
            "value_min": 2.0}

@@ -101,6 +101,26 @@ def test_force_env_bypasses_guard(tmp_path, monkeypatch):
     )
 
 
+def test_guard_also_protects_working_tree_record(tmp_path, monkeypatch):
+    """A better record written this round but not yet committed must
+    not be clobbered by a later run that only beats the COMMITTED one."""
+    bench = _bench()
+    repo = _git_repo_with_record(tmp_path, RECORD)  # committed total 3.0
+    better = {"queries_min": {"q_a": 0.8, "q_b": 1.6}, "value_min": 2.4}
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(better))
+    monkeypatch.delenv("SPARK_BENCH_FORCE_DETAIL", raising=False)
+    # total 2.9: beats committed 3.0 but is >10% over working-tree 2.4
+    middling = {"queries_min": {"q_a": 0.9, "q_b": 2.0}, "value_min": 2.9}
+    assert bench.resolve_detail_path(middling, str(repo)).endswith(
+        "BENCH_DETAIL.loaded.json"
+    )
+    # a run beating BOTH records still lands canonically
+    best = {"queries_min": {"q_a": 0.7, "q_b": 1.5}, "value_min": 2.2}
+    assert bench.resolve_detail_path(best, str(repo)).endswith(
+        os.sep + "BENCH_DETAIL.json"
+    )
+
+
 def test_no_committed_record_writes_canonical_path(tmp_path, monkeypatch):
     bench = _bench()
     repo = tmp_path / "nogit"
