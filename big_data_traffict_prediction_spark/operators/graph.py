@@ -1,0 +1,279 @@
+"""Graph analytics over the part co-purchase graph — triangle census
+and fixed-point PageRank.
+
+The graph: parts are nodes; an undirected edge connects two parts that
+ever co-occur in one order's basket (distinct pairs, baskets capped at
+1024 members exactly like q_part_affinity / the dedup LSH buckets).
+Node and edge counts scale with SF — this is the data-proportional
+entity graph a recommender or curriculum pipeline derives from 100 TB
+of order facts, and both operators keep the heavy lifting on the
+contracted graph, never the facts:
+
+- **triangle census** (`q_graph_triangles`): the standard
+  degree-ordered orientation bounds the wedge-join intermediate at
+  O(m^1.5) regardless of hubs (each edge points from its lower-(deg,
+  id) endpoint to the higher one, so oriented out-degree ≤ O(√m)) —
+  the node-iterator shape every distributed triangle counter uses.
+  Output is a single exact-integer summary row, so the DuckDB oracle
+  (which can afford the naive a<b<c join at sf0.01) hash-matches
+  without replicating the orientation trick.
+- **PageRank** (`q_pagerank_parts`): PAGERANK_ITERS unrolled
+  power-iteration rounds in pure int64 fixed-point — per-node
+  contribution ``score // deg`` and damping ``(85·Σ) // 100`` are
+  floor divisions of nonnegative integers, so every round is
+  bit-identical in DuckDB's unrolled-CTE twin (the same discipline as
+  compat.exact_ppm: never a float accumulation across engines). The
+  iteration runs on the entity graph (|parts| rows), each round one
+  key-partitioned join + aggregation.
+
+Reference parity: the reference app has no graph operators — this is
+north-star LLM-pipeline surface (dedup-cluster analysis, co-occurrence
+centrality for sampling weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import bucket_pair_expand
+from ..registry import register
+from ..tables import load_table
+
+BASKET_CAP = 1024  # == q_part_affinity's AFFINITY_MAX_BASKET / LSH cap
+PAGERANK_ITERS = 5
+PR_SCALE = 1_000_000  # initial score per node, exact integer units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+# Shared DuckDB CTE: capped distinct baskets -> distinct undirected
+# edges (u < v) -> symmetric adjacency + degrees.
+_GRAPH_CTE = f"""
+li AS (
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY l_partkey
+  ) <= {BASKET_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+)
+""".strip()
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v), basket-capped.
+
+    Group-and-expand (one shuffle of the projected fact), identical
+    semantics to the oracle CTE above and to q_part_affinity's pair
+    builder: per-order distinct partkeys, smallest BASKET_CAP kept,
+    in-row i<j expansion — fan-out bounded by basket size, not data."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = bucket_pair_expand(
+        li, ("l_orderkey",), F.col("l_partkey"), lambda a, b: a < b
+    )
+    return pairs.select(
+        F.col("p.a").alias("u"), F.col("p.b").alias("v")
+    ).distinct()
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_GRAPH_CTE},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+wed AS (
+  SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CAST(FLOOR(3.0 * tri.n_triangles * 1000000 / GREATEST(wed.n_wedges, 1))
+            AS BIGINT) AS clustering_ppm
+FROM tri, wed
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: nodes, edges, wedges
+    (length-2 paths, from degrees alone), triangles, and the global
+    clustering coefficient 3·Δ/wedges as exact integer ppm.
+
+    Scale shape: edges are oriented from the lower-(deg, id) endpoint
+    to the higher one before the wedge self-join, so a hub of degree
+    10^6 contributes O(√m) oriented out-edges instead of 10^12 wedge
+    candidates — the intermediate is O(m^1.5) worst case, each stage a
+    key-partitioned equi-join. The oracle counts the same triangles
+    with the naive u<v<w join (orientation-invariant), so the hash
+    check verifies the optimization changed nothing."""
+    return triangle_census(copurchase_edges(spark, sf_dir))
+
+
+def triangle_census(raw_edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle census over a (u, v) u<v edge frame."""
+    edges = raw_edges.localCheckpoint(eager=False)
+    deg = _sym(edges).groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # degree-ordered orientation: src = lower (d, node), dst = higher
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    # wedge join on the LOW-out-degree src, closed by an edge lookup
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("w1"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w2"))
+    wedges = o1.join(o2, "src").filter(F.col("w1") < F.col("w2"))
+    closing = _sym(edges).select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.floor(
+                3.0
+                * F.col("n_triangles")
+                * 1_000_000
+                / F.greatest(F.col("n_wedges"), F.lit(1))
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration: one CTE layer per round (recursive
+    CTEs cannot aggregate per iteration), every step integer-exact."""
+    base = f"({1_000_000 * PR_DAMP_DEN - PR_DAMP_NUM * PR_SCALE} // {PR_DAMP_DEN})"
+    # (1-d)·SCALE as exact integer: (100·SCALE − 85·SCALE) // 100
+    layers = ["s0 AS (SELECT node, CAST({s} AS BIGINT) AS score FROM deg)".format(s=PR_SCALE)]
+    for k in range(PAGERANK_ITERS):
+        layers.append(
+            f"""s{k + 1} AS (
+  SELECT d.node,
+         CAST({base} + ({PR_DAMP_NUM} * COALESCE(agg.incoming, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS score
+  FROM deg d
+  LEFT JOIN (
+    SELECT sym.v AS node, SUM(s.score // dd.d) AS incoming
+    FROM sym
+    JOIN s{k} s ON s.node = sym.u
+    JOIN deg dd ON dd.node = sym.u
+    GROUP BY sym.v
+  ) agg ON agg.node = d.node
+)"""
+        )
+    return f"""
+WITH {_GRAPH_CTE},
+{",".join(layers)}
+SELECT node AS part, score
+FROM s{PAGERANK_ITERS}
+ORDER BY score DESC, part
+LIMIT 20
+"""
+
+
+@register("q_pagerank_parts", oracle=_pagerank_oracle())
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by fixed-point PageRank (d = 0.85,
+    PAGERANK_ITERS power-iteration rounds) over the co-purchase
+    graph — co-occurrence centrality, the sampling-weight /
+    hub-product signal derived from order facts.
+
+    Every arithmetic step is int64 floor division on nonnegative
+    values (score//deg per node, (85·Σ)//100 damping), so the whole
+    iteration is bit-identical to the oracle's unrolled-CTE twin — an
+    exact cross-engine check of an iterative linear-algebra operator.
+    Each round is one broadcast-free key-partitioned join (scores ⋈
+    symmetric adjacency) + one aggregation over the ENTITY graph
+    (|parts| rows, ∝ SF), never the facts; K rounds chain into a
+    single lazy plan with one final action."""
+    ranked = pagerank(copurchase_edges(spark, sf_dir), PAGERANK_ITERS)
+    return (
+        ranked.select(F.col("node").alias("part"), "score")
+        .orderBy(F.desc("score"), F.asc("part"))
+        .limit(20)
+    )
+
+
+def pagerank(raw_edges: DataFrame, iters: int) -> DataFrame:
+    """Fixed-point PageRank over a (u, v) u<v undirected edge frame;
+    returns (node, score) exact int64 after ``iters`` rounds."""
+    edges = raw_edges.localCheckpoint(eager=False)
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    base = (1_000_000 * PR_DAMP_DEN - PR_DAMP_NUM * PR_SCALE) // PR_DAMP_DEN
+    scores = deg.select("node", F.lit(PR_SCALE).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            scores.join(deg, "node")
+            .select(
+                F.col("node").alias("u"),
+                F.call_function("div", F.col("score"), F.col("d")).alias("c"),
+            )
+            .join(sym, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("incoming"))
+        )
+        scores = deg.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.call_function(
+                    "div",
+                    PR_DAMP_NUM * F.coalesce(F.col("incoming"), F.lit(0)),
+                    F.lit(PR_DAMP_DEN),
+                )
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    return scores

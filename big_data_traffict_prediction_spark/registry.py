@@ -304,6 +304,7 @@ def _load_modules() -> None:
         aggregates,
         analytics,
         geo,
+        graph,
         iou,
         joins,
         pipeline,

@@ -1,0 +1,141 @@
+"""Graph operators (operators/graph.py): triangle census and
+fixed-point PageRank pinned against independent driver-side
+computations on hand-built graphs, plus oracle parity at sf0.001."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, pairs):
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    return spark.createDataFrame(canon, "u long, v long")
+
+
+def _ref_triangles(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({x for e in es for x in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    deg = {n: 0 for n in nodes}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(nodes), len(es), wedges, tri
+
+
+def _ref_pagerank(pairs, iters, scale=1_000_000, num=85, den=100):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, list[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    base = (scale * den - num * scale) // den
+    score = {n: scale for n in adj}
+    for _ in range(iters):
+        incoming = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            c = score[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] += c
+        score = {n: base + (num * incoming[n]) // den for n in adj}
+    return score
+
+
+def test_triangle_census_on_known_graphs(spark):
+    from big_data_traffict_prediction_spark.operators.graph import triangle_census
+
+    cases = [
+        # K4: 4 triangles, plus a pendant and a disjoint edge
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (9, 10)],
+        # triangle + square (0 triangles in the square)
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (13, 10)],
+        # star: no triangles, many wedges
+        [(0, k) for k in range(1, 9)],
+    ]
+    for pairs in cases:
+        row = triangle_census(_edges_df(spark, pairs)).collect()[0]
+        n, m, wed, tri = _ref_triangles(pairs)
+        assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+            n, m, wed, tri,
+        ), pairs
+        exp_ppm = 3 * tri * 1_000_000 // max(wed, 1)
+        assert row.clustering_ppm == exp_ppm
+
+
+def test_triangle_census_matches_bruteforce_on_random_graph(spark):
+    import random
+
+    from big_data_traffict_prediction_spark.operators.graph import triangle_census
+
+    rng = random.Random(7)
+    pairs = {tuple(sorted(rng.sample(range(40), 2))) for _ in range(220)}
+    row = triangle_census(_edges_df(spark, pairs)).collect()[0]
+    n, m, wed, tri = _ref_triangles(pairs)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n, m, wed, tri,
+    )
+
+
+def test_pagerank_matches_reference_exactly(spark):
+    """The distributed fixed-point iteration equals an independent
+    Python reference bit-for-bit (same floor divisions) — including on
+    a hub graph where the hub must dominate."""
+    import random
+
+    from big_data_traffict_prediction_spark.operators.graph import (
+        PAGERANK_ITERS,
+        pagerank,
+    )
+
+    rng = random.Random(11)
+    hub = [(0, k) for k in range(1, 15)]
+    ring = [(100 + i, 100 + (i + 1) % 6) for i in range(6)]
+    rand = [tuple(sorted(rng.sample(range(200, 230), 2))) for _ in range(60)]
+    pairs = hub + ring + [p for p in rand if p[0] != p[1]]
+
+    got = {
+        r.node: r.score
+        for r in pagerank(_edges_df(spark, pairs), PAGERANK_ITERS).collect()
+    }
+    exp = _ref_pagerank(pairs, PAGERANK_ITERS)
+    assert got == exp
+    # the hub out-scores every leaf
+    assert got[0] > max(got[k] for k in range(1, 15))
+
+
+def test_graph_queries_match_oracle_at_smoke_sf(spark, sf_dir):
+    """End-to-end oracle parity at the smoke SF (the driver re-checks
+    at sf0.01)."""
+    import duckdb
+
+    from big_data_traffict_prediction_spark.operators.graph import (
+        q_graph_triangles,
+        q_pagerank_parts,
+    )
+    from big_data_traffict_prediction_spark.registry import all_oracles
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    oracles = all_oracles()
+    for name, fn in [
+        ("q_graph_triangles", q_graph_triangles),
+        ("q_pagerank_parts", q_pagerank_parts),
+    ]:
+        sp = {
+            tuple(sorted(r.asDict().items())) for r in fn(spark, sf_dir).collect()
+        }
+        du_cols = [d[0] for d in con.execute(oracles[name]).description]
+        du = {
+            tuple(sorted(zip(du_cols, row)))
+            for row in con.execute(oracles[name]).fetchall()
+        }
+        assert sp == du, name
