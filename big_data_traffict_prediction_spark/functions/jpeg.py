@@ -548,7 +548,10 @@ def _sos_payload(
 
 
 def encode_progressive(
-    arr: np.ndarray, quality: int = 75, subsampling: str = "4:2:0"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a 2-D grayscale or (h, w, 3) RGB uint8 array as a
     PROGRESSIVE (SOF2) JFIF JPEG, libjpeg-style scan script: DC first
@@ -557,16 +560,29 @@ def encode_progressive(
     exactly the same quantized coefficients as the baseline encoder at
     the same quality — the entropy layer is lossless — so
     ``decode_gray(encode_progressive(x))`` equals
-    ``decode_gray(encode_gray(x))`` bit-for-bit."""
+    ``decode_gray(encode_gray(x))`` bit-for-bit.
+    ``restart_interval`` (grayscale path) emits RSTn markers every
+    that-many blocks within EVERY scan — DC predictors and EOB runs
+    reset per spec, exercising the restart machinery of progressive
+    decoders."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2 and a.size:
-        return _encode_progressive_gray(a, quality)
+        return _encode_progressive_gray(a, quality, restart_interval)
     if a.ndim == 3 and a.shape[2] == 3 and a.size:
+        if restart_interval:
+            raise ValueError("restart_interval supported on the grayscale path")
         return _encode_progressive_color(a, quality, subsampling)
     raise ValueError("encode_progressive expects 2-D gray or (h, w, 3) RGB")
 
 
-def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
+def _rst_markers(bw: _BitWriter, i: int, ri: int) -> None:
+    """Emit the byte-aligned RSTn marker before block ``i`` when a
+    restart interval ``ri`` is active (same cadence as encode_gray)."""
+    if ri and i and i % ri == 0:
+        bw.emit_marker(0xD0 + ((i // ri - 1) % 8))
+
+
+def _encode_progressive_gray(a: np.ndarray, quality: int, ri: int = 0) -> bytes:
     h, w = a.shape
     nby, nbx = -(-h // 8), -(-w // 8)
     q = quant_table(quality)
@@ -574,11 +590,16 @@ def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
     flat = zz.reshape(-1, 64)
 
     out = _gray_headers(q, h, w, 0xFFC2)
+    if ri:
+        out += _seg(0xFFDD, struct.pack(">H", ri))  # DRI
 
     # scan 1: DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
     bw = _BitWriter()
     pred = 0
-    for blk in flat:
+    for i, blk in enumerate(flat):
+        if ri and i and i % ri == 0:
+            _rst_markers(bw, i, ri)
+            pred = 0
         t = int(blk[0]) >> 1
         diff = t - pred
         pred = t
@@ -592,19 +613,22 @@ def _encode_progressive_gray(a: np.ndarray, quality: int) -> bytes:
     # scans 2+3: AC first passes, spectral split, Al=1
     for ss, se in ((1, 5), (6, 63)):
         bw = _BitWriter()
-        for blk in flat:
+        for i, blk in enumerate(flat):
+            _rst_markers(bw, i, ri)  # EOBRUN is already flushed per block
             _emit_ac_first_block(bw, blk, ss, se, 1, _AC_ENC)
         out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], ss, se, 0, 1)) + bw.flush()
 
     # scan 4: AC refinement to full precision
     bw = _BitWriter()
-    for blk in flat:
+    for i, blk in enumerate(flat):
+        _rst_markers(bw, i, ri)
         _emit_ac_refine_block(bw, blk, 1, 63, 0, _AC_ENC)
     out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], 1, 63, 1, 0)) + bw.flush()
 
     # scan 5: DC refinement — one raw bit per block
     bw = _BitWriter()
-    for blk in flat:
+    for i, blk in enumerate(flat):
+        _rst_markers(bw, i, ri)
         bw.write(int(blk[0]) & 1, 1)
     out += _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 0, 1, 0)) + bw.flush()
     return out + b"\xff\xd9"

@@ -552,3 +552,25 @@ def test_corrupt_progressive_streams_raise_classifiable_errors():
                 dec(bytes(data[:cut]))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_progressive_restart_markers_round_trip():
+    """DRI/RSTn inside progressive scans: predictors and EOB runs
+    reset at every marker in every scan kind, and the decode still
+    equals baseline bit-for-bit."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(71)
+    for shape, ri in [((16, 16), 1), ((17, 23), 3), ((40, 33), 7)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_gray(encode_gray(img, 75))
+        prog = decode_gray(encode_progressive(img, 75, restart_interval=ri))
+        assert (base == prog).all(), (shape, ri)
+    data = encode_progressive(
+        rng.integers(0, 256, (24, 24), dtype=np.uint8), 75, restart_interval=2
+    )
+    assert any(
+        bytes([0xFF, m]) in data for m in range(0xD0, 0xD8)
+    ), "restart markers must actually be present in the stream"
