@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import exact_ppm, let
+from ..compat import exact_ppm, global_rank, let
 from ..registry import register
 from ..tables import load_table
 from .text import NORM_SQL, hash60, hash60_sql, norm_col
@@ -329,6 +329,109 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-insensitively).
     return pj.select(
         "d1", "d2", "n_common", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ------------------------------------------------- sorted neighborhood
+
+SND_KEY_LEN = 24  # blocking key: first chars of the normalized text
+SND_WINDOW = 4  # compare each doc with the next SND_WINDOW-1 by key order
+
+
+@register(
+    "q_dedup_sorted_neighborhood",
+    oracle=f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         SUBSTRING({NORM_SQL}, 1, {SND_KEY_LEN}) AS snd_key,
+         string_split({NORM_SQL}, ' ') AS toks
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY snd_key, doc_id) AS rk
+  FROM tokarr
+),
+cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+         GREATEST(a.doc_id, b.doc_id) AS d2,
+         CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+  FROM ranked a
+  JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + {SND_WINDOW - 1}
+),
+sharr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM tokarr WHERE len(toks) >= 3
+)
+SELECT c.d1, c.d2, c.rank_gap,
+       CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_common,
+       ROUND(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+             / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))
+                    AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sharr s1 ON s1.doc_id = c.d1
+JOIN sharr s2 ON s2.doc_id = c.d2
+WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))
+             AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup — the classic SORT-based blocking
+    family (Hernández-Stolfo merge/purge) the hash-based families
+    (LSH bands, simhash buckets) don't cover: sort the corpus by a
+    blocking key (first SND_KEY_LEN chars of the normalized text),
+    verify exact 3-gram Jaccard only between docs within SND_WINDOW
+    positions of each other — candidate volume is a FIXED (w−1)·n,
+    independent of key-collision skew, which is the method's whole
+    appeal when a hot hash bucket would explode.
+
+    Scale shape: the global sort order comes from ``compat.global_rank``
+    (range repartition + broadcast offsets — never a single-partition
+    window), and the window pairing is (w−1) rank equi-joins, each a
+    key-partitioned hash join on a dense integer. Shingle verification
+    is an in-row array intersection on the (w−1)·n candidate pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(norm_col(), 1, SND_KEY_LEN).alias("snd_key")
+    )
+    ranked = global_rank(d, ["snd_key", "doc_id"]).select(
+        "doc_id", F.col("_rk").alias("rk")
+    )
+    right = ranked.select(F.col("doc_id").alias("db"), F.col("rk").alias("rkb"))
+    cands = None
+    for delta in range(1, SND_WINDOW):
+        c = (
+            ranked.withColumn("rkb", F.col("rk") + delta)
+            .join(right, "rkb")
+            .select(
+                F.least("doc_id", "db").alias("d1"),
+                F.greatest("doc_id", "db").alias("d2"),
+                F.lit(delta).cast("long").alias("rank_gap"),
+            )
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    sh = shingle_arrays(spark, sf_dir).filter(F.size("shingles") > 0)
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = n_common.cast("double") / (
+        F.size("sh1") + F.size("sh2") - n_common
+    ).cast("double")
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "rank_gap",
+            n_common.cast("long").alias("n_common"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        # pair-set semantics: no global output sort (see ngram twin)
     )
 
 

@@ -455,3 +455,20 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         for cc in _cc_algorithms():
             got = {r.doc_id: r.label for r in cc(sym).collect()}
             assert got == expect, f"trial {trial} diverged ({cc.__name__})"
+
+
+def test_sorted_neighborhood_pairs_are_true_near_dups(spark, sf_dir):
+    """Every SND-confirmed pair must be a true exact-Jaccard near-dup
+    (the verify step is the same statistic, so SND ⊆ exact), and the
+    window blocking must actually surface pairs at the smoke SF."""
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        q_dedup_ngram_jaccard,
+        q_dedup_sorted_neighborhood,
+    )
+
+    exact = {(r.d1, r.d2) for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()}
+    snd = {
+        (r.d1, r.d2) for r in q_dedup_sorted_neighborhood(spark, sf_dir).collect()
+    }
+    assert snd, "sorted-neighborhood found no pairs at smoke SF"
+    assert snd <= exact, f"false positives: {sorted(snd - exact)[:5]}"
