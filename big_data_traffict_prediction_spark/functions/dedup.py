@@ -413,7 +413,12 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cands = c if cands is None else cands.unionAll(c)
-    sh = shingle_arrays(spark, sf_dir).filter(F.size("shingles") > 0)
+    # No emptiness filter needed: _tokenized keeps only len(toks) >= 3,
+    # which guarantees >= 1 shingle — and a filter on size(shingles)
+    # would re-inline the whole shingle HOF into the pushed-down
+    # predicate (CollapseProject), measured 28× slower (see SCALE.md
+    # expression-reuse rule).
+    sh = shingle_arrays(spark, sf_dir)
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
