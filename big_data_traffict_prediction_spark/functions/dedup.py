@@ -65,12 +65,19 @@ def bucket_pair_expand(df, bucket_cols, member_col, lt):
     # real collision groups (~14% off q_dedup_simhash end-to-end in a
     # same-session A/B at sf0.1; pure win, never changes the pair set)
     members = members.filter(F.size("ms") >= 2)
+    # Triangle expansion: element i pairs only with the slice AFTER it,
+    # so m·(m−1)/2 structs are built instead of m² (the members list is
+    # sorted, and every caller's ``lt`` agrees with that sort order).
+    # The lt filter stays as the tie/contract guard — it is ~all-true
+    # and cheap, while the halved struct generation is the win.
+    n = F.size("ms")
     pairs = F.filter(
         F.flatten(
             F.transform(
                 "ms",
-                lambda a: F.transform(
-                    "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                lambda a, i: F.transform(
+                    F.slice("ms", i + F.lit(2), n - i - F.lit(1)),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
                 ),
             )
         ),
@@ -628,10 +635,10 @@ sig AS (
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — bit-vote SimHash computed per-row with
-    higher-order functions: hash each distinct word once, then take a
-    per-bit majority vote with one filter pass per bit over the bound
-    hash array. No word explode, no bit cross-join, ZERO shuffles —
-    a pure map over the documents scan at any scale."""
+    higher-order functions: hash each distinct word once, then fold the
+    hash array into a 32-slot majority-vote count array in one pass.
+    No word explode, no bit cross-join, ZERO shuffles — a pure map
+    over the documents scan at any scale."""
     d = load_table(spark, sf_dir, "documents")
     # One md5 per distinct word, per-row: parallelize the CPU work
     # across cores regardless of the source's split count.
@@ -640,29 +647,44 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split(norm_col(), " ")), lambda w: hash60(w)
     )
 
-    # Pivoted bit-vote: one popcount-style filter pass per BIT over the
-    # let-bound hash array (32 array scans, no per-word 32-slot vote
-    # array or zip_with allocation). Bit b is set iff a majority of
-    # word hashes carry it: 2·|{h: bit set}| > |hashes| — identical to
-    # the vote-sum > 0 formulation (ties → 0 in both), measured ~25%
-    # faster than the fold because codegen keeps each filter loop
-    # allocation-free. The md5s still run ONCE: `let` binds the hash
-    # array before the 32 references (compat.let).
+    # Single-pass bit-vote: ONE aggregate folds the hash array into a
+    # 32-slot count array (zip_with against a bit-index sequence; the
+    # runtime shift amount needs call_function("shiftright", h, b) —
+    # the Python F.shiftright only takes literal shift counts), then a
+    # second small fold turns majority counts into the signature. Bit b
+    # is set iff a majority of word hashes carry it: 2·count > n (ties
+    # → 0). Same value as the old per-bit filter formulation, but the
+    # expression tree is 3 lambdas instead of 32 filter passes —
+    # per-query plan construction + Catalyst optimization of the giant
+    # tree dominated the old runtime (~0.6 s fixed per execution,
+    # measured r9: data work at sf0.1 is only ~0.04 s), so shrinking
+    # the tree, not the per-row work, is the 2× win. The md5s still
+    # run ONCE: `let` binds the hash array before both folds.
+    bitseq = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+
     def simhash_of(hs):
         n = F.size(hs)
-        return sum(
-            (
-                F.when(
-                    F.size(
-                        F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
-                    )
-                    * 2
-                    > n,
-                    F.lit(1 << b).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(SIMHASH_BITS)
+        counts = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+            lambda acc, h: F.zip_with(
+                acc,
+                bitseq,
+                lambda c, b: c
+                + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)),
             ),
-            start=F.lit(0).cast("long"),
+        )
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                bitseq,
+                lambda c, b: F.when(
+                    c * 2 > n,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
         )
 
     simhash = let(hashes, simhash_of)
