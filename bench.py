@@ -165,7 +165,16 @@ def _is_degraded_run(new_detail: dict, committed: dict, tol: float = 1.10) -> bo
     """
     new_q = new_detail.get("queries_min") or {}
     old_q = committed.get("queries_min") or {}
-    shared = set(new_q) & set(old_q)
+    # skip non-numeric cells (a corrupt record must degrade to "not
+    # degraded", never TypeError at the end of an expensive sweep)
+    shared = [
+        k
+        for k in set(new_q) & set(old_q)
+        if isinstance(new_q[k], (int, float))
+        and isinstance(old_q[k], (int, float))
+        and not isinstance(new_q[k], bool)
+        and not isinstance(old_q[k], bool)
+    ]
     if not shared:
         return False
     new_total = sum(new_q[k] for k in shared)

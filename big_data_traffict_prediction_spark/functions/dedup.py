@@ -435,6 +435,9 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(s1, "d1")
         .join(s2, "d2")
+        # threshold on the RAW ratio (like the ngram twin and the
+        # DuckDB oracle); rounding is output-formatting only
+        .filter(jaccard >= JACCARD_THRESHOLD)
         .select(
             "d1",
             "d2",
@@ -442,7 +445,6 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_common.cast("long").alias("n_common"),
             F.round(jaccard, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         # pair-set semantics: no global output sort (see ngram twin)
     )
 

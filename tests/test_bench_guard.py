@@ -67,6 +67,30 @@ def test_degraded_detection_over_shared_keys():
     )
 
 
+def test_non_numeric_cells_degrade_gracefully():
+    """A corrupt record (null / string / bool cells) must not raise at
+    the end of an expensive sweep — skip the bad keys, compare the
+    rest, and fall back to 'not degraded' when nothing is comparable."""
+    bench = _bench()
+    # corrupt cell on one side: the other (shared, numeric) key still
+    # drives the verdict
+    assert bench._is_degraded_run(
+        {"queries_min": {"q_a": 1.0, "q_b": 9.9}},
+        {"queries_min": {"q_a": None, "q_b": 2.0}},
+    )
+    assert not bench._is_degraded_run(
+        {"queries_min": {"q_a": "oops", "q_b": 2.0}}, RECORD
+    )
+    # bools are ints in Python but nonsense as timings -> skipped
+    assert not bench._is_degraded_run(
+        {"queries_min": {"q_a": True, "q_b": 2.0}}, RECORD
+    )
+    # nothing comparable at all -> not degraded, no TypeError
+    assert not bench._is_degraded_run(
+        {"queries_min": {"q_a": None, "q_b": None}}, RECORD
+    )
+
+
 def test_loaded_run_does_not_clobber_committed_record(tmp_path, monkeypatch):
     bench = _bench()
     repo = _git_repo_with_record(tmp_path, RECORD)

@@ -574,3 +574,130 @@ def test_progressive_restart_markers_round_trip():
     assert any(
         bytes([0xFF, m]) in data for m in range(0xD0, 0xD8)
     ), "restart markers must actually be present in the stream"
+
+
+def test_progressive_multiblock_eobrun_decodes_like_baseline():
+    """Hand-built progressive stream with ACCUMULATED EOB runs — the
+    path every libjpeg progressive file uses but the in-repo encoder
+    (single-block EOB0 only) cannot produce, and the standard Annex-K
+    tables cannot even express (no EOBn symbols). Builds a custom
+    full-symbol AC DHT and writes EOBn symbols with r > 0 (+ extension
+    bits) in BOTH the AC first scan and the AC refinement scan, with
+    buffered correction bits, then asserts the decode equals the
+    baseline encoding of the same coefficients bit-for-bit
+    (decoder: functions/jpeg.py _ac_first_unit/_ac_refine_unit)."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        _AC_ENC,
+        _BitWriter,
+        _DC_ENC,
+        _amplitude,
+        _canonical_codes,
+        _category,
+        _emit_block,
+        _gray_headers,
+        _seg,
+        _sos_payload,
+    )
+
+    h, w = 8, 48  # one row of six 8x8 blocks
+    q = np.ones((8, 8), dtype=np.int64)
+    # zigzag-order coefficients per block (index = zigzag position)
+    blocks = np.zeros((6, 64), dtype=np.int64)
+    blocks[0, 0], blocks[0, 1], blocks[0, 2] = 10, 6, 1
+    blocks[1, 0], blocks[2, 0], blocks[3, 0], blocks[4, 0] = 8, 9, 7, 12
+    blocks[5, 0], blocks[5, 1], blocks[5, 3], blocks[5, 5] = 5, 4, -2, 1
+
+    # --- baseline twin: standard tables, sequential scan ------------
+    bw = _BitWriter()
+    prev = 0
+    for b in blocks:
+        prev = _emit_block(bw, b, prev, _DC_ENC, _AC_ENC)
+    base_file = (
+        _gray_headers(q, h, w, 0xFFC0)
+        + _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 63, 0, 0))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+    # --- progressive twin: custom AC DHT with EOBn symbols ----------
+    ac_vals = [0x00, 0x01, 0x02, 0x10, 0x11, 0x20, 0x21]
+    ac_bits = [0] * 16
+    ac_bits[2] = len(ac_vals)  # all symbols at code length 3
+    ac_enc = _canonical_codes(ac_bits, ac_vals)
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        _APP0_JFIF,
+        DC_BITS,
+        DC_VALS,
+        ZIGZAG,
+    )
+
+    headers = (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _APP0_JFIF)
+        + _seg(0xFFDB, b"\x00" + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8)))
+        + _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    )
+
+    def sym(bw, table, s):
+        code, ln = table[s]
+        bw.write(code, ln)
+
+    # scan 1: DC first pass, Al=1 (standard DC table)
+    bw = _BitWriter()
+    prev = 0
+    for b in blocks:
+        v = int(b[0]) >> 1
+        diff, prev = v - prev, v
+        size = _category(diff)
+        sym(bw, _DC_ENC, size)
+        if size:
+            bw.write(_amplitude(diff, size), size)
+    scan_dc1 = _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 0, 0, 1)) + bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    bw = _BitWriter()
+    for b in blocks:
+        bw.write(int(b[0]) & 1, 1)
+    scan_dc2 = _seg(0xFFDA, _sos_payload([(1, 0, 0)], 0, 0, 1, 0)) + bw.flush()
+
+    # scan 3: AC first pass, Al=1 — EOBn with r=2 + 2 extension bits
+    # spanning five blocks (eobrun = 4 + 1)
+    bw = _BitWriter()
+    sym(bw, ac_enc, 0x02)           # block 0: k=1, value 6>>1 = 3
+    bw.write(_amplitude(3, 2), 2)
+    sym(bw, ac_enc, 0x20)           # EOB4..7, ext=1 -> run of 5 blocks
+    bw.write(1, 2)
+    sym(bw, ac_enc, 0x02)           # block 5: k=1, value 4>>1 = 2
+    bw.write(_amplitude(2, 2), 2)
+    sym(bw, ac_enc, 0x11)           # run 1, value -2 -> -1 (toward zero)
+    bw.write(_amplitude(-1, 1), 1)
+    sym(bw, ac_enc, 0x00)           # EOB0: this block only
+    scan_ac1 = _seg(0xFFDA, _sos_payload([(1, 0, 0)], 1, 63, 0, 1)) + bw.flush()
+
+    # scan 4: AC refinement, Ah=1 Al=0 — newly-significant bits with
+    # buffered correction bits, then EOBn (r=1) runs with ext bits
+    bw = _BitWriter()
+    sym(bw, ac_enc, 0x01)  # block 0: new +1 at k=2 (run 0 over history)
+    bw.write(1, 1)         # sign: positive
+    bw.write(0, 1)         # correction bit for k=1 (6 stays 6)
+    sym(bw, ac_enc, 0x10)  # EOB2..3, ext=1 -> eobrun 3 (blocks 0..2)
+    bw.write(1, 1)
+    sym(bw, ac_enc, 0x10)  # block 3: EOB2..3, ext=0 -> eobrun 2 (3..4)
+    bw.write(0, 1)
+    sym(bw, ac_enc, 0x21)  # block 5: new +1 at k=5 (run 2: k2, k4)
+    bw.write(1, 1)         # sign: positive
+    bw.write(0, 1)         # correction bit for k=1 (4 stays 4)
+    bw.write(0, 1)         # correction bit for k=3 (-2 stays -2)
+    sym(bw, ac_enc, 0x00)  # EOB0
+    scan_ac2 = _seg(0xFFDA, _sos_payload([(1, 0, 0)], 1, 63, 1, 0)) + bw.flush()
+
+    prog_file = headers + scan_dc1 + scan_dc2 + scan_ac1 + scan_ac2 + b"\xff\xd9"
+    base_px = decode_gray(base_file)
+    prog_px = decode_gray(prog_file)
+    assert base_px.shape == prog_px.shape == (h, w)
+    assert (base_px == prog_px).all()
+    # the stream is not degenerate: the blocks differ from each other,
+    # so a mis-accounted EOB run would misalign every later block
+    assert len(np.unique(base_px.reshape(6, -1, 8).mean(axis=(1, 2)))) >= 4
