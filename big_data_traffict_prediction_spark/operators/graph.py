@@ -44,6 +44,7 @@ BASKET_CAP = 1024  # == q_part_affinity's AFFINITY_MAX_BASKET / LSH cap
 PAGERANK_ITERS = 5
 PR_SCALE = 1_000_000  # initial score per node, exact integer units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+PR_CHECKPOINT_EVERY = 10  # truncate score lineage every K rounds
 
 # Shared DuckDB CTE: capped distinct baskets -> distinct undirected
 # edges (u < v) -> symmetric adjacency + degrees.
@@ -244,7 +245,14 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(raw_edges: DataFrame, iters: int) -> DataFrame:
     """Fixed-point PageRank over a (u, v) u<v undirected edge frame;
-    returns (node, score) exact int64 after ``iters`` rounds."""
+    returns (node, score) exact int64 after ``iters`` rounds.
+
+    Lineage growth is bounded: each round chains one join + one agg
+    onto the score frame, so at large ``iters`` the lazy plan (and
+    optimizer time) would grow linearly — a lazy ``localCheckpoint``
+    every PR_CHECKPOINT_EVERY rounds truncates it (values unchanged;
+    pinned by tests/test_graph.py's cadence-equality test), keeping
+    the per-round plan O(PR_CHECKPOINT_EVERY) whatever ``iters`` is."""
     edges = raw_edges.localCheckpoint(eager=False)
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
@@ -252,7 +260,9 @@ def pagerank(raw_edges: DataFrame, iters: int) -> DataFrame:
     )
     base = (1_000_000 * PR_DAMP_DEN - PR_DAMP_NUM * PR_SCALE) // PR_DAMP_DEN
     scores = deg.select("node", F.lit(PR_SCALE).cast("long").alias("score"))
-    for _ in range(iters):
+    for i in range(iters):
+        if i and i % PR_CHECKPOINT_EVERY == 0:
+            scores = scores.localCheckpoint(eager=False)
         contrib = (
             scores.join(deg, "node")
             .select(

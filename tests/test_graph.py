@@ -110,6 +110,36 @@ def test_pagerank_matches_reference_exactly(spark):
     assert got[0] > max(got[k] for k in range(1, 15))
 
 
+def test_pagerank_deep_iteration_checkpoints_and_conserves_mass(spark):
+    """iters=20 (2 checkpoint truncations at PR_CHECKPOINT_EVERY=10):
+    still bit-equal to the Python reference, and total score mass stays
+    within the floor-division loss envelope of N·PR_SCALE — each round
+    re-injects exact N·base then loses < d_u units at each node's
+    score//d plus < 1 unit per damping floor, a steady-state deficit
+    bounded by (num/(den-num))·(2·|E| + N)."""
+    import random
+
+    from big_data_traffict_prediction_spark.operators.graph import (
+        PR_CHECKPOINT_EVERY,
+        PR_SCALE,
+        pagerank,
+    )
+
+    rng = random.Random(23)
+    pairs = [tuple(sorted(rng.sample(range(60), 2))) for _ in range(150)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    iters = 2 * PR_CHECKPOINT_EVERY
+    got = {r.node: r.score for r in pagerank(_edges_df(spark, pairs), iters).collect()}
+    exp = _ref_pagerank(pairs, iters)
+    assert got == exp, "checkpoint cadence must not change any score"
+    n = len(exp)
+    m = len({(min(a, b), max(a, b)) for a, b in pairs})
+    total, exact = sum(got.values()), n * PR_SCALE
+    max_deficit = (85 * (2 * m + n)) // 15 + 1
+    assert exact - max_deficit <= total <= exact, (total, exact, max_deficit)
+    assert all(s > 0 for s in got.values())
+
+
 def test_graph_queries_match_oracle_at_smoke_sf(spark, sf_dir):
     """End-to-end oracle parity at the smoke SF (the driver re-checks
     at sf0.01)."""

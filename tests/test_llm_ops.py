@@ -235,6 +235,48 @@ def test_phash_dedup_recovers_planted_replicas(spark, sf_dir):
     assert all(m1 % PHASH_REPLICA_EVERY == 0 for m1, _ in planted)
 
 
+def test_phash_is_representation_invariant_across_codecs(spark, sf_dir):
+    """Adversarial cross-codec fixture: the SAME image re-encoded as
+    PGM, plain PNG, palette PNG, baseline JPEG and progressive JPEG
+    must produce ONE phash. Lossless codecs must agree exactly with
+    the source pixels; the two JPEG variants decode identical pixels
+    (lossless entropy layer over the same coefficients); and the image
+    is built with ≥16-gray-level margins between adjacent thumbnail
+    samples so JPEG quantization error (a few levels on a smooth ramp)
+    cannot flip any of the 56 dHash comparisons. Turns the r8 codec
+    matrix into a dedup-correctness guarantee: a re-encoded duplicate
+    lands in the same phash bucket whatever container it arrived in."""
+    import numpy as np
+
+    from big_data_traffict_prediction_spark.functions import jpeg, png
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        _phash_col,
+        decode_features,
+    )
+
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.clip(2 * x + y, 0, 255).astype(np.uint8)
+    payloads = {
+        1: b"P5\n64 64\n255\n" + img.tobytes(),
+        2: png.encode_gray(img),
+        3: png.encode_palette(img),
+        4: jpeg.encode_gray(img),
+        5: jpeg.encode_progressive(img),
+    }
+    df = spark.createDataFrame(
+        [(mid, "image", p) for mid, p in payloads.items()],
+        "media_id long, kind string, payload binary",
+    )
+    rows = (
+        decode_features(df)
+        .select("media_id", "decoded_ok", _phash_col().alias("phash"))
+        .collect()
+    )
+    assert len(rows) == 5 and all(r.decoded_ok for r in rows)
+    hashes = {r.media_id: r.phash for r in rows}
+    assert len(set(hashes.values())) == 1, f"phash diverged: {hashes}"
+
+
 def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     """PQ (6-bit × 8 subspaces) + exact re-rank must recover ≥0.8 of
     the exact brute-force top-5 per query on average — the standard
