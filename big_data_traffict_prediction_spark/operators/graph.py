@@ -1,5 +1,5 @@
-"""Graph analytics over the part co-purchase graph — triangle census
-and fixed-point PageRank.
+"""Graph analytics over the part co-purchase graph — triangle census,
+fixed-point PageRank, and k-core decomposition.
 
 The graph: parts are nodes; an undirected edge connects two parts that
 ever co-occur in one order's basket (distinct pairs, baskets capped at
@@ -25,10 +25,15 @@ contracted graph, never the facts:
   compat.exact_ppm: never a float accumulation across engines). The
   iteration runs on the entity graph (|parts| rows), each round one
   key-partitioned join + aggregation.
+- **k-core** (`q_kcore_parts`): decrement-propagation peeling at a
+  percentile-derived threshold — the adjacency checkpoints once, each
+  round touches only the node-sized degree frame plus the (shrinking,
+  InSet-shippable) removed set, and the unrolled-CTE oracle stays in
+  lockstep with the round cap.
 
 Reference parity: the reference app has no graph operators — this is
 north-star LLM-pipeline surface (dedup-cluster analysis, co-occurrence
-centrality for sampling weights).
+centrality for sampling weights, dense-subgraph spam detection).
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..compat import global_rank
 from ..functions.dedup import bucket_pair_expand
 from ..registry import register
 from ..tables import load_table
@@ -239,6 +245,178 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.select(F.col("node").alias("part"), "score")
         .orderBy(F.desc("score"), F.asc("part"))
+        .limit(20)
+    )
+
+
+KCORE_PCTL = 5  # K = the 5th-percentile initial degree (exact rank pick)
+KCORE_MAX_ITERS = 20  # peel-round cap; raises rather than return partial
+KCORE_COLLECT_CAP = 10_000  # max removed-set size shipped as an InSet
+
+
+def kcore_edges(edges: DataFrame, k: int, max_iters: int = KCORE_MAX_ITERS) -> DataFrame:
+    """Iterative degree-prune to the k-core of a (u, v) u<v edge
+    frame: each synchronous round drops every node whose CURRENT
+    degree < k until a fixed point — the standard peeling algorithm,
+    the third graph primitive (after triangles / PageRank)
+    corpus-quality pipelines use for dense-subgraph spam detection.
+
+    Scale shape — decrement propagation, not edge re-filtering: the
+    adjacency checkpoints ONCE; each round works on the NODE-sized
+    degree frame, joining the adjacency only against this round's
+    (shrinking) removed set to decrement the survivors' degrees —
+    with AQE on, that join broadcasts the removed side at runtime, so
+    the edge set is scanned in place and never re-shuffled. Removing
+    R and subtracting each survivor's edges-into-R is exactly
+    recomputing degrees on the induced subgraph, so rounds are
+    bit-identical to whole-graph peel layers (and to the oracle's
+    unrolled CTE). The driver holds one scalar per round (the removed
+    count — the convergence check); the degree frame localCheckpoints
+    each round (same discipline as connected_components / pagerank,
+    SCALE.md). Exhausting ``max_iters`` rounds RAISES instead of
+    emitting a partially-peeled graph; the cap is in lockstep with
+    the oracle's unroll depth."""
+    e = edges.localCheckpoint(eager=True)
+    sym = _sym(e)
+    alive = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    # +1: convergence on the last allowed round still needs one
+    # (no-removal) round to be observed
+    for _ in range(max_iters + 1):
+        removed = alive.filter(F.col("d") < k)
+        n_removed = removed.count()
+        if n_removed == 0:
+            surv = alive.select("node")
+            return (
+                e.join(surv.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(surv.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+            )
+        if n_removed <= KCORE_COLLECT_CAP:
+            # peeling cascades shrink fast: past round 1 the removed
+            # set is tens of nodes, so ship it as an InSet predicate
+            # (explicitly capped — the PQ_TRAIN_CAP discipline, never
+            # an unbounded collect) and turn the decrement join into a
+            # filtered scan of the checkpointed adjacency: no shuffle
+            # of the edge set, just a partial-agg of the hit rows
+            ids = [r.node for r in removed.select("node").collect()]
+            hit = sym.filter(F.col("u").isin(ids))
+        else:
+            hit = sym.join(removed.select(F.col("node").alias("u")), "u")
+        dec = (
+            hit.groupBy(F.col("v").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("ndec"))
+        )
+        alive = (
+            alive.filter(F.col("d") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce("ndec", F.lit(0))).cast("long").alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_iters} rounds — "
+        "unprecedented for the co-purchase graph (≤10 observed at "
+        "bench SFs); raise KCORE_MAX_ITERS in lockstep with the "
+        "oracle's unroll depth"
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: one CTE layer per round, KCORE_MAX_ITERS deep.
+    The fixed point is idempotent, so extra layers are no-ops and the
+    unrolled depth only needs to be ≥ the rounds Spark actually takes
+    (Spark raises beyond the same cap, keeping the two in lockstep)."""
+    layers = [
+        "dk AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, node) AS rn FROM deg)",
+        f"""kth AS (
+  SELECT d AS kval FROM dk
+  WHERE rn = (SELECT COUNT(*) * {KCORE_PCTL} // 100 + 1 FROM deg)
+)""",
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)",
+    ]
+    for i in range(KCORE_MAX_ITERS):
+        layers.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+  GROUP BY node
+),
+n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= (SELECT kval FROM kth)),
+e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{i}
+  WHERE u IN (SELECT node FROM n{i}) AND v IN (SELECT node FROM n{i})
+)"""
+        )
+    return f"""
+WITH {_GRAPH_CTE},
+{",".join(layers)},
+cd AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM (SELECT u AS node FROM e{KCORE_MAX_ITERS}
+        UNION ALL SELECT v FROM e{KCORE_MAX_ITERS})
+  GROUP BY node
+)
+SELECT node AS part, core_degree,
+       (SELECT CAST(kval AS BIGINT) FROM kth) AS k_threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cd) AS n_core
+FROM cd
+ORDER BY core_degree DESC, part
+LIMIT 20
+"""
+
+
+@register("q_kcore_parts", oracle=_kcore_oracle())
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 members of the K-core of the co-purchase graph (K = the
+    5th-percentile initial degree, an exact rank pick so the threshold
+    scales with the corpus instead of going stale at a fixed constant),
+    with each member's within-core degree plus the threshold and core
+    size — the dense-subgraph signal corpus curation uses to flag
+    template/spam clusters and recommenders use for stable co-purchase
+    neighborhoods.
+
+    The percentile pick uses compat.global_rank (range repartition +
+    broadcast offsets — no data-sized single-partition window); K then
+    travels to the peel loop as one driver scalar, the same footprint
+    as connected_components' convergence counter. Exact integer
+    output end-to-end, so the unrolled-CTE oracle hash-matches."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg0 = (
+        _sym(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ranked = global_rank(deg0, ["d", "node"])
+    kval = (
+        ranked.filter(
+            F.col("_rk")
+            == F.call_function("div", F.col("_n") * KCORE_PCTL, F.lit(100)) + 1
+        )
+        .select("d")
+        .collect()[0][0]
+    )
+    core = kcore_edges(edges, int(kval))
+    cd = (
+        _sym(core)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    stats = cd.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    return (
+        cd.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("node").alias("part"),
+            "core_degree",
+            F.lit(int(kval)).cast("long").alias("k_threshold"),
+            "n_core",
+        )
+        .orderBy(F.desc("core_degree"), F.asc("part"))
         .limit(20)
     )
 

@@ -140,6 +140,54 @@ def test_pagerank_deep_iteration_checkpoints_and_conserves_mass(spark):
     assert all(s > 0 for s in got.values())
 
 
+def _ref_kcore(pairs, k):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        doomed = [n for n, s in adj.items() if len(s) < k]
+        if not doomed:
+            return {n: len(s) for n, s in adj.items()}
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def test_kcore_matches_reference_on_random_and_cascading_graphs(spark):
+    """The distributed peel equals full-convergence Python peeling —
+    including a graph built to CASCADE (removing the fringe drops core
+    members below k in later rounds) so multi-round correctness is
+    actually exercised, and the over-cap case raises instead of
+    returning a partially peeled graph."""
+    import random
+
+    import pytest
+
+    from big_data_traffict_prediction_spark.operators.graph import kcore_edges
+
+    rng = random.Random(7)
+    rand = [tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)]
+    # K4 core + a chain of pendants hanging off it: peeling the chain
+    # takes one round per link (cascade), 5 rounds for k=2
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 100), (100, 101), (101, 102), (102, 103), (103, 104)]
+    for pairs, k in [(rand, 5), (k4 + chain, 2), (k4 + chain, 3)]:
+        pairs = [p for p in pairs if p[0] != p[1]]
+        core = kcore_edges(_edges_df(spark, pairs), k)
+        got: dict[int, int] = {}
+        for r in core.collect():
+            got[r.u] = got.get(r.u, 0) + 1
+            got[r.v] = got.get(r.v, 0) + 1
+        assert got == _ref_kcore(pairs, k), (k, len(pairs))
+    # a 2-core peel of a 50-link path needs 25 rounds > the 20 cap
+    path = [(i, i + 1) for i in range(50)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_edges(_edges_df(spark, path), 2)
+
+
 def test_graph_queries_match_oracle_at_smoke_sf(spark, sf_dir):
     """End-to-end oracle parity at the smoke SF (the driver re-checks
     at sf0.01)."""
@@ -156,9 +204,12 @@ def test_graph_queries_match_oracle_at_smoke_sf(spark, sf_dir):
         f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
     )
     oracles = all_oracles()
+    from big_data_traffict_prediction_spark.operators.graph import q_kcore_parts
+
     for name, fn in [
         ("q_graph_triangles", q_graph_triangles),
         ("q_pagerank_parts", q_pagerank_parts),
+        ("q_kcore_parts", q_kcore_parts),
     ]:
         sp = {
             tuple(sorted(r.asDict().items())) for r in fn(spark, sf_dir).collect()
