@@ -393,6 +393,9 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     ranked = global_rank(deg0, ["d", "node"])
+    # bounded: the rank filter matches exactly ONE row — a single
+    # scalar (the threshold K) reaches the driver, same footprint as
+    # connected_components' convergence counter
     kval = (
         ranked.filter(
             F.col("_rk")
