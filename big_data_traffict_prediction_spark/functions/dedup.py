@@ -608,6 +608,78 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+{_MINHASH_CTE.replace("cand AS (", "cand0 AS (")},
+cand AS (
+  SELECT a.doc_id AS d_old, b.doc_id AS d_new
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.doc_id AS d_old, b.doc_id AS d_new, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT c.d_new, c.d_old,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(c1.n + c2.n - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(c1.n + c2.n - COALESCE(i.n_common, 0) AS DOUBLE)
+           >= {JACCARD_THRESHOLD} AS is_duplicate
+FROM cand c
+LEFT JOIN inter i ON i.d_old = c.d_old AND i.d_new = c.d_new
+JOIN cnt c1 ON c1.doc_id = c.d_old
+JOIN cnt c2 ON c2.doc_id = c.d_new
+ORDER BY c.d_new, c.d_old
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the continual-pretraining shape:
+    check a NEW batch (odd doc_ids, standing in for today's crawl)
+    against the EXISTING corpus (even doc_ids) without ever joining
+    batch × corpus. Both sides share one LSH banding pass
+    (signatures computed ONCE via group-and-expand, exactly like
+    q_dedup_minhash_lsh); only cross-parity band collisions become
+    candidates, then exact Jaccard verifies each. At 100 TB the
+    corpus side's band keys are a precomputed index the daily batch
+    probes — candidate volume ∝ true near-dups in the batch, never
+    |batch|·|corpus|."""
+    sh = shingle_arrays(spark, sf_dir)
+    bands = lsh_band_keys(minhash_signatures(spark, sf_dir))
+    is_corpus = F.col("doc_id") % 2 == 0
+    pairs = bucket_pair_expand(
+        bands, ("band", "band_key"), F.col("doc_id"), lambda a, b: a < b
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # keep only cross-parity collisions; label corpus/batch sides
+    cross = pairs.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
+        F.when(F.col("a") % 2 == 0, F.col("a")).otherwise(F.col("b")).alias("d_old"),
+        F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias("d_new"),
+    )
+    cand = cross.distinct()
+    s1 = sh.select(F.col("doc_id").alias("d_old"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d_new"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = n_common.cast("double") / (
+        F.size("sh1") + F.size("sh2") - n_common
+    ).cast("double")
+    return (
+        cand.join(s1, "d_old")
+        .join(s2, "d_new")
+        .select(
+            "d_new",
+            "d_old",
+            F.round(jaccard, 6).alias("jaccard"),
+            (jaccard >= JACCARD_THRESHOLD).alias("is_duplicate"),
+        )  # pair-set semantics: no global output sort (see ngram twin)
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 _SIMHASH_CTE = f"""

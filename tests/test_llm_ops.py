@@ -235,6 +235,30 @@ def test_phash_dedup_recovers_planted_replicas(spark, sf_dir):
     assert all(m1 % PHASH_REPLICA_EVERY == 0 for m1, _ in planted)
 
 
+def test_incremental_dedup_equals_cross_parity_slice_of_full_lsh(spark, sf_dir):
+    """Incremental (batch-vs-corpus) dedup must emit exactly the
+    cross-parity subset of the full LSH pair set — same bands, same
+    verification, only the pairing policy differs."""
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        q_dedup_incremental,
+        q_dedup_minhash_lsh,
+    )
+
+    full = {
+        (min(r.d1, r.d2), max(r.d1, r.d2)): (r.jaccard, r.is_duplicate)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+        if (r.d1 % 2) != (r.d2 % 2)
+    }
+    inc = {
+        (min(r.d_old, r.d_new), max(r.d_old, r.d_new)): (r.jaccard, r.is_duplicate)
+        for r in q_dedup_incremental(spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert inc, "no cross-parity near-dup pairs in testdata"
+    for r in q_dedup_incremental(spark, sf_dir).collect():
+        assert r.d_old % 2 == 0 and r.d_new % 2 == 1
+
+
 def test_phash_is_representation_invariant_across_codecs(spark, sf_dir):
     """Adversarial cross-codec fixture: the SAME image re-encoded as
     PGM, plain PNG, palette PNG, baseline JPEG and progressive JPEG
