@@ -452,18 +452,30 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- minhash + lsh
 
 
+# Prime modulus for the double-hash family (2^40 + 15). WITHOUT the
+# mod, min(h1 + s·h2) is monotone in h2 once s ≥ 1, so every slot
+# tends to elect the same min-h2 shingle — slots correlate and the
+# Jaccard estimator reads ~1 for pairs that merely share that one
+# shingle (caught by test_minhash_estimate_is_calibrated, mean |err|
+# 0.61 before, ~0.05 after). The mod wraps h1 + s·h2 (≤ 2^44) around
+# the prime 16–64×, restoring per-slot independence; values stay
+# nonneg so `%` is identical in Spark and DuckDB.
+MINHASH_P = 1_099_511_627_791
+
+
 def _hash40(c):
     """40-bit md5-derived hash, identical in Spark and DuckDB.
-    40 bits keeps h1 + seed*h2 inside int64 (≤ 2^44) with no modular
-    reduction needed."""
+    40 bits keeps h1 + seed*h2 inside int64 (≤ 2^44)."""
     return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("long")
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh: array<long>[NUM_HASHES]) — mh[s] = min over
-    shingles of (h1 + s*h2), the classic double-hashing construction
-    (one md5 pair per shingle instead of NUM_HASHES md5s — ~8× less
-    hash compute and an ~NUM_HASHES× smaller codegen expression).
+    shingles of (h1 + s*h2) mod MINHASH_P, the classic double-hashing
+    construction (one md5 pair per shingle instead of NUM_HASHES md5s
+    — ~8× less hash compute and an ~NUM_HASHES× smaller codegen
+    expression; the prime mod keeps the slots independent, see
+    MINHASH_P).
 
     Computed entirely per-row with higher-order functions (transform +
     array_min): no seed cross-join, no 16× row blow-up, no shuffle —
@@ -481,7 +493,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda hp: F.transform(
             F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
             lambda s: F.array_min(
-                F.transform(hp, lambda p: p["h1"] + s.cast("long") * p["h2"])
+                F.transform(
+                    hp,
+                    lambda p: (p["h1"] + s.cast("long") * p["h2"])
+                    % F.lit(MINHASH_P),
+                )
             ),
         ),
     )
@@ -527,7 +543,7 @@ shh AS (
   FROM sh
 ),
 mh AS (
-  SELECT doc_id, seed, MIN(h1 + seed * h2) AS mh
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % {MINHASH_P}) AS mh
   FROM shh CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
@@ -604,6 +620,88 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             F.round(jaccard, 6).alias("jaccard"),
             (jaccard >= JACCARD_THRESHOLD).alias("is_duplicate"),
+        )  # pair-set semantics: no global output sort (see ngram twin)
+    )
+
+
+@register(
+    "q_minhash_estimate",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+{_MINHASH_CTE},
+match AS (
+  SELECT c.d1, c.d2,
+         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match_slots
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.d1
+  JOIN mh b ON b.doc_id = c.d2 AND b.seed = a.seed
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.d1, m.d2, m.n_match_slots,
+         m.n_match_slots * 1000000 // {NUM_HASHES} AS est_ppm,
+         CAST(COALESCE(i.n_common, 0) AS BIGINT) * 1000000
+           // (c1.n + c2.n - COALESCE(i.n_common, 0)) AS jaccard_ppm
+  FROM match m
+  LEFT JOIN inter i ON i.d1 = m.d1 AND i.d2 = m.d2
+  JOIN cnt c1 ON c1.doc_id = m.d1
+  JOIN cnt c2 ON c2.doc_id = m.d2
+)
+SELECT d1, d2, n_match_slots,
+       CAST(est_ppm AS BIGINT) AS est_ppm,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       CAST(ABS(est_ppm - jaccard_ppm) AS BIGINT) AS abs_err_ppm
+FROM scored
+ORDER BY d1, d2
+""",
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature slots / NUM_HASHES) next to
+    the EXACT Jaccard and their absolute error — the quality gauge a
+    pipeline consults before trusting sketch-only dedup at a new
+    corpus mix. Exact integer ppm end-to-end (floor divisions of
+    nonnegative ints), so the cross-engine hash check covers the
+    estimator itself — rare for a sketch, possible here because both
+    engines compute identical md5-derived minhashes."""
+    sig = minhash_signatures(spark, sf_dir)
+    sh = shingle_arrays(spark, sf_dir)
+    cand = (
+        bucket_pair_expand(
+            lsh_band_keys(sig), ("band", "band_key"), F.col("doc_id"),
+            lambda a, b: a < b,
+        )
+        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+        .distinct()
+    )
+    m1 = sig.select(F.col("doc_id").alias("d1"), F.col("mh").alias("mh1"))
+    m2 = sig.select(F.col("doc_id").alias("d2"), F.col("mh").alias("mh2"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    n_match = F.size(
+        F.filter(F.zip_with("mh1", "mh2", lambda x, y: x == y), lambda t: t)
+    ).cast("long")
+    n_common = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    union = F.size("sh1") + F.size("sh2") - n_common
+    est_ppm = F.call_function("div", n_match * 1_000_000, F.lit(NUM_HASHES))
+    jac_ppm = F.call_function("div", n_common * 1_000_000, union.cast("long"))
+    return (
+        cand.join(m1, "d1")
+        .join(m2, "d2")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            n_match.alias("n_match_slots"),
+            est_ppm.alias("est_ppm"),
+            jac_ppm.alias("jaccard_ppm"),
+            F.abs(est_ppm - jac_ppm).alias("abs_err_ppm"),
         )  # pair-set semantics: no global output sort (see ngram twin)
     )
 

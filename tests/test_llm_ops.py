@@ -259,6 +259,26 @@ def test_incremental_dedup_equals_cross_parity_slice_of_full_lsh(spark, sf_dir):
         assert r.d_old % 2 == 0 and r.d_new % 2 == 1
 
 
+def test_minhash_estimate_is_calibrated(spark, sf_dir):
+    """The MinHash estimator must behave like one: exact-duplicate
+    pairs (J = 1) estimate exactly 1, estimates stay in [0, 1], and
+    the mean absolute error over candidates is within the binomial
+    envelope for 16 hashes (σ ≤ 0.125 ⇒ mean |err| well under 0.25)."""
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        q_minhash_estimate,
+    )
+
+    rows = q_minhash_estimate(spark, sf_dir).collect()
+    assert rows, "no LSH candidates in testdata"
+    for r in rows:
+        assert 0 <= r.est_ppm <= 1_000_000
+        assert r.abs_err_ppm == abs(r.est_ppm - r.jaccard_ppm)
+        if r.jaccard_ppm == 1_000_000:
+            assert r.est_ppm == 1_000_000, (r.d1, r.d2)
+    mean_err = sum(r.abs_err_ppm for r in rows) / len(rows)
+    assert mean_err < 250_000, mean_err
+
+
 def test_phash_is_representation_invariant_across_codecs(spark, sf_dir):
     """Adversarial cross-codec fixture: the SAME image re-encoded as
     PGM, plain PNG, palette PNG, baseline JPEG and progressive JPEG
