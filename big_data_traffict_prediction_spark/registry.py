@@ -317,6 +317,7 @@ def _load_modules() -> None:
         windows,
     )
     from .functions import (  # noqa: F401
+        bpe,
         curation,
         dedup,
         multimodal,

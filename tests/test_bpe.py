@@ -1,0 +1,95 @@
+"""BPE-merge trainer (functions/bpe.py) pinned against an independent
+pure-Python reference — including self-pair runs (the greedy-left
+overlap case) and count ties."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+
+def _ref_bpe(vocab: dict[str, int], k: int):
+    """Reference trainer: scan-left merge, tie-break (count DESC,
+    left ASC, right ASC)."""
+    words = {w: (list(w), c) for w, c in vocab.items()}
+    merges = []
+    for step in range(1, k + 1):
+        counts: collections.Counter = collections.Counter()
+        for toks, c in words.values():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += c
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, n))
+        for w, (toks, c) in words.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[w] = (out, c)
+    return merges
+
+
+def _vocab_df(spark, vocab: dict[str, int]):
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.call_function("substr", F.col("word"), i, F.lit(1)),
+    )
+    return spark.createDataFrame(
+        sorted(vocab.items()), "word string, cnt long"
+    ).select("word", "cnt", chars.alias("t"))
+
+
+def test_bpe_matches_reference_on_adversarial_vocab(spark):
+    from big_data_traffict_prediction_spark.functions.bpe import bpe_merge_table
+
+    cases = [
+        # self-pair runs: 'aaaa' must merge greedily-left to 'aa','aa'
+        # (2 occurrences), 'aaa' to 'aa','a' (1), never the overlap
+        {"aaaa": 5, "aaa": 3, "ab": 1},
+        # tie between ('a','b') and ('b','a') at count 4 -> left-asc wins
+        {"abab": 2, "baba": 2},
+        # multi-char composition: 'er' then 'm'+'er'
+        {"summer": 4, "merge": 3, "hammer": 2, "er": 1},
+        # single-char words contribute no pairs but must survive rounds
+        {"a": 100, "b": 100, "abc": 2, "bcd": 2},
+    ]
+    for vocab in cases:
+        got = bpe_merge_table(_vocab_df(spark, vocab), 4)
+        assert got == _ref_bpe(vocab, 4), vocab
+
+
+def test_bpe_query_matches_reference_on_corpus(spark, sf_dir):
+    """End-to-end: the registered query's merges equal the reference
+    trainer run on the same normalized word counts."""
+    import re
+
+    from big_data_traffict_prediction_spark.functions.bpe import (
+        BPE_MERGES,
+        q_bpe_merges,
+    )
+    from big_data_traffict_prediction_spark.tables import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+            if w:
+                vocab[w] += 1
+    exp = _ref_bpe(vocab, BPE_MERGES)
+    got = [
+        (r.step, r.left_token, r.right_token, r.pair_count)
+        for r in q_bpe_merges(spark, sf_dir).collect()
+    ]
+    assert got == exp
+    assert len(got) == BPE_MERGES
