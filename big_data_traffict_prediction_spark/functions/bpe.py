@@ -93,6 +93,16 @@ def _greedy_kept(ms):
 def bpe_merge_table(vocab: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     """Learn ``k`` merge rules from a (word, cnt, t) vocabulary frame;
     returns [(step, left_token, right_token, pair_count), ...]."""
+    merges, _ = bpe_train(vocab, k)
+    return merges
+
+
+def bpe_train(
+    vocab: DataFrame, k: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``k`` merge rules AND return the fully-merged vocabulary
+    frame (word, cnt, t) — the tokenizer: a word's BPE tokens under
+    the learned rules are exactly its final ``t`` array."""
     v = vocab.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
@@ -140,13 +150,13 @@ def bpe_merge_table(vocab: DataFrame, k: int) -> list[tuple[int, str, str, int]]
             )
             .localCheckpoint(eager=True)
         )
-    return merges
+    return merges, v
 
 
-def _bpe_oracle() -> str:
-    """Unrolled trainer: 5 MATERIALIZED CTE layers per merge round
-    (pair counts → top-1 → match positions → greedy-left kept set via
-    run-grouping windows → rebuilt vocabulary)."""
+def _bpe_cte() -> str:
+    """Unrolled trainer body: 5 MATERIALIZED CTE layers per merge
+    round (pair counts → top-1 → match positions → greedy-left kept
+    set via run-grouping windows → rebuilt vocabulary)."""
     layers = [
         f"""v0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -193,15 +203,33 @@ v{r} AS MATERIALIZED (
   CROSS JOIN best{r} bb
 )"""
         )
+    return "WITH " + ",\n".join(layers)
+
+
+def _bpe_oracle() -> str:
     steps = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS step, a AS left_token, b AS right_token,"
         f" n AS pair_count FROM best{r}"
         for r in range(1, BPE_MERGES + 1)
     )
+    return _bpe_cte() + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+
+
+def _bpe_tokenize_oracle() -> str:
     return (
-        "WITH "
-        + ",\n".join(layers)
-        + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+        _bpe_cte()
+        + f"""
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(v.t)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS word
+      FROM documents) d
+JOIN v{BPE_MERGES} v USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
     )
 
 
@@ -216,3 +244,36 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, left_token string, right_token string, pair_count long"
     ).orderBy("step")
+
+
+@register("q_bpe_token_counts", oracle=_bpe_tokenize_oracle())
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the learned BPE rules: per document
+    the word, character, and BPE-token counts — the budget numbers a
+    training pipeline derives before packing sequences. Tokenization
+    is word-level (the trainer never merges across words), so each
+    DISTINCT word is tokenized once on the vocabulary frame and
+    documents just sum their words' token counts through one join —
+    at 100 TB the tokenizer output is a vocabulary-sized dimension,
+    not a per-token corpus expansion."""
+    _, v = bpe_train(word_vocab(spark, sf_dir), BPE_MERGES)
+    toks = v.select(
+        "word",
+        F.size("t").cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars_w"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split(norm_col(), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(toks, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
