@@ -1496,3 +1496,169 @@ def q_order_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+# ------------------------------------------------- bloom-filter semi-join
+
+BLOOM_M = 16_384  # filter bits (256 packed int64 words)
+BLOOM_K = 4  # hash functions per key
+BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_positions(key_str):
+    """BLOOM_K bit positions for a key via double hashing
+    (h1 + i·h2) mod M, both md5-derived (functions.text.hash60) so
+    Spark and DuckDB build bit-identical filters; h2 is folded into
+    1..M-1 so the probe sequence never degenerates."""
+    from ..functions.text import hash60
+
+    h1 = hash60(key_str) % F.lit(BLOOM_M)
+    h2 = hash60(F.concat(F.lit("#"), key_str)) % F.lit(BLOOM_M - 1) + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(BLOOM_M),
+    )
+
+
+def _bloom_oracle() -> str:
+    from ..functions.text import hash60_sql
+
+    def pos_cte(src: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT k, (h1m + i * h2m) % {BLOOM_M} AS p
+  FROM (
+    SELECT k,
+           {hash60_sql("CAST(k AS VARCHAR)")} % {BLOOM_M} AS h1m,
+           {hash60_sql("'#' || CAST(k AS VARCHAR)")} % {BLOOM_M - 1} + 1 AS h2m
+    FROM {src}
+  )
+  CROSS JOIN (SELECT CAST(unnest(range(0, {BLOOM_K})) AS BIGINT) AS i)
+)"""
+
+    return f"""
+WITH urgent AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+cust AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+{pos_cte("urgent", "bpos")},
+bloom AS (
+  -- UBIGINT packing: DuckDB's signed << raises on bit 63 (Spark's
+  -- shiftleft wraps). The words never appear in the output — only
+  -- bit counts and hit flags — so unsignedness is compare-invisible.
+  SELECT p // 64 AS wi,
+         BIT_OR(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+{pos_cte("cust", "ppos")},
+probe AS (
+  SELECT k,
+         SUM(CASE WHEN (COALESCE(b.bits, CAST(0 AS UBIGINT))
+                        & (CAST(1 AS UBIGINT) << CAST(p % 64 AS INT))) <> 0
+                  THEN 0 ELSE 1 END) AS miss
+  FROM ppos LEFT JOIN bloom b ON b.wi = p // 64
+  GROUP BY k
+),
+verdicts AS (
+  SELECT c.k, pr.miss = 0 AS bloom_hit, u.k IS NOT NULL AS is_member
+  FROM cust c
+  JOIN probe pr ON pr.k = c.k
+  LEFT JOIN urgent u ON u.k = c.k
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM urgent) AS n_built,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives,
+       (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM bloom) AS n_bits_set
+FROM verdicts
+"""
+
+
+@register("q_bloom_semi_join", oracle=_bloom_oracle())
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter build + probe — the join-pruning
+    sketch behind runtime row-filter pushdown: build a BLOOM_M-bit
+    filter over the urgent-order customer keys, probe EVERY customer,
+    and report the confusion summary (false negatives pinned to 0 by
+    construction — the property that makes bloom pruning safe).
+
+    Scale shape: the filter itself is the ONLY broadcast-sized object
+    (≤ BLOOM_WORDS = 256 packed int64 rows — bounded by the constant
+    M, not by data, so the broadcast hint is policy-clean). Build is
+    one groupBy(bit_or) over k·|keys| exploded positions; probe is a
+    broadcast join — the big side never shuffles. Both engines derive
+    positions from the same md5 double-hash, so the whole filter is
+    bit-identical and the summary hash-checks exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("long").alias("k"))
+        .distinct()
+    )
+    pos = urgent.select(
+        F.explode(_bloom_positions(F.col("k").cast("string"))).alias("p")
+    )
+    bit = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+    )
+    bloom = (
+        pos.select(F.call_function("div", F.col("p"), F.lit(64)).alias("wi"),
+                   bit.alias("m"))
+        .groupBy("wi")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    probe = (
+        cust.select(
+            "k", F.explode(_bloom_positions(F.col("k").cast("string"))).alias("p")
+        )
+        .select("k", F.call_function("div", F.col("p"), F.lit(64)).alias("wi"),
+                bit.alias("m"))
+        .join(F.broadcast(bloom), "wi", "left")
+        .select(
+            "k",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0,
+                F.lit(0),
+            ).otherwise(F.lit(1)).alias("miss"),
+        )
+        .groupBy("k")
+        .agg((F.sum("miss") == 0).alias("bloom_hit"))
+    )
+    truth = cust.join(
+        urgent.withColumn("is_m", F.lit(True)), "k", "left"
+    ).select("k", F.coalesce("is_m", F.lit(False)).alias("is_member"))
+    n_built = urgent.agg(F.count(F.lit(1)).cast("long").alias("n_built"))
+    bits_set = bloom.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_bits_set")
+    )
+    return (
+        probe.join(truth, "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_members"),
+            F.sum(F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_positives"),
+            F.sum(F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_built))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_built", "n_probed", "n_bloom_hits", "n_true_members",
+            "n_false_positives", "n_false_negatives", "n_bits_set",
+        )
+    )
