@@ -109,7 +109,6 @@ def bpe_train(
         pair_idx = F.when(
             F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
         ).otherwise(F.array().cast("array<integer>"))
-        # bounded: top-1 pair — ONE row reaches the driver per round
         best = (
             v.select("cnt", "t", F.explode(pair_idx).alias("i"))
             .select(
@@ -121,6 +120,7 @@ def bpe_train(
             .agg(F.sum("cnt").cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
             .limit(1)
+            # bounded: top-1 pair — ONE row reaches the driver per round
             .collect()
         )
         if not best:
