@@ -468,3 +468,88 @@ def pagerank(raw_edges: DataFrame, iters: int) -> DataFrame:
             .alias("score"),
         )
     return scores
+
+
+LPA_ITERS = 3  # synchronous rounds; oracle unrolls the same depth
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: one CTE layer per
+    round, each the same count-argmax with the deterministic
+    (count DESC, label ASC) tie-break Spark applies."""
+    layers = ["l0 AS (SELECT node, node AS lab FROM deg)"]
+    for k in range(LPA_ITERS):
+        layers.append(
+            f"""l{k + 1} AS (
+  SELECT node, lab FROM (
+    SELECT s.u AS node, l.lab,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.u ORDER BY COUNT(*) DESC, l.lab
+           ) AS rn
+    FROM sym s JOIN l{k} l ON l.node = s.v
+    GROUP BY s.u, l.lab
+  ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {_GRAPH_CTE},
+{",".join(layers)},
+comm AS (
+  SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM l{LPA_ITERS} GROUP BY 1
+)
+SELECT community, n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM comm) AS n_communities
+FROM comm
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@register("q_lpa_communities", oracle=_lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the co-purchase graph: every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties to the smallest — the
+    deterministic variant, so the unrolled-CTE oracle hash-matches
+    an ITERATIVE mode-finding operator (PageRank checks sums, this
+    checks argmax-with-tie-break). Communities = basket niches; the
+    corpus-curation use is sampling-weight pools and topic balance.
+
+    Scale shape: every round is two key-partitioned shuffles on the
+    ENTITY graph (labels ⋈ adjacency on node, then the (node, label)
+    count + per-node argmax window) — |parts|-sized frames, never the
+    facts. The label frame localCheckpoints each round, so the plan
+    depth stays O(1) per round whatever LPA_ITERS is (the PageRank
+    cadence discipline). Top-20 communities by size plan as
+    TakeOrderedAndProject over the community aggregate."""
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = _sym(edges)
+    lab = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(LPA_ITERS):
+        lab = (
+            sym.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    comm = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    stats = comm.agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+    return (
+        comm.crossJoin(F.broadcast(stats))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import epoch_s
 from ..registry import register
 from ..tables import load_table, traffic_history, with_traffic
 
@@ -568,6 +569,85 @@ def q_interval_join_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.join(
             alerts,
             (F.col("camera_id") == F.col("a_camera"))
+            & (
+                F.col("ts")
+                >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK_MIN} MINUTES")
+            )
+            & (F.col("ts") <= F.col("alert_ts")),
+        )
+        .select(
+            "camera_id", "alert_id", "alert_ts", "alert_count",
+            "id", "ts", "new_count",
+        )
+        .orderBy("camera_id", "alert_id", "id")
+    )
+
+
+# The interval length IS the bin length, so every alert window spans
+# exactly two consecutive bins — the explode factor is a constant 2.
+_BIN_S = ALERT_LOOKBACK_MIN * 60
+
+
+@register(
+    "q_interval_join_binned",
+    oracle=with_traffic(f"""
+SELECT o.camera_id, a.id AS alert_id, a.ts AS alert_ts,
+       a.new_count AS alert_count, o.id, o.ts, o.new_count
+FROM traffic o
+JOIN traffic a
+  ON o.camera_id = a.camera_id
+ AND a.new_count >= {ALERT_THRESHOLD}
+ AND o.ts >= a.ts - INTERVAL ({ALERT_LOOKBACK_MIN}) MINUTE
+ AND o.ts <= a.ts
+ORDER BY o.camera_id, alert_id, o.id
+"""),
+)
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of `q_interval_join_alerts` (same rows,
+    same oracle): time-bin blocking turns the range join into a pure
+    equi-join on (camera, bin).
+
+    Why it exists: Spark plans a range-join as an equi-join on the
+    camera key with the time predicate as a post-join FILTER — fine
+    when every camera is small, but one hot camera with k alerts and
+    n observations builds k·n filter-input pairs on a single
+    shuffle partition. Binning by the lookback length L fixes both
+    failure modes at once: each alert's (ts−L, ts] window spans
+    exactly TWO L-sized bins (constant explode factor), each
+    observation lands in ONE bin, so the join key becomes
+    (camera_id, bin) — candidate pairs only form within ±one bin of
+    each other (the intermediate is output-proportional, not k·n),
+    and a hot camera's year of history spreads over year/L bins
+    instead of one reducer. Every matched pair is produced exactly
+    once (the obs bin is unique), so no post-join dedup is needed —
+    the hash check against the naive oracle proves the rewrite
+    changes nothing."""
+    t = traffic_history(spark, sf_dir)
+    obs = t.select(
+        "camera_id", "id", "ts", "new_count",
+        F.call_function("div", epoch_s("ts"), F.lit(_BIN_S)).alias("bin"),
+    )
+    alerts = (
+        traffic_history(spark, sf_dir)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("id").alias("alert_id"),
+            F.col("ts").alias("alert_ts"),
+            F.col("new_count").alias("alert_count"),
+            F.explode(
+                F.array(
+                    F.call_function("div", epoch_s("ts"), F.lit(_BIN_S)) - 1,
+                    F.call_function("div", epoch_s("ts"), F.lit(_BIN_S)),
+                )
+            ).alias("bin"),
+        )
+    )
+    return (
+        obs.join(
+            alerts,
+            (F.col("camera_id") == F.col("a_camera"))
+            & (obs["bin"] == alerts["bin"])
             & (
                 F.col("ts")
                 >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK_MIN} MINUTES")

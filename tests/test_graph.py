@@ -220,3 +220,46 @@ def test_graph_queries_match_oracle_at_smoke_sf(spark, sf_dir):
             for row in con.execute(oracles[name]).fetchall()
         }
         assert sp == du, name
+
+
+def test_lpa_communities_partition_nodes(spark, sf_dir):
+    """LPA labels must PARTITION the node set: every node gets exactly
+    one final label, and community sizes sum to n_nodes (checked on
+    the full community frame, not the top-20 projection)."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.graph import (
+        LPA_ITERS,
+        _sym,
+        copurchase_edges,
+    )
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = _sym(edges)
+    n_nodes = sym.select("u").distinct().count()
+    lab = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(LPA_ITERS):
+        lab = (
+            sym.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    assert lab.count() == n_nodes  # one label per node, none dropped
+    assert lab.select("node").distinct().count() == n_nodes
+    # every final label is itself a node id (labels only propagate)
+    assert (
+        lab.join(
+            sym.select(F.col("u").alias("lab")).distinct(), "lab", "left_anti"
+        ).count()
+        == 0
+    )

@@ -558,3 +558,24 @@ def test_sorted_neighborhood_pairs_are_true_near_dups(spark, sf_dir):
     }
     assert snd, "sorted-neighborhood found no pairs at smoke SF"
     assert snd <= exact, f"false positives: {sorted(snd - exact)[:5]}"
+
+
+def test_hll_estimator_is_calibrated(spark, sf_dir):
+    """The HLL estimate must be CLOSE, not just cross-engine-stable:
+    raw HLL at m=64 has relative error ~1.04/√64 ≈ 13%; assert every
+    group lands within 4σ (err_ppm ≤ 520000) and the merged union
+    estimate is within the same bound — a miscalibrated alpha or a
+    rank-bit bug blows these bounds immediately (an early draft with
+    biased low bits read 3× high)."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_hll_distinct,
+    )
+
+    rows = {r.grp: r for r in q_hll_distinct(spark, sf_dir).collect()}
+    assert "__all__" in rows
+    for grp, r in rows.items():
+        assert r.err_ppm <= 520_000, (grp, r.hll_users, r.exact_users)
+    # union ≤ sum of parts (overlapping users), and ≥ the largest part
+    parts = [r.hll_users for g, r in rows.items() if g != "__all__"]
+    assert rows["__all__"].hll_users <= sum(parts)
+    assert rows["__all__"].hll_users >= max(parts) * 0.7
