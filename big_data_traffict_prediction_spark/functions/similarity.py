@@ -1068,3 +1068,192 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", F.desc("dist2_fp"), "vec_id")
     )
+
+
+# --------------------------------------------------- SRP-LSH (signed
+# random projection) ANN — the TRAINING-FREE scale path: IVF needs a
+# quantizer fit and PQ a codebook; SRP needs only SRP_NBITS fixed
+# hyperplanes, so it is the variant that works on day zero of a new
+# embedding space (and the classic cosine-LSH of Charikar 2002).
+SRP_TABLES = 8  # hash tables (bands)
+SRP_BAND_BITS = 6  # bits per table
+SRP_NBITS = SRP_TABLES * SRP_BAND_BITS  # 48 hyperplanes
+
+
+def _srp_planes() -> list[list[int]]:
+    """SRP_NBITS Rademacher (±1) hyperplanes over the 64 dims,
+    derived from md5 of fixed strings — deterministic CONSTANTS, so
+    both engines inline the identical literal table and no per-row
+    hashing happens anywhere (unlike minhash, the random tape here is
+    O(bits·dims), not O(corpus))."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"srp-{b}-{d}".encode()).digest()[0] & 1 else -1
+            for d in range(64)
+        ]
+        for b in range(SRP_NBITS)
+    ]
+
+
+_SRP_PLANES = _srp_planes()
+
+
+def _srp_oracle() -> str:
+    planes_rows = ",\n    ".join(
+        f"({b}, {row})" for b, row in enumerate(_SRP_PLANES)
+    )
+    return f"""
+WITH {_VECS_CTE},
+tfp AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {DOT_SCALE}.0) AS BIGINT)) AS t
+  FROM vecs
+),
+planes(b, r) AS (VALUES
+    {planes_rows}
+),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> t[i] * r[i])) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM tfp CROSS JOIN planes
+),
+bitsl AS (
+  SELECT vec_id, list(bit ORDER BY b) AS bits FROM bits GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, j.j AS band,
+         CAST(list_reduce(bits[j.j * {SRP_BAND_BITS} + 1 : (j.j + 1) * {SRP_BAND_BITS}],
+              (acc, x) -> acc * 2 + x) AS BIGINT) AS val
+  FROM bitsl CROSS JOIN (SELECT unnest(generate_series(0, {SRP_TABLES - 1})) AS j) j
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q
+  JOIN bands c ON c.band = q.band AND c.val = q.val
+  WHERE q.vec_id < {QUERY_LIMIT} AND c.vec_id <> q.vec_id
+),
+pairs AS (
+  SELECT cd.query_id, cd.neighbor_id, v2.label AS neighbor_label,
+         {_dot_fp_sql("v1.embedding", "v2.embedding")} AS dot_fp,
+         v1.norm_fp AS qn, v2.norm_fp AS cn
+  FROM cand cd
+  JOIN vecs v1 ON v1.vec_id = cd.query_id
+  JOIN vecs v2 ON v2.vec_id = cd.neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot_fp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+                    neighbor_id
+         ) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM topk WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q_ann_srp_lsh", oracle=_srp_oracle())
+def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN by signed-random-projection LSH (cosine LSH, Charikar
+    2002): SRP_NBITS fixed Rademacher hyperplanes → per-vector sign
+    bits → SRP_TABLES band keys; candidates are vectors sharing ANY
+    band with the query, re-ranked by exact fixed-point cosine.
+    Completes the ANN family as the TRAINING-FREE bucketed path
+    (brute force = exact baseline, IVF = trained quantizer, PQ =
+    compressed storage, SRP = zero-state hashing).
+
+    Scale shape: the signature stage is a pure per-row map (the
+    hyperplanes are compile-time literals broadcast inside the plan —
+    no random tape to ship, no per-row md5); the bands frame carries
+    only (vec_id, band, val); the query side of the band join is
+    QUERY_LIMIT·SRP_TABLES rows → broadcast, so the corpus never
+    shuffles — scan → hash-probe → per-query top-K window over
+    candidates ∝ true collisions. Bit-identical across engines
+    because the sign test runs on per-element fixed-point integers
+    (floor(x·1e12)) — float dot signs near zero would be
+    summation-order-dependent; int64 sums are not."""
+    vecs = _vecs(spark, sf_dir)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in _SRP_PLANES]
+    )
+    tfp = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
+    )
+    bits = let(
+        tfp,
+        lambda t: F.transform(
+            planes_lit,
+            lambda p: F.aggregate(
+                F.zip_with(t, p, lambda a, r: a * r),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+        ),
+    )
+    bands_arr = let(
+        bits,
+        lambda bs: F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.aggregate(
+                        F.slice(bs, j * SRP_BAND_BITS + 1, SRP_BAND_BITS),
+                        F.lit(0).cast("long"),
+                        lambda acc, bt: acc * 2
+                        + F.when(bt, F.lit(1)).otherwise(F.lit(0)),
+                    ).alias("val"),
+                )
+                for j in range(SRP_TABLES)
+            ]
+        ),
+    )
+    bands = vecs.select(
+        "vec_id", F.explode(bands_arr).alias("bv")
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    qb = bands.filter(F.col("vec_id") < QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), "band", "val"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(bands, ["band", "val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_side = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fp").alias("qn"),
+    )
+    c_side = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_fp").alias("cn"),
+    )
+    pairs = cand.join(F.broadcast(q_side), "query_id").join(c_side, "neighbor_id")
+    cos = _cosine(_dot_fp(F.col("q_emb"), F.col("c_emb")), F.col("qn"), F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
