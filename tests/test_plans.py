@@ -746,3 +746,44 @@ def test_fulfillment_lag_keys_on_order_family(spark, sf_dir):
     win_funcs = re.findall(r"^\(\d+\) Window\n(?:.*\n)*?Arguments: \[([^\]]*)", plan, re.M)
     for args in win_funcs:
         assert "count(1)" not in args, "per-priority count window over facts"
+
+
+def test_hll_register_build_is_partial_aggregate(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.pipeline import q_hll_distinct
+
+    # the register build must plan as a hash aggregate with map-side
+    # partial max (HashAggregate below the Exchange) and never a
+    # nested loop; the only joins are the tiny est ⋈ exact combine
+    df = q_hll_distinct(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert explain.nested_loop_join_count(df) == 0
+    assert "partial_max" in plan or "partial_" in plan, (
+        "register build lost its map-side partial aggregation"
+    )
+
+
+def test_interval_join_binned_is_pure_equi_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.joins import (
+        q_interval_join_binned,
+    )
+
+    # the whole point: the range predicate rides an EQUI join keyed on
+    # (camera, bin) — no nested loop anywhere in the plan
+    df = q_interval_join_binned(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) == 0, (
+        "binned range join degenerated to a nested loop"
+    )
+
+
+def test_srp_lsh_corpus_never_shuffles_for_the_probe(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_ann_srp_lsh,
+    )
+
+    # the query-side band table must broadcast into the corpus bands
+    # (hash probe), and no nested loop may appear; shuffles belong to
+    # the candidate distinct + the per-query top-K window only
+    df = q_ann_srp_lsh(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["broadcast_joins"] >= 2, "query bands / query vectors must broadcast"
+    assert explain.nested_loop_join_count(df) == 0
