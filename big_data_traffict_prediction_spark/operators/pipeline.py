@@ -22,7 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import global_rank
+from ..compat import constant_key, global_rank
 from ..registry import register
 from ..tables import load_table
 from ..functions.text import EN_MARKERS, NORM_SQL, _in_list_sql, norm_col
@@ -835,3 +835,144 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sort_key"),
     )
     return h.orderBy("sort_key", "doc_id").limit(RESERVOIR_K)
+
+
+# Priority sampling (Duffield-Lund-Thorup 2007): weighted sampling
+# without replacement with an unbiased Horvitz-Thompson total
+# estimator — THE one-pass distributed answer to "sample documents
+# proportional to token budget". priority_i = w_i / u_i with u_i
+# uniform; here u_i = (h_i + 1) / 2^40 from the salted-md5 tape, so
+# priority = (w_i << 40) // (h_i + 1) is EXACT int64 (w ≤ ~10^4 chars
+# → w·2^40 ≤ ~10^16) and the whole sample + estimator is
+# bit-reproducible across engines, reruns, and partitionings.
+PRIORITY_K = 200
+PRIORITY_SCALE = 1 << 40  # matches the 40-bit hash range
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         (n_chars * {PRIORITY_SCALE})
+           // (CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 1)
+           AS priority
+  FROM documents
+),
+topk1 AS (
+  SELECT doc_id, weight, priority,
+         ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+  FROM keyed
+  QUALIFY rk <= {PRIORITY_K + 1}
+),
+tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rk = {PRIORITY_K + 1} THEN priority END), 0) AS t
+  FROM topk1
+),
+est AS (
+  SELECT CAST(SUM(GREATEST(s.weight * {PRIORITY_SCALE}, tau.t))
+              // {PRIORITY_SCALE} AS BIGINT) AS est_total
+  FROM topk1 s, tau WHERE s.rk <= {PRIORITY_K}
+),
+exact AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_total FROM documents
+)
+SELECT s.doc_id, s.weight, s.priority,
+       e.est_total, x.exact_total,
+       CAST(ABS(e.est_total - x.exact_total) * 1000000 // x.exact_total AS BIGINT)
+         AS err_ppm
+FROM topk1 s, est e, exact x
+WHERE s.rk <= {PRIORITY_K}
+ORDER BY s.doc_id
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of PRIORITY_K documents (weight =
+    n_chars, the token-budget proxy) by deterministic priority
+    sampling, with the Horvitz-Thompson estimate of the TOTAL corpus
+    weight carried on every row next to the exact total (err_ppm —
+    the oracle checks the estimator's calibration, not just the
+    selection). Priorities come from the salted-md5 random tape like
+    q_reservoir_sample, so the sample is identical across engines and
+    reruns; every estimator step is integer floor arithmetic
+    (max(w·2^40, τ) summed then scaled down — bounded by
+    (K+1)·max_priority ≪ int64).
+
+    Scale shape: the top-(K+1) selection plans as
+    TakeOrderedAndProject (per-partition heaps + a (K+1)-row driver
+    merge — no global sort); τ and the HT sum are computed on the
+    K-row frame; the exact total is one map-side-combined aggregate.
+    The 100 TB use: build a training mixture where P(doc) ∝ tokens
+    without ever materializing per-doc inclusion draws."""
+    from pyspark.sql import Window
+
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.call_function(
+            "div",
+            F.col("n_chars") * F.lit(PRIORITY_SCALE),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1,
+        ).alias("priority"),
+    )
+    top = (
+        keyed.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                # bounded: K+1 rows total, never data-sized — the
+                # single partition is correct by design (constant_key)
+                Window.partitionBy(constant_key(F.col("doc_id"))).orderBy(
+                    F.desc("priority"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    tau = top.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == PRIORITY_K + 1, F.col("priority"))),
+            F.lit(0),
+        ).alias("t")
+    )
+    sample = top.filter(F.col("rk") <= PRIORITY_K)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .agg(
+            F.call_function(
+                "div",
+                F.sum(F.greatest(F.col("weight") * F.lit(PRIORITY_SCALE), F.col("t"))),
+                F.lit(PRIORITY_SCALE),
+            ).alias("est_total")
+        )
+    )
+    exact = load_table(spark, sf_dir, "documents").agg(
+        F.sum("n_chars").cast("long").alias("exact_total")
+    )
+    err = F.call_function(
+        "div",
+        F.abs(F.col("est_total") - F.col("exact_total")) * F.lit(1_000_000),
+        F.col("exact_total"),
+    )
+    return (
+        sample.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            "est_total",
+            "exact_total",
+            err.alias("err_ppm"),
+        )
+        .orderBy("doc_id")
+    )
