@@ -151,6 +151,12 @@ EXTENDED = [
     "q_fulfillment_lag",
     "q_predict_scenario",
     "q_doc_winnow",
+    # round 9
+    "q_hll_distinct",
+    "q_lpa_communities",
+    "q_interval_join_binned",
+    "q_ann_srp_lsh",
+    "q_weighted_sample",
 ]
 
 

@@ -46,18 +46,26 @@ HAMMING_MAX = 3
 MAX_BUCKET_EXPAND = 1024
 
 
-def bucket_pair_expand(df, bucket_cols, member_col, lt):
+def bucket_pair_expand(df, bucket_cols, member_col, lt, distinct_members=False):
     """THE capped group-and-expand pair emitter, shared by the LSH,
     simhash and perceptual-hash dedups: group by the bucket key(s),
     collect members sorted + capped at MAX_BUCKET_EXPAND, expand the
     ordered i<j pairs in-row. Returns (bucket_cols..., p) where
     p = struct<a, b> of member values and ``lt(a, b)`` is the ordering
     predicate. One definition so the cap / tie-break / pair-dedup
-    semantics cannot drift between the three."""
+    semantics cannot drift between the three.
+
+    ``distinct_members=True`` swaps collect_list for collect_set —
+    bit-identical to a pre-``.distinct()`` on (bucket, member) (the
+    set is sorted before the cap, so the capped slice sees exactly
+    the distinct sorted members) but ONE shuffle instead of two; the
+    co-purchase edge builder uses it to drop its standalone distinct
+    over the fact projection."""
+    agg = (
+        F.collect_set(member_col) if distinct_members else F.collect_list(member_col)
+    )
     members = df.groupBy(*bucket_cols).agg(
-        F.slice(
-            F.sort_array(F.collect_list(member_col)), 1, MAX_BUCKET_EXPAND
-        ).alias("ms")
+        F.slice(F.sort_array(agg), 1, MAX_BUCKET_EXPAND).alias("ms")
     )
     # singleton buckets (the overwhelming majority under a 16-bit LSH
     # key) cannot emit a pair — drop them BEFORE the m² struct

@@ -1098,6 +1098,11 @@ def _srp_planes() -> list[list[int]]:
 
 
 _SRP_PLANES = _srp_planes()
+# compact in-plan encoding: one '+'/'-' char per component (see the
+# plan-size note in q_ann_srp_lsh)
+_SRP_PLANE_STRS = [
+    "".join("+" if v == 1 else "-" for v in row) for row in _SRP_PLANES
+]
 
 
 def _srp_oracle() -> str:
@@ -1179,10 +1184,27 @@ def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates ∝ true collisions. Bit-identical across engines
     because the sign test runs on per-element fixed-point integers
     (floor(x·1e12)) — float dot signs near zero would be
-    summation-order-dependent; int64 sums are not."""
+    summation-order-dependent; int64 sums are not.
+
+    Plan-size note: the hyperplanes enter the plan as 48 compact
+    sign STRINGS decoded by a HOF on a broadcast one-row frame — an
+    early draft inlined 48×64 = 3072 integer Literal nodes and paid
+    ~3.3 s of fixed per-execution plan/codegen cost (flat across a
+    10× data scale-up — the simhash giant-HOF lesson, SCALE.md);
+    string-encoding shrinks the tree ~60× at zero semantic change
+    (the decoded values are the same _SRP_PLANES the oracle
+    inlines)."""
     vecs = _vecs(spark, sf_dir)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in _SRP_PLANES]
+    planes_row = spark.range(1).select(
+        F.transform(
+            F.array(*[F.lit(s) for s in _SRP_PLANE_STRS]),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.when(
+                    F.substr(s, i, F.lit(1)) == "+", F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+        ).alias("planes")
     )
     tfp = F.transform(
         "embedding",
@@ -1191,7 +1213,7 @@ def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = let(
         tfp,
         lambda t: F.transform(
-            planes_lit,
+            F.col("planes"),
             lambda p: F.aggregate(
                 F.zip_with(t, p, lambda a, r: a * r),
                 F.lit(0).cast("long"),
@@ -1217,9 +1239,15 @@ def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    bands = vecs.select(
-        "vec_id", F.explode(bands_arr).alias("bv")
-    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    bands = (
+        vecs.crossJoin(F.broadcast(planes_row))
+        .select("vec_id", F.explode(bands_arr).alias("bv"))
+        .select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+        # referenced on BOTH sides of the candidate self-join: one
+        # lazy checkpoint runs the signature pipeline once (tiny
+        # frame: SRP_TABLES rows per vector, three small ints each)
+        .localCheckpoint(eager=False)
+    )
     qb = bands.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"), "band", "val"
     )

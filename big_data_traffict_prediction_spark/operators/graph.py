@@ -81,15 +81,17 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Group-and-expand (one shuffle of the projected fact), identical
     semantics to the oracle CTE above and to q_part_affinity's pair
-    builder: per-order distinct partkeys, smallest BASKET_CAP kept,
-    in-row i<j expansion — fan-out bounded by basket size, not data."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    builder: per-order distinct partkeys (collect_set — the
+    distinct_members fast path, saving the standalone distinct's
+    extra fact shuffle), smallest BASKET_CAP kept, in-row i<j
+    expansion — fan-out bounded by basket size, not data."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = bucket_pair_expand(
-        li, ("l_orderkey",), F.col("l_partkey"), lambda a, b: a < b
+        li,
+        ("l_orderkey",),
+        F.col("l_partkey"),
+        lambda a, b: a < b,
+        distinct_members=True,
     )
     return pairs.select(
         F.col("p.a").alias("u"), F.col("p.b").alias("v")
@@ -517,33 +519,12 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks argmax-with-tie-break). Communities = basket niches; the
     corpus-curation use is sampling-weight pools and topic balance.
 
-    Scale shape: every round is two key-partitioned shuffles on the
-    ENTITY graph (labels ⋈ adjacency on node, then the (node, label)
-    count + per-node argmax window) — |parts|-sized frames, never the
-    facts. The label frame localCheckpoints each round, so the plan
-    depth stays O(1) per round whatever LPA_ITERS is (the PageRank
-    cadence discipline). Top-20 communities by size plan as
-    TakeOrderedAndProject over the community aggregate."""
-    from pyspark.sql import Window
-
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    sym = _sym(edges)
-    lab = (
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lab"))
-    for _ in range(LPA_ITERS):
-        lab = (
-            sym.join(lab.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=False)
-        )
+    Scale shape: see ``lpa_labels`` — per round one labels ⋈ adjacency
+    join plus two hash aggregations (the per-node argmax is a
+    max(struct) partial-agg, NOT a sort window). Top-20 communities
+    by size plan as TakeOrderedAndProject over the community
+    aggregate."""
+    lab = lpa_labels(copurchase_edges(spark, sf_dir), LPA_ITERS)
     comm = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -553,3 +534,47 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
     )
+
+
+def lpa_labels(raw_edges: DataFrame, iters: int) -> DataFrame:
+    """Synchronous LPA over a (u, v) u<v edge frame → (node, lab).
+
+    Scale shape — the adjacency shuffles ONCE, the rounds not at all:
+    the symmetric adjacency is repartitioned by u and CACHED (cache,
+    not localCheckpoint, on purpose: InMemoryTableScan keeps the
+    HashPartitioning(u) in the plan where a checkpointed RDD loses
+    it — measured 3× on the round loop, because the per-round
+    (node, label) aggregations group on supersets of u and elide
+    their Exchanges entirely). Each round broadcasts the label frame
+    into that partitioned adjacency and runs two hash aggregations —
+    count per (node, label), then the per-node argmax as
+    ``max(struct(n, -lab))`` (lexicographic struct max = count DESC,
+    label ASC — the window-free form): one in-memory adjacency scan
+    + pipelined aggs, zero data-sized exchanges per round. The label
+    broadcast is deliberate and bounded like KCORE_COLLECT_CAP: the
+    frame is NODE-sized (the entity graph, ∝ |parts|, a few bytes
+    per node — broadcastable to ~10^8 nodes); past that, drop the
+    hint and the same plan degrades to a co-partitioned join. Label
+    lineage grows linearly (one join per round), so rounds chain
+    lazily; a cadence checkpoint every PR_CHECKPOINT_EVERY rounds
+    bounds plan depth for large ``iters`` exactly like pagerank."""
+    edges = raw_edges.localCheckpoint(eager=True)
+    sym = _sym(edges).repartition("u").cache()
+    sym.count()  # bounded action: materializes the cache, one scalar
+    lab = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
+    )
+    for i in range(iters):
+        if i and i % PR_CHECKPOINT_EVERY == 0:
+            lab = lab.localCheckpoint(eager=False)
+        lab = (
+            sym.join(F.broadcast(lab.withColumnRenamed("node", "v")), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lab"))
+        )
+    return lab

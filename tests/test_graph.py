@@ -232,28 +232,13 @@ def test_lpa_communities_partition_nodes(spark, sf_dir):
         LPA_ITERS,
         _sym,
         copurchase_edges,
+        lpa_labels,
     )
-    from pyspark.sql import Window
 
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = copurchase_edges(spark, sf_dir)
     sym = _sym(edges)
     n_nodes = sym.select("u").distinct().count()
-    lab = (
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lab"))
-    for _ in range(LPA_ITERS):
-        lab = (
-            sym.join(lab.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=False)
-        )
+    lab = lpa_labels(edges, LPA_ITERS)
     assert lab.count() == n_nodes  # one label per node, none dropped
     assert lab.select("node").distinct().count() == n_nodes
     # every final label is itself a node id (labels only propagate)
