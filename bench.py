@@ -157,6 +157,7 @@ EXTENDED = [
     "q_interval_join_binned",
     "q_ann_srp_lsh",
     "q_weighted_sample",
+    "q_set_overlap_sketch",
 ]
 
 

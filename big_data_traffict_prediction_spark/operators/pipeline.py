@@ -976,3 +976,161 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# KMV set algebra (Beyer et al. 2007 "distinct-value synopses"):
+# bottom-k sketches support UNION (k smallest of the merged sketch)
+# and INTERSECTION (the k-min coincidence estimator rho = |U ∩ S_A ∩
+# S_B| / |U|) — the piece HLL registers cannot give you. Same
+# deterministic integer hash as q_approx_distinct, so the estimates
+# AND their calibration errors are bit-reproducible cross-engine.
+OVERLAP_K = 256
+OVERLAP_A = "view"
+OVERLAP_B = "click"
+
+
+def _kmv_sketch(e: DataFrame, etype: str) -> DataFrame:
+    """Bottom-OVERLAP_K distinct hashes of one event type's users."""
+    return (
+        e.filter(F.col("event_type") == etype)
+        .select(_mul_hash(F.col("user_id"), HASH_C).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(OVERLAP_K)
+    )
+
+
+@register(
+    "q_set_overlap_sketch",
+    oracle=f"""
+WITH ha AS (
+  SELECT DISTINCT {_mul_hash_sql("user_id", HASH_C)} AS h
+  FROM events WHERE event_type = '{OVERLAP_A}' AND user_id IS NOT NULL
+  ORDER BY h LIMIT {OVERLAP_K}
+),
+hb AS (
+  SELECT DISTINCT {_mul_hash_sql("user_id", HASH_C)} AS h
+  FROM events WHERE event_type = '{OVERLAP_B}' AND user_id IS NOT NULL
+  ORDER BY h LIMIT {OVERLAP_K}
+),
+u AS (
+  SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+  ORDER BY h LIMIT {OVERLAP_K}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS h_k,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM ha)
+                        AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM u
+),
+est AS (
+  SELECT CASE WHEN n_u < {OVERLAP_K} THEN n_u
+              ELSE CAST({(OVERLAP_K - 1) * HASH_M} // h_k AS BIGINT) END AS union_est,
+         n_both * 1000000 // n_u AS jaccard_est_ppm
+  FROM stats
+),
+xa AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = '{OVERLAP_A}' AND user_id IS NOT NULL
+),
+xb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = '{OVERLAP_B}' AND user_id IS NOT NULL
+),
+exact AS (
+  SELECT CAST((SELECT COUNT(*) FROM xa) AS BIGINT) AS n_a,
+         CAST((SELECT COUNT(*) FROM xb) AS BIGINT) AS n_b,
+         CAST((SELECT COUNT(*) FROM xa JOIN xb USING (user_id)) AS BIGINT) AS inter_exact,
+         CAST((SELECT COUNT(*) FROM (SELECT user_id FROM xa UNION SELECT user_id FROM xb)) AS BIGINT) AS union_exact
+)
+SELECT x.n_a, x.n_b,
+       CAST(e.union_est AS BIGINT) AS union_est, x.union_exact,
+       CAST(e.jaccard_est_ppm AS BIGINT) AS jaccard_est_ppm,
+       CAST(x.inter_exact * 1000000 // x.union_exact AS BIGINT) AS jaccard_exact_ppm,
+       CAST(e.jaccard_est_ppm * e.union_est // 1000000 AS BIGINT) AS inter_est,
+       x.inter_exact
+FROM est e, exact x
+""",
+)
+def q_set_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from BOTTOM-K SKETCHES ONLY (Beyer
+    et al. 2007): the k smallest distinct user-hashes per event type
+    give union cardinality ((k−1)·M / h_(k) on the merged sketch) AND
+    Jaccard / intersection (the coincidence ratio |U ∩ S_A ∩ S_B| /
+    |U|) — the set-algebra piece HLL registers cannot express, and
+    the reason ad-tech overlap dashboards ship KMV/theta sketches.
+    Estimates sit next to their exact twins, so the oracle pins
+    calibration, not just plumbing.
+
+    Scale shape: each sketch is a distinct → per-partition bottom-k →
+    k-row merge (TakeOrderedAndProject — the corpus never globally
+    sorts); every downstream step (union merge, coincidence count,
+    estimators) runs on ≤ 3k rows of BIGINTs. At 100 TB the sketches
+    are what you'd persist per segment and intersect combinatorially
+    at query time — 2 KB of state per audience."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ha = _kmv_sketch(e, OVERLAP_A)
+    hb = _kmv_sketch(e, OVERLAP_B)
+    u = ha.union(hb).distinct().orderBy("h").limit(OVERLAP_K)
+    stats = (
+        u.join(ha.select(F.col("h").alias("h")), "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .crossJoin(
+            F.broadcast(
+                u.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_u"),
+                    F.max("h").alias("h_k"),
+                )
+            )
+        )
+    )
+    est = stats.select(
+        F.when(F.col("n_u") < OVERLAP_K, F.col("n_u"))
+        .otherwise(
+            F.call_function("div", F.lit((OVERLAP_K - 1) * HASH_M), F.col("h_k"))
+        )
+        .cast("long")
+        .alias("union_est"),
+        F.call_function("div", F.col("n_both") * F.lit(1_000_000), F.col("n_u"))
+        .alias("jaccard_est_ppm"),
+    )
+    xa = (
+        e.filter(F.col("event_type") == OVERLAP_A).select("user_id").distinct()
+    )
+    xb = (
+        e.filter(F.col("event_type") == OVERLAP_B).select("user_id").distinct()
+    )
+    exact = (
+        xa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(F.broadcast(xb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))))
+        .crossJoin(
+            F.broadcast(
+                xa.join(xb, "user_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("inter_exact")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                xa.union(xb)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("union_exact"))
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_a",
+        "n_b",
+        "union_est",
+        "union_exact",
+        "jaccard_est_ppm",
+        F.call_function(
+            "div", F.col("inter_exact") * F.lit(1_000_000), F.col("union_exact")
+        ).alias("jaccard_exact_ppm"),
+        F.call_function(
+            "div", F.col("jaccard_est_ppm") * F.col("union_est"), F.lit(1_000_000)
+        ).alias("inter_est"),
+        "inter_exact",
+    )
