@@ -158,6 +158,7 @@ EXTENDED = [
     "q_ann_srp_lsh",
     "q_weighted_sample",
     "q_set_overlap_sketch",
+    "q_hll_rolling_distinct",
 ]
 
 

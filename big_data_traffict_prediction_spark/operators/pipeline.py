@@ -1134,3 +1134,114 @@ def q_set_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("inter_est"),
         "inter_exact",
     )
+
+
+HLL_ROLL_DAYS = 7  # trailing window width for the sketch rollup
+
+
+@register(
+    "q_hll_rolling_distinct",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, {_HLL_H_SQL} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+hb AS (
+  SELECT d AS grp, h // {_HLL_WMOD} AS bucket,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {HLL_MAX_RANK}
+              ELSE 1 + bit_count(((h % {_HLL_WMOD}) & (-(h % {_HLL_WMOD}))) - 1)
+         END AS rank
+  FROM base
+),
+regs AS (
+  SELECT grp, bucket, MAX(rank) AS reg FROM hb GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT grp AS day FROM regs),
+win AS (
+  SELECT dd.day, r.bucket, MAX(r.reg) AS reg
+  FROM days dd JOIN regs r ON r.grp BETWEEN dd.day - {HLL_ROLL_DAYS - 1} AND dd.day
+  GROUP BY 1, 2
+),
+est0 AS (
+  SELECT day,
+         {HLL_NUMER} // (1000 * (CAST(SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS raw,
+         {HLL_M} - COUNT(*) AS v
+  FROM win GROUP BY 1
+),
+est AS (SELECT day, {_hll_final_sql("raw", "v")} AS hll_users_7d FROM est0),
+exact AS (
+  SELECT dd.day, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS exact_users_7d
+  FROM days dd JOIN base b ON b.d BETWEEN dd.day - {HLL_ROLL_DAYS - 1} AND dd.day
+  GROUP BY 1
+)
+SELECT strftime(e.day, '%Y-%m-%d') AS day,
+       e.hll_users_7d, x.exact_users_7d,
+       CAST(ABS(e.hll_users_7d - x.exact_users_7d) * 1000000 // x.exact_users_7d
+            AS BIGINT) AS err_ppm
+FROM est e JOIN exact x ON x.day = e.day
+ORDER BY day
+""",
+)
+def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day FROM DAILY SKETCHES
+    ALONE: one register build per (day, bucket), then each day's
+    window estimate is a register-wise max over its trailing 7 days —
+    the facts are scanned ONCE however many windows they appear in.
+    This is why mergeable sketches exist: the exact twin (computed
+    alongside for the calibration check) must re-touch every (day,
+    user) pair per window, 7× the distinct work, and at 100 TB the
+    sketch path aggregates 64 ints/day while the exact path
+    re-shuffles the week.
+
+    Scale shape: the register build is the q_hll_distinct map-side
+    combine; the window merge joins the CALENDAR-sized day spine
+    against 64·days register rows (both tiny forever); the only
+    data-sized work is the one base scan. Deterministic end to end —
+    same hash, same floor estimator, same LC dispatch — so the whole
+    rollup hash-matches DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(e, F.to_date("ts"))
+    days = regs.select(F.col("grp").alias("day")).distinct()
+    win = (
+        F.broadcast(days)
+        .join(
+            regs,
+            (F.col("grp") >= F.date_sub(F.col("day"), HLL_ROLL_DAYS - 1))
+            & (F.col("grp") <= F.col("day")),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = _hll_estimate(win.select(F.col("day").alias("grp"), "bucket", "reg"))
+    du = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    exact = (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("d") >= F.date_sub(F.col("day"), HLL_ROLL_DAYS - 1))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    err = F.call_function(
+        "div",
+        F.abs(F.col("hll_users_7d") - F.col("exact_users_7d")) * F.lit(1_000_000),
+        F.col("exact_users_7d"),
+    )
+    return (
+        est.select(F.col("grp").alias("day"), F.col("hll_users").alias("hll_users_7d"))
+        .join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hll_users_7d",
+            "exact_users_7d",
+            err.alias("err_ppm"),
+        )
+        .orderBy("day")
+    )
