@@ -159,6 +159,7 @@ EXTENDED = [
     "q_weighted_sample",
     "q_set_overlap_sketch",
     "q_hll_rolling_distinct",
+    "q_stream_hll_cameras",
 ]
 
 

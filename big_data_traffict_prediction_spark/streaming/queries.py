@@ -662,3 +662,93 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("matched_pairs") > 0)
         .orderBy("camera_id")
     )
+
+
+from ..operators.pipeline import (  # noqa: E402  (shared sketch pieces)
+    HLL_M,
+    HLL_MAX_RANK,
+    HLL_NUMER,
+    _hll_final_sql,
+    _HLL_WMOD,
+)
+
+_SHLL_H_SQL = (
+    "CAST(('0x' || substr(md5('shll#' || camera_id), 1, 10)) AS BIGINT)"
+)
+
+
+@register(
+    "q_stream_hll_cameras",
+    oracle=with_traffic(
+        f"""
+, hb AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         h // {_HLL_WMOD} AS bucket,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {HLL_MAX_RANK}
+              ELSE 1 + bit_count(((h % {_HLL_WMOD}) & (-(h % {_HLL_WMOD}))) - 1)
+         END AS rank
+  FROM (SELECT ts, {_SHLL_H_SQL} AS h FROM traffic)
+),
+regs AS (
+  SELECT window_start, bucket, MAX(rank) AS reg FROM hb GROUP BY 1, 2
+),
+est0 AS (
+  SELECT window_start,
+         {HLL_NUMER} // (1000 * (CAST(SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS raw,
+         {HLL_M} - COUNT(*) AS v
+  FROM regs GROUP BY 1
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       {_hll_final_sql("raw", "v")} AS hll_cameras
+FROM est0, wm
+WHERE window_start + INTERVAL '1 hour' <= w
+ORDER BY window_start
+""",
+        extra_ctes=_WM_CTE,
+    ),
+)
+def q_stream_hll_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-camera estimates per hour window from HLL
+    REGISTERS AS THE STREAMING STATE — the bounded-memory answer to
+    streaming COUNT(DISTINCT): exact distinct must hold every id seen
+    per open window (state ∝ cardinality), registers hold 64 small
+    ints per window whatever the cardinality, and merge across
+    micro-batches by ``max`` — which is commutative and idempotent,
+    so the drained append-mode output is invariant to chunking and
+    replay order and the whole pipeline hash-checks against the
+    batch-twin oracle (the rare fully-verified streaming sketch).
+    The estimate itself (same integer floor estimator + LC dispatch
+    as q_hll_distinct) runs POST-DRAIN on the register table — 64
+    rows per closed window, never the stream."""
+    stage, base = _staged(spark, sf_dir)
+    regs = windows.hll_register_windows(simulate.read_stream(spark, stage))
+    out = windows.run_to_memory(
+        spark,
+        regs,
+        f"q_stream_hll_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    from pyspark.sql import functions as F
+
+    denom = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {HLL_MAX_RANK} - reg)")
+    ) + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << HLL_MAX_RANK)
+    est0 = (
+        out.groupBy("window_start", "window_end")
+        .agg(denom.alias("_d"), (F.lit(HLL_M) - F.count(F.lit(1))).alias("_v"))
+        .select(
+            "window_start",
+            "window_end",
+            F.call_function(
+                "div", F.lit(HLL_NUMER), F.lit(1000) * F.col("_d")
+            ).alias("_raw"),
+            "_v",
+        )
+    )
+    return est0.select(
+        "window_start",
+        "window_end",
+        F.expr(_hll_final_sql("_raw", "_v")).alias("hll_cameras"),
+    ).orderBy("window_start")

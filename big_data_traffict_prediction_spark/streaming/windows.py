@@ -222,3 +222,46 @@ def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str) ->
         )
         q.awaitTermination()
     return part_dir
+
+
+def hll_register_windows(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Per-window HLL registers over camera_id: (window_start,
+    window_end, bucket, reg) — the BOUNDED-STATE streaming answer to
+    distinct counting (exact distinct would hold every id seen per
+    open window; registers hold 64 small ints whatever the
+    cardinality). ``max`` is commutative/idempotent, so the drained
+    output is chunking- and order-invariant — fully hash-checkable
+    like the other event-time window queries. Same hash/rank
+    construction as the batch q_hll_distinct (operators/pipeline)."""
+    from ..operators.pipeline import HLL_MAX_RANK, _HLL_WMOD
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shll#"), F.col("camera_id"))), 1, 10),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    w = h % F.lit(_HLL_WMOD)
+    rank = (
+        F.when(w == 0, F.lit(HLL_MAX_RANK))
+        .otherwise(F.lit(1) + F.bit_count(w.bitwiseAND(-w) - 1))
+        .cast("int")
+    )
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .select(
+            "ts",
+            F.call_function("div", h, F.lit(_HLL_WMOD)).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy(F.window("ts", duration).alias("w"), "bucket")
+        .agg(F.max("rank").alias("reg"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "reg",
+        )
+    )

@@ -726,3 +726,31 @@ def test_stream_stream_full_outer_summary_is_invariant(spark, sf_dir):
     got = {r.camera_id: (r.matched_pairs, r.matched_checksum) for r in out}
     assert got and got == _batch_matched_summary(spark, sf_dir)
     assert all(r.null_obs_rows >= 0 and r.null_alert_rows >= 0 for r in out)
+
+
+def test_stream_hll_calibrated_vs_batch_exact(spark, sf_dir):
+    """The streaming HLL's per-window estimate must be CLOSE to the
+    batch exact distinct-camera count for the same closed windows
+    (within the m=64 4-sigma band), not merely cross-engine-stable —
+    the register state is the whole point of the operator, so a rank
+    or bucket bug that still replays deterministically would pass the
+    hash check but blow this bound."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        q_stream_hll_cameras,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    est = {r.window_start: r.hll_cameras for r in q_stream_hll_cameras(spark, sf_dir).collect()}
+    assert est, "no closed windows emitted"
+    exact = {
+        r.w: r.n
+        for r in traffic_history(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.countDistinct("camera_id").alias("n"))
+        .collect()
+    }
+    for w, e in est.items():
+        x = exact[w]
+        assert abs(e - x) * 1_000_000 // x <= 520_000, (w, e, x)
