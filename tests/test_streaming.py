@@ -754,3 +754,33 @@ def test_stream_hll_calibrated_vs_batch_exact(spark, sf_dir):
     for w, e in est.items():
         x = exact[w]
         assert abs(e - x) * 1_000_000 // x <= 520_000, (w, e, x)
+
+
+def test_stream_hll_registers_chunking_invariant(spark, sf_dir):
+    """The streaming HLL's oracle claim rests on max-merge being
+    commutative/idempotent across micro-batch boundaries. Replay the
+    same data as 2 and as 7 chunks: identical REGISTER sets (stronger
+    than comparing estimates — a register that differed but rounded
+    to the same estimate would hide a merge bug)."""
+    import tempfile
+    import uuid
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"hllinv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        out = windows.run_to_memory(
+            spark,
+            windows.hll_register_windows(simulate.read_stream(spark, stage)),
+            f"hllinv_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+        )
+        return {
+            (r.window_start, r.window_end, r.bucket, r.reg) for r in out.collect()
+        }
+
+    a, b = drained(2), drained(7)
+    assert a and a == b
