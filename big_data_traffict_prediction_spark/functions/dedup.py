@@ -1152,7 +1152,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle: recursive-CTE transitive closure with min-reachable
     labels — an exact cross-engine check of an iterative graph
     algorithm."""
-    edges = threshold_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    # checkpoint the DIRECTED pairs FIRST: the symmetrizing union
+    # references them twice, and without this the whole LSH+verify
+    # pair pipeline evaluates once per branch (measured: the second
+    # evaluation cost ~2.6 s warm at sf0.1 — the k-core lazy-reference
+    # lesson applied one level further down)
+    edges = (
+        threshold_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)

@@ -142,8 +142,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_census(raw_edges: DataFrame) -> DataFrame:
-    """Degree-ordered triangle census over a (u, v) u<v edge frame."""
-    edges = raw_edges.localCheckpoint(eager=False)
+    """Degree-ordered triangle census over a (u, v) u<v edge frame.
+
+    The edge frame checkpoints EAGERLY: it is referenced five times
+    (degrees, both orientation joins, the closing-edge probe, the
+    count) and a lazy checkpoint lets branches race the first
+    materialization and silently re-run the basket-expansion pipeline
+    (the k-core 3^n lesson; measured on q_dedup_clusters' union)."""
+    edges = raw_edges.localCheckpoint(eager=True)
     deg = _sym(edges).groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -435,8 +441,11 @@ def pagerank(raw_edges: DataFrame, iters: int) -> DataFrame:
     optimizer time) would grow linearly — a lazy ``localCheckpoint``
     every PR_CHECKPOINT_EVERY rounds truncates it (values unchanged;
     pinned by tests/test_graph.py's cadence-equality test), keeping
-    the per-round plan O(PR_CHECKPOINT_EVERY) whatever ``iters`` is."""
-    edges = raw_edges.localCheckpoint(eager=False)
+    the per-round plan O(PR_CHECKPOINT_EVERY) whatever ``iters`` is.
+    The edge frame itself checkpoints eagerly — sym references it
+    twice and every round re-reads sym (the q_dedup_clusters union
+    lesson)."""
+    edges = raw_edges.localCheckpoint(eager=True)
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
