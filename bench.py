@@ -160,6 +160,7 @@ EXTENDED = [
     "q_set_overlap_sketch",
     "q_hll_rolling_distinct",
     "q_stream_hll_cameras",
+    "q_k_anonymity",
 ]
 
 

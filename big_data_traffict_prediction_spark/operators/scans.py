@@ -127,3 +127,94 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+K_ANON = 5  # a quasi-identifier group smaller than this is a risk
+K_ANON_TOP = 50  # risky groups reported (smallest-first)
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS qi_hour,
+         CAST(FLOOR(value / 50) AS BIGINT) AS qi_value_band,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+grps AS (
+  SELECT event_type, qi_hour, qi_value_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM qi GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN group_size < {K_ANON} THEN group_size ELSE 0 END)
+              AS BIGINT) AS rows_at_risk,
+         CAST(SUM(group_size) AS BIGINT) AS n_rows
+  FROM grps
+)
+SELECT g.event_type, g.qi_hour, g.qi_value_band, g.group_size,
+       s.n_groups, s.rows_at_risk,
+       CAST(s.rows_at_risk * 1000000 // s.n_rows AS BIGINT) AS risk_ppm
+FROM grps g, stats s
+WHERE g.group_size < {K_ANON}
+ORDER BY g.group_size, g.event_type, g.qi_hour, g.qi_value_band
+LIMIT {K_ANON_TOP}
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the quasi-identifier (event_type,
+    hour-of-day, value band): every combination held by fewer than
+    K_ANON users' rows is a re-identification risk — the standard
+    pre-release governance check next to q_pii_redact (detect) and
+    q_gdpr_delete (erase). Reports the riskiest (smallest) groups
+    plus corpus-level exposure (rows_at_risk, risk_ppm) as broadcast
+    scalars on every row.
+
+    Scale shape: ONE hash aggregation over the projected facts (the
+    QI tuple is computed map-side), then everything downstream runs
+    on the group frame — bounded by |event_types|·24·|value bands|,
+    a dimension-sized domain however large the fact table. The top-N
+    risky groups plan as TakeOrderedAndProject."""
+    from ..tables import load_table
+
+    qi = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("qi_hour"),
+            F.floor(F.col("value") / 50).cast("long").alias("qi_value_band"),
+        )
+    )
+    grps = qi.groupBy("event_type", "qi_hour", "qi_value_band").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    stats = grps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(F.col("group_size") < K_ANON, F.col("group_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("group_size").cast("long").alias("n_rows"),
+    )
+    return (
+        grps.filter(F.col("group_size") < K_ANON)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "qi_hour",
+            "qi_value_band",
+            "group_size",
+            "n_groups",
+            "rows_at_risk",
+            F.call_function(
+                "div", F.col("rows_at_risk") * F.lit(1_000_000), F.col("n_rows")
+            ).alias("risk_ppm"),
+        )
+        .orderBy("group_size", "event_type", "qi_hour", "qi_value_band")
+        .limit(K_ANON_TOP)
+    )
