@@ -248,3 +248,50 @@ def test_lpa_communities_partition_nodes(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def _ref_lpa(pairs, iters):
+    """Pure-Python synchronous LPA: most-frequent neighbor label,
+    ties to the smallest — the deterministic variant lpa_labels
+    implements."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_python_reference_on_hand_graphs(spark):
+    """Two 4-cliques joined by one bridge edge must resolve to two
+    communities (labelled by each clique's min id); also check a ring
+    and a star — shapes with ties, hubs, and symmetry."""
+    from big_data_traffict_prediction_spark.operators.graph import (
+        LPA_ITERS,
+        lpa_labels,
+    )
+
+    def clique(nodes):
+        return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+
+    graphs = [
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        [(i, (i + 1) % 8) if i + 1 < 8 else (0, 7) for i in range(8)],  # ring
+        [(0, i) for i in range(1, 9)],  # star
+    ]
+    for pairs in graphs:
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+        got = {
+            r.node: r.lab
+            for r in lpa_labels(_edges_df(spark, pairs), LPA_ITERS).collect()
+        }
+        assert got == _ref_lpa(pairs, LPA_ITERS), pairs

@@ -56,3 +56,57 @@ def test_sql_twin_never_overflows_int64(x):
     # DuckDB raises on BIGINT overflow rather than wrapping; executing
     # proves no intermediate leaves the domain
     con.execute(f"SELECT {_mul_hash_sql(f'CAST({x} AS BIGINT)', HASH_C)}").fetchone()
+
+
+# ---- HLL register model (pure Python twin of operators/pipeline) ----
+
+
+def _hll_rank(h: int) -> tuple[int, int]:
+    """(bucket, rank) exactly as both engines compute them."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        HLL_MAX_RANK,
+        _HLL_WMOD,
+    )
+
+    bucket = h // _HLL_WMOD
+    w = h % _HLL_WMOD
+    if w == 0:
+        return bucket, HLL_MAX_RANK
+    return bucket, 1 + ((w & -w) - 1).bit_count()
+
+
+def _hll_registers_py(ids) -> dict[int, int]:
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for i in ids:
+        h = int(hashlib.md5(f"hll#{i}".encode()).hexdigest()[:10], 16)
+        b, r = _hll_rank(h)
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), max_size=300),
+    st.sets(st.integers(min_value=0, max_value=10**9), max_size=300),
+)
+def test_hll_register_merge_is_union(a, b):
+    """The algebraic property the merged '__all__' row and the rolling
+    7-day rollup both rely on: registers(A ∪ B) == per-bucket max of
+    registers(A), registers(B). Exact, for any id sets."""
+    ra, rb = _hll_registers_py(a), _hll_registers_py(b)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == _hll_registers_py(a | b)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500))
+def test_hll_rank_bounds_and_determinism(ids):
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        HLL_M,
+        HLL_MAX_RANK,
+    )
+
+    regs = _hll_registers_py(ids)
+    assert all(0 <= b < HLL_M for b in regs)
+    assert all(1 <= r <= HLL_MAX_RANK for r in regs.values())
+    assert regs == _hll_registers_py(ids)  # pure function of the set
