@@ -890,13 +890,26 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int64)
+                if pq > 1:
+                    raise ValueError(f"invalid DQT precision field {pq}")
+                if pq:
+                    # Pq=1: 16-bit big-endian entries. Nominally paired
+                    # with 12-bit samples (T.81 B.2.4.1), but real
+                    # 8-bit crawl files carry them too (libjpeg
+                    # accepts); dequantization is precision-agnostic,
+                    # so decode them rather than gate the whole file.
+                    zz = (
+                        np.frombuffer(payload, ">u2", 64, p + 1)
+                        .astype(np.int64)
+                    )
+                else:
+                    zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(
+                        np.int64
+                    )
                 nat = np.empty(64, np.int64)
                 nat[ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
-                p += 65
+                p += 1 + (128 if pq else 64)
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):

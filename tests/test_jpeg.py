@@ -701,3 +701,31 @@ def test_progressive_multiblock_eobrun_decodes_like_baseline():
     # the stream is not degenerate: the blocks differ from each other,
     # so a mis-accounted EOB run would misalign every later block
     assert len(np.unique(base_px.reshape(6, -1, 8).mean(axis=(1, 2)))) >= 4
+
+
+def test_16bit_dqt_decodes_identically():
+    """Pq=1 (16-bit) quantizer entries decode to the SAME pixels as
+    the 8-bit twin carrying identical values — the messy-crawl
+    tolerance case (libjpeg accepts 16-bit DQT even in 8-bit streams;
+    dequantization is precision-agnostic). Rewrites the encoder's own
+    DQT segment in place: length 67 → 131, Pq nibble set, every entry
+    widened to big-endian u16."""
+    import struct
+
+    img = (np.arange(256) % 251).astype(np.uint8).reshape(16, 16)
+    data = bytes(encode_gray(img, quality=40))
+    i = data.index(b"\xff\xdb")
+    (seg_len,) = struct.unpack_from(">H", data, i + 2)
+    assert seg_len == 67, "one 8-bit table expected"
+    pqtq = data[i + 4]
+    entries = data[i + 5 : i + 5 + 64]
+    wide = b"".join(struct.pack(">H", v) for v in entries)
+    seg16 = b"\xff\xdb" + struct.pack(">H", 131) + bytes([pqtq | 0x10]) + wide
+    data16 = data[:i] + seg16 + data[i + 4 + seg_len - 2 :]
+    assert (decode_gray(data16) == decode_gray(data)).all()
+    # an invalid precision field (Pq>1) must classify, not misparse
+    bad = data[:i] + b"\xff\xdb" + struct.pack(">H", 67) + bytes(
+        [pqtq | 0x20]
+    ) + entries + data[i + 4 + seg_len - 2 :]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_gray(bad)
