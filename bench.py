@@ -161,6 +161,7 @@ EXTENDED = [
     "q_hll_rolling_distinct",
     "q_stream_hll_cameras",
     "q_k_anonymity",
+    "q_rolling_origin_eval",
 ]
 
 

@@ -1662,3 +1662,163 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positives", "n_false_negatives", "n_bits_set",
         )
     )
+
+
+BACKTEST_K = 5  # rolling origins (the last K days with a next day)
+BACKTEST_TRAIN_W = 28  # trailing observed days in each train window
+
+
+@register(
+    "q_rolling_origin_eval",
+    oracle=with_traffic(f"""
+, daily AS (
+  SELECT CAST(ts AS DATE) AS d, camera_id,
+         CAST(SUM(new_count) AS BIGINT) AS total
+  FROM traffic GROUP BY 1, 2
+),
+days AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk,
+         COUNT(*) OVER () AS n
+  FROM (SELECT DISTINCT d FROM daily)
+),
+origins AS (
+  SELECT o.d AS origin_day, o.rk AS ork, t.d AS target_day
+  FROM days o JOIN days t ON t.rk = o.rk + 1
+  WHERE o.rk >= o.n - {BACKTEST_K}
+),
+dr AS (SELECT dd.rk, da.camera_id, da.total, da.d FROM daily da JOIN days dd ON dd.d = da.d),
+train AS (
+  SELECT og.origin_day, og.target_day, og.ork, dr.camera_id,
+         CAST(SUM(dr.total) AS BIGINT) AS sum_total,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM origins og
+  JOIN dr ON dr.rk BETWEEN og.ork - {BACKTEST_TRAIN_W - 1} AND og.ork
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT t.origin_day, t.target_day, t.camera_id,
+         t.sum_total // t.n_obs AS forecast,
+         COALESCE(a.total, 0) AS actual,
+         COALESCE(p.total, 0) AS persistence
+  FROM train t
+  LEFT JOIN dr a ON a.rk = t.ork + 1 AND a.camera_id = t.camera_id
+  LEFT JOIN dr p ON p.rk = t.ork AND p.camera_id = t.camera_id
+)
+SELECT strftime(origin_day, '%Y-%m-%d') AS origin_day,
+       strftime(target_day, '%Y-%m-%d') AS target_day,
+       CAST(COUNT(*) AS BIGINT) AS n_cameras,
+       CAST(SUM(ABS(forecast - actual)) // COUNT(*) AS BIGINT) AS forecast_mae,
+       CAST(SUM(ABS(persistence - actual)) // COUNT(*) AS BIGINT) AS persistence_mae,
+       CAST((SUM(ABS(persistence - actual)) - SUM(ABS(forecast - actual))) * 1000000
+            // GREATEST(SUM(ABS(persistence - actual)), 1) AS BIGINT) AS improvement_ppm
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1
+"""),
+)
+def q_rolling_origin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (the time-series analogue of
+    k-fold CV, leakage-free by construction): for each of the last
+    BACKTEST_K origin days, forecast every camera's NEXT-day total as
+    its trailing-{BACKTEST_TRAIN_W}-observed-day mean (integer floor)
+    and score MAE against the actual — next to the PERSISTENCE
+    baseline (yesterday's value), because a backtest without a naive
+    baseline proves nothing. improvement_ppm > 0 ⇔ the model beats
+    persistence at that origin. All-integer arithmetic end to end, so
+    the whole evaluation harness hash-matches the oracle — the
+    ML-ops step (q_time_split gives ONE split; this gives the K-fold
+    temporal sweep q_ml_forecast_eval's single holdout cannot).
+
+    Scale shape: one fact shuffle to (day, camera) daily totals;
+    the day spine and the K-row origin table are calendar-sized and
+    broadcast into the rank-range train join (each daily row lands in
+    ≤ K train windows — constant fan-out); per-(origin, camera)
+    aggregation and the final per-origin metrics are entity-sized."""
+    daily = (
+        traffic_history(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("d"), "camera_id")
+        .agg(F.sum("new_count").cast("long").alias("total"))
+    )
+    days = global_rank(daily.select("d").distinct(), ["d"]).select(
+        "d", F.col("_rk").alias("rk"), F.col("_n").alias("n")
+    )
+    tgt = days.select(F.col("d").alias("target_day"), F.col("rk").alias("trk"))
+    origins = (
+        days.filter(F.col("rk") >= F.col("n") - BACKTEST_K)
+        .join(tgt, F.col("trk") == F.col("rk") + 1)
+        .select(
+            F.col("d").alias("origin_day"),
+            F.col("rk").alias("ork"),
+            "target_day",
+        )
+    )
+    dr = daily.join(F.broadcast(days.select("d", "rk")), "d")
+    train = (
+        F.broadcast(origins)
+        .join(
+            dr,
+            (F.col("rk") >= F.col("ork") - (BACKTEST_TRAIN_W - 1))
+            & (F.col("rk") <= F.col("ork")),
+        )
+        .groupBy("origin_day", "target_day", "ork", "camera_id")
+        .agg(
+            F.sum("total").cast("long").alias("sum_total"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    a = dr.select(
+        F.col("rk").alias("ark"), F.col("camera_id").alias("ac"),
+        F.col("total").alias("a_total"),
+    )
+    p = dr.select(
+        F.col("rk").alias("prk"), F.col("camera_id").alias("pc"),
+        F.col("total").alias("p_total"),
+    )
+    scored = (
+        train.join(
+            a,
+            (F.col("ark") == F.col("ork") + 1) & (F.col("ac") == F.col("camera_id")),
+            "left",
+        )
+        .join(
+            p,
+            (F.col("prk") == F.col("ork")) & (F.col("pc") == F.col("camera_id")),
+            "left",
+        )
+        .select(
+            "origin_day",
+            "target_day",
+            F.call_function("div", F.col("sum_total"), F.col("n_obs")).alias(
+                "forecast"
+            ),
+            F.coalesce("a_total", F.lit(0)).alias("actual"),
+            F.coalesce("p_total", F.lit(0)).alias("persistence"),
+        )
+    )
+    fa = F.sum(F.abs(F.col("forecast") - F.col("actual")))
+    pa = F.sum(F.abs(F.col("persistence") - F.col("actual")))
+    return (
+        scored.groupBy("origin_day", "target_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cameras"),
+            fa.alias("_fa"),
+            pa.alias("_pa"),
+        )
+        .select(
+            F.date_format("origin_day", "yyyy-MM-dd").alias("origin_day"),
+            F.date_format("target_day", "yyyy-MM-dd").alias("target_day"),
+            "n_cameras",
+            F.call_function("div", F.col("_fa"), F.col("n_cameras")).alias(
+                "forecast_mae"
+            ),
+            F.call_function("div", F.col("_pa"), F.col("n_cameras")).alias(
+                "persistence_mae"
+            ),
+            F.call_function(
+                "div",
+                (F.col("_pa") - F.col("_fa")) * F.lit(1_000_000),
+                F.greatest(F.col("_pa"), F.lit(1)),
+            ).alias("improvement_ppm"),
+        )
+        .orderBy("origin_day")
+    )
