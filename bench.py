@@ -162,6 +162,7 @@ EXTENDED = [
     "q_stream_hll_cameras",
     "q_k_anonymity",
     "q_rolling_origin_eval",
+    "q_negative_samples",
 ]
 
 

@@ -1822,3 +1822,113 @@ def q_rolling_origin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin_day")
     )
+
+
+NEG_K = 4  # negative candidates drawn per positive pair
+
+
+@register(
+    "q_negative_samples",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+np AS (SELECT MAX(l_partkey) AS n_parts FROM lineitem),
+cand AS (
+  SELECT p.custkey, g.j AS slot,
+         (CAST(('0x' || substr(md5('neg#' || CAST(p.custkey AS VARCHAR) || '#'
+             || CAST(p.partkey AS VARCHAR) || '#' || CAST(g.j AS VARCHAR)), 1, 10))
+           AS BIGINT) % np.n_parts) + 1 AS neg_part
+  FROM pos p
+  CROSS JOIN (SELECT unnest(generate_series(0, {NEG_K - 1})) AS j) g
+  CROSS JOIN np
+),
+hit AS (
+  SELECT c.slot,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN EXISTS (
+             SELECT 1 FROM pos p2
+             WHERE p2.custkey = c.custkey AND p2.partkey = c.neg_part
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions
+  FROM cand c GROUP BY 1
+)
+SELECT slot, n_candidates, n_collisions,
+       CAST(n_collisions * 1000000 // n_candidates AS BIGINT) AS collision_ppm
+FROM hit ORDER BY slot
+""",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: for
+    every observed (customer, part) positive, NEG_K negative part
+    candidates are drawn by salted-md5 hash over the part-id domain —
+    a property of the ROW (reproducible across engines, retries, and
+    partitionings, like every sampler here), never an RNG stream.
+    The accidental-positive rate per slot (collision_ppm, the
+    false-negative contamination a trainer must either filter or
+    tolerate) is the verification surface: the filter step at scale
+    is this exact semi-join against the positives.
+
+    Scale shape: candidate generation is a pure per-row map (NEG_K×
+    fan-out, constant); the collision check is one key-partitioned
+    semi-join of candidates against positives on (customer, part);
+    the result is NEG_K summary rows. Nothing collects; the part-id
+    domain bound is a one-row broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced by cand AND the semi-join
+    )
+    np_row = li.agg(F.max("l_partkey").alias("n_parts"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg#"),
+                    F.col("custkey").cast("string"),
+                    F.lit("#"),
+                    F.col("partkey").cast("string"),
+                    F.lit("#"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        pos.select(
+            "custkey",
+            "partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("slot"),
+        )
+        .crossJoin(F.broadcast(np_row))
+        .select("custkey", "slot", (h % F.col("n_parts") + 1).alias("neg_part"))
+    )
+    hits = cand.join(
+        pos.select("custkey", F.col("partkey").alias("neg_part")),
+        ["custkey", "neg_part"],
+        "left_semi",
+    ).groupBy("slot").agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    totals = cand.groupBy("slot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        totals.join(hits, "slot", "left")
+        .select(
+            F.col("slot").cast("long").alias("slot"),
+            "n_candidates",
+            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            F.call_function(
+                "div",
+                F.coalesce("n_collisions", F.lit(0)) * F.lit(1_000_000),
+                F.col("n_candidates"),
+            ).alias("collision_ppm"),
+        )
+        .orderBy("slot")
+    )
