@@ -1910,24 +1910,29 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(np_row))
         .select("custkey", "slot", (h % F.col("n_parts") + 1).alias("neg_part"))
     )
-    hits = cand.join(
-        pos.select("custkey", F.col("partkey").alias("neg_part")),
+    # ONE pass: a left join with a hit flag counts candidates AND
+    # collisions in the same aggregation (a semi-join branch plus a
+    # separate totals branch would evaluate the candidate pipeline
+    # twice — the q_dedup_clusters double-reference lesson)
+    flagged = cand.join(
+        pos.select(
+            "custkey", F.col("partkey").alias("neg_part"), F.lit(1).alias("hit")
+        ),
         ["custkey", "neg_part"],
-        "left_semi",
-    ).groupBy("slot").agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
-    totals = cand.groupBy("slot").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
+        "left",
     )
     return (
-        totals.join(hits, "slot", "left")
+        flagged.groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_collisions"),
+        )
         .select(
             F.col("slot").cast("long").alias("slot"),
             "n_candidates",
-            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            "n_collisions",
             F.call_function(
-                "div",
-                F.coalesce("n_collisions", F.lit(0)) * F.lit(1_000_000),
-                F.col("n_candidates"),
+                "div", F.col("n_collisions") * F.lit(1_000_000), F.col("n_candidates")
             ).alias("collision_ppm"),
         )
         .orderBy("slot")

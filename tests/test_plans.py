@@ -787,3 +787,41 @@ def test_srp_lsh_corpus_never_shuffles_for_the_probe(spark, sf_dir):
     a = explain.audit(df)
     assert a["broadcast_joins"] >= 2, "query bands / query vectors must broadcast"
     assert explain.nested_loop_join_count(df) == 0
+
+
+def test_weighted_sample_selection_is_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_weighted_sample,
+    )
+
+    # the top-(K+1) priority selection must plan as per-partition
+    # heaps + a K-row merge, never a global sort of the corpus
+    df = q_weighted_sample(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_negative_samples_collision_check_is_hash_join(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import (
+        q_negative_samples,
+    )
+
+    # the accidental-positive flag joins candidates against positives
+    # on (customer, part) — an EQUI join; the only nested loop allowed
+    # is the one-row n_parts scalar broadcast (TPC-H q11/q15 pattern)
+    df = q_negative_samples(spark, sf_dir)
+    assert explain.nested_loop_join_count(df) <= 1, (
+        "candidate/positive join degenerated to a nested loop"
+    )
+
+
+def test_k_anonymity_is_one_fact_aggregation(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_k_anonymity
+
+    # facts reduce to the dimension-sized QI group frame in ONE hash
+    # aggregation; the only nested loop is the one-row stats scalar
+    # broadcast, and the risky-group top-N plans as TakeOrdered
+    df = q_k_anonymity(spark, sf_dir)
+    a = explain.audit(df)
+    assert explain.nested_loop_join_count(df) <= 1
+    assert a["take_ordered"], "risky-group top-N must plan as TakeOrdered"
