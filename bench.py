@@ -163,6 +163,7 @@ EXTENDED = [
     "q_k_anonymity",
     "q_rolling_origin_eval",
     "q_negative_samples",
+    "q_sql_supplier_scorecard",
 ]
 
 

@@ -1385,3 +1385,62 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ONE portable ANSI-SQL text, executed verbatim by BOTH engines —
+# Spark runs it through spark.sql() over temp views, DuckDB over its
+# parquet views. The only degrees of freedom are the table names.
+_SQL_SCORECARD = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM({rev}) AS BIGINT) AS revenue_fp,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM {li} GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT n.n_name AS nation, s.s_name AS supplier,
+         r.revenue_fp, r.n_parts, r.n_lines,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.n_name ORDER BY r.revenue_fp DESC, s.s_name
+         ) AS rn
+  FROM rev r
+  JOIN {s} s ON s.s_suppkey = r.suppkey
+  JOIN {n} n ON n.n_nationkey = s.s_nationkey
+)
+SELECT nation, supplier, revenue_fp, n_parts, n_lines,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+ORDER BY nation, rank
+"""
+
+
+@register(
+    "q_sql_supplier_scorecard",
+    oracle=_SQL_SCORECARD.format(
+        rev=REV_SQL, li="lineitem", s="supplier", n="nation"
+    ),
+)
+def q_sql_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by exact-cents revenue — registered
+    as a PURE ``spark.sql()`` query: the ONE SQL text (CTEs, an
+    exact-integer aggregate, a dim join, a ranking window) runs
+    verbatim on both engines, so the oracle check here is literally
+    "Spark SQL and DuckDB execute the same ANSI string to the same
+    bits". The engine's second front-end: everything else in the
+    registry declares its plan through the DataFrame API; this query
+    pins that the SQL surface reaches the SAME Catalyst plans, the
+    same exactness discipline (REV_SQL's fixed-point cents), and the
+    same broadcast behavior (supplier/nation are KB-sized dims).
+
+    Scale shape: one fact aggregation to supplier grain, dim joins on
+    the supplier-sized frame, and a top-k-per-nation window whose
+    partitions are nation-bounded (the q_top_parts_per_brand
+    pattern)."""
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlq_{t}")
+    return spark.sql(
+        _SQL_SCORECARD.format(
+            rev=REV_SQL, li="sqlq_lineitem", s="sqlq_supplier", n="sqlq_nation"
+        )
+    )
