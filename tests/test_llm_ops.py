@@ -606,3 +606,45 @@ def test_srp_lsh_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # 8 tables x 6 bits on unclustered data: measured 0.32 at sf0.01
     assert recall >= 0.2, f"SRP-LSH recall too low: {recall:.2f}"
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """Third witness for priority sampling (besides the DuckDB
+    oracle): an independent pure-Python implementation of the
+    integer priority (w<<40)//(h+1), the top-K selection with the
+    (priority DESC, doc_id) tie-break, tau, and the Horvitz-Thompson
+    floor arithmetic must reproduce the Spark result row for row."""
+    import hashlib
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        PRIORITY_K,
+        PRIORITY_SCALE,
+        q_weighted_sample,
+    )
+    from big_data_traffict_prediction_spark.tables import load_table
+
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    keyed = []
+    for doc_id, w in docs:
+        h = int(hashlib.md5(f"ws#{doc_id}".encode()).hexdigest()[:10], 16)
+        keyed.append((doc_id, w, (w * PRIORITY_SCALE) // (h + 1)))
+    keyed.sort(key=lambda t: (-t[2], t[0]))
+    top = keyed[: PRIORITY_K + 1]
+    tau = top[PRIORITY_K][2] if len(top) > PRIORITY_K else 0
+    sample = top[:PRIORITY_K]
+    est = sum(max(w * PRIORITY_SCALE, tau) for _, w, _ in sample) // PRIORITY_SCALE
+    exact = sum(w for _, w in docs)
+    err = abs(est - exact) * 1_000_000 // exact
+    expected = {
+        d: (w, p, est, exact, err) for d, w, p in sample
+    }
+    got = {
+        r.doc_id: (r.weight, r.priority, r.est_total, r.exact_total, r.err_ppm)
+        for r in q_weighted_sample(spark, sf_dir).collect()
+    }
+    assert got == expected
