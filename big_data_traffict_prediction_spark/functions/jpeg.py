@@ -19,8 +19,9 @@ Scope (all honestly gated, never faked):
 - decode: baseline sequential (SOF0) AND progressive (SOF2 —
   spectral selection, successive approximation, DC/AC first +
   refinement scans, EOB runs, per T.81 Annex G), 1 or 3 components,
-  any integer-ratio sampling factors ≤ 4 (nearest-neighbor chroma
-  upsampling), restart intervals supported; 8-bit extended sequential
+  any sampling factors ≤ 4 — integer AND non-integer ratios, via a
+  nearest-neighbor index-map chroma upsampler — restart intervals
+  supported; 8-bit extended sequential
   (SOF1) decodes on the baseline path. ``decode_gray`` returns the
   (luma) Y plane; ``decode_rgb`` full color. 12-bit precision,
   lossless / arithmetic-coded, 4-component (CMYK), and
@@ -844,14 +845,20 @@ def _reconstruct(
         grid = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
             by * 8, bx * 8
         )
-        # crop to the component's own resolution, then upsample
-        # to full by replication (nearest-neighbor per spec note)
+        # crop to the component's own resolution, then upsample to
+        # full resolution by nearest-neighbor INDEX MAP: out[y, x] =
+        # plane[y·vi // vmax, x·hi // hmax]. For integer ratios this
+        # is bit-identical to the old np.repeat replication
+        # (y // (vmax/vi) == y·vi // vmax when vi | vmax — pinned by
+        # test), and it is exact for NON-integer ratios too (e.g.
+        # 3:2), so no sampling-factor combination needs a gate; T.81
+        # deliberately leaves the upsampling filter to the decoder.
         ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
         plane = grid[:ch, :cw]
         if vi != vmax or hi != hmax:
-            plane = np.repeat(
-                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
-            )
+            ys = (np.arange(h, dtype=np.int64) * vi) // vmax
+            xs = (np.arange(w, dtype=np.int64) * hi) // hmax
+            plane = plane[ys][:, xs]
         planes.append(plane[:h, :w])
     return planes
 
@@ -946,8 +953,8 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 raise ValueError("zero image dimensions")
             hmax = max(hi for _, hi, _, _ in comps)
             vmax = max(vi for _, _, vi, _ in comps)
-            if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
-                raise NotImplementedError("non-integer chroma upsampling ratios")
+            # non-integer chroma ratios (e.g. 3:2) decode via the
+            # nearest-neighbor index map in _reconstruct — no gate
             mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
             if progressive:
                 # persistent coefficient store, filled scan by scan;

@@ -729,3 +729,51 @@ def test_16bit_dqt_decodes_identically():
     ) + entries + data[i + 4 + seg_len - 2 :]
     with pytest.raises((ValueError, NotImplementedError)):
         decode_gray(bad)
+
+
+def test_upsampling_index_map_integer_and_fractional():
+    """The nearest-neighbor index-map upsampler must be BIT-IDENTICAL
+    to the old np.repeat replication for integer ratios (4:2:0 and
+    4:4:4 round-trips already pin end-to-end), and must reconstruct
+    full-resolution planes for NON-integer ratios (3:2, 4:3) — the
+    former gate. Exercised through _reconstruct with DC-only blocks
+    so every 8x8 block is a flat patch of a known value."""
+    from big_data_traffict_prediction_spark.functions.jpeg import _reconstruct
+
+    def dc_blocks(by, bx, base):
+        n = by * bx
+        blocks = np.zeros((n, 64), np.int64)
+        # DC term d gives pixel value round(d * 1/8 + 128) for the
+        # orthonormal DCT basis; pick d = 8*(v-128) for target v
+        for i in range(n):
+            blocks[i, 0] = 8 * ((base + i) - 128)
+        return blocks
+
+    h = w = 32
+    for hmax, vmax, hi, vi in [(2, 2, 1, 1), (3, 2, 2, 1), (4, 1, 3, 1)]:
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        comps = [(1, hmax, vmax, 0), (2, hi, vi, 0)]
+        q = {0: np.ones((8, 8), np.int64)}
+        per_comp = [
+            dc_blocks(mcuy * vmax, mcux * hmax, 40),
+            dc_blocks(mcuy * vi, mcux * hi, 90),
+        ]
+        planes = _reconstruct(comps, per_comp, q, mcux, mcuy, hmax, vmax, h, w)
+        assert all(p.shape == (h, w) for p in planes), (hmax, vmax, hi, vi)
+        # the chroma plane's pixel (y, x) must come from the source
+        # block at the floor-mapped coordinate — check via the known
+        # per-block flat values
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        grid_bx = mcux * hi
+        for y, x in [(0, 0), (h - 1, w - 1), (h // 2, w // 3), (5, 17)]:
+            sy, sx = (y * vi) // vmax, (x * hi) // hmax
+            sy, sx = min(sy, ch - 1), min(sx, cw - 1)
+            expect = 90 + (sy // 8) * grid_bx + (sx // 8)
+            assert planes[1][y, x] == expect, (hmax, vmax, hi, vi, y, x)
+        # integer-ratio bit-identity with the replication formula
+        if vmax % vi == 0 and hmax % hi == 0:
+            src = planes[1][:: vmax // vi or 1, :: hmax // hi or 1]
+            rep = np.repeat(
+                np.repeat(src, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+            assert (planes[1] == rep).all()
