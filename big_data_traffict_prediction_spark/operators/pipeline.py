@@ -870,8 +870,7 @@ tau AS (
   FROM topk1
 ),
 est AS (
-  SELECT CAST(SUM(GREATEST(s.weight * {PRIORITY_SCALE}, tau.t))
-              // {PRIORITY_SCALE} AS BIGINT) AS est_total
+  SELECT CAST(SUM(GREATEST(s.weight, tau.t)) AS BIGINT) AS est_total
   FROM topk1 s, tau WHERE s.rk <= {PRIORITY_K}
 ),
 exact AS (
@@ -894,9 +893,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks the estimator's calibration, not just the
     selection). Priorities come from the salted-md5 random tape like
     q_reservoir_sample, so the sample is identical across engines and
-    reruns; every estimator step is integer floor arithmetic
-    (max(w·2^40, τ) summed then scaled down — bounded by
-    (K+1)·max_priority ≪ int64).
+    reruns; every estimator step is exact integer arithmetic
+    (Σ max(w_i, τ) with τ the (K+1)-th priority, both in weight
+    units — bounded by (K+1)·max_priority ≪ int64).
 
     Scale shape: the top-(K+1) selection plans as
     TakeOrderedAndProject (per-partition heaps + a (K+1)-row driver
@@ -948,11 +947,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         sample.crossJoin(F.broadcast(tau))
         .agg(
-            F.call_function(
-                "div",
-                F.sum(F.greatest(F.col("weight") * F.lit(PRIORITY_SCALE), F.col("t"))),
-                F.lit(PRIORITY_SCALE),
-            ).alias("est_total")
+            # τ = (K+1)-th priority is already in weight units
+            # (priority = w·2^40/(h+1) = w/u), so the HT term is
+            # max(w_i, τ) directly — no PRIORITY_SCALE rescaling.
+            F.sum(F.greatest(F.col("weight").cast("long"), F.col("t")))
+            .cast("long")
+            .alias("est_total")
         )
     )
     exact = load_table(spark, sf_dir, "documents").agg(

@@ -637,7 +637,11 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     top = keyed[: PRIORITY_K + 1]
     tau = top[PRIORITY_K][2] if len(top) > PRIORITY_K else 0
     sample = top[:PRIORITY_K]
-    est = sum(max(w * PRIORITY_SCALE, tau) for _, w, _ in sample) // PRIORITY_SCALE
+    # tau = (K+1)-th priority is already in WEIGHT units (priority =
+    # w*2^40/(h+1) = w/u), so the Horvitz-Thompson term is max(w, tau)
+    # directly — rescaling w by 2^40 made the estimate degenerate to
+    # the raw sample-weight sum (caught by the round-9 advice).
+    est = sum(max(w, tau) for _, w, _ in sample)
     exact = sum(w for _, w in docs)
     err = abs(est - exact) * 1_000_000 // exact
     expected = {
@@ -648,3 +652,23 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         for r in q_weighted_sample(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_weighted_sample_estimator_is_calibrated(spark, sf_dir):
+    """Duffield-Lund-Thorup: E[sum(max(w_i, tau))] over the sample
+    equals the exact corpus total. With K=200 of ~500 docs at sf0.01
+    the relative error should be a few percent — the round-9 formula
+    (weights rescaled by 2^40 before the max) degenerated to the raw
+    sample sum (~50% low, err_ppm ~504k) and no test bounded it."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_weighted_sample,
+    )
+
+    row = q_weighted_sample(spark, sf_dir).limit(1).collect()[0]
+    assert row.est_total > 0
+    # 5% calibration bound (measured ~6,200 ppm at sf0.01 with the
+    # corrected formula; the broken one sat at ~504,000 ppm)
+    assert row.err_ppm < 50_000, (
+        f"HT estimator miscalibrated: est={row.est_total} "
+        f"exact={row.exact_total} err_ppm={row.err_ppm}"
+    )
