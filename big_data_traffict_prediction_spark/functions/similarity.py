@@ -1243,10 +1243,11 @@ def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.crossJoin(F.broadcast(planes_row))
         .select("vec_id", F.explode(bands_arr).alias("bv"))
         .select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-        # referenced on BOTH sides of the candidate self-join: one
-        # lazy checkpoint runs the signature pipeline once (tiny
-        # frame: SRP_TABLES rows per vector, three small ints each)
-        .localCheckpoint(eager=False)
+        # referenced on BOTH sides of the candidate self-join: the
+        # checkpoint must be EAGER or each branch evaluates the
+        # signature pipeline once (tiny frame: SRP_TABLES rows per
+        # vector, three small ints each)
+        .localCheckpoint(eager=True)
     )
     qb = bands.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"), "band", "val"
