@@ -539,12 +539,41 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks argmax-with-tie-break). Communities = basket niches; the
     corpus-curation use is sampling-weight pools and topic balance.
 
-    Scale shape: see ``lpa_labels`` — per round one labels ⋈ adjacency
-    join plus two hash aggregations (the per-node argmax is a
-    max(struct) partial-agg, NOT a sort window). Top-20 communities
-    by size plan as TakeOrderedAndProject over the community
-    aggregate."""
-    lab = lpa_labels(copurchase_edges(spark, sf_dir), LPA_ITERS)
+    Scale shape: see ``_lpa_from_adj`` — dense part ids take the
+    indexed path (per round: one broadcast label ARRAY + a zero-join,
+    zero-shuffle HOF scan of the node-sized adjacency; the per-node
+    argmax is an in-row run-length fold over the sorted neighbor
+    labels, NOT a sort window). Top-20 communities by size plan as
+    TakeOrderedAndProject over the community aggregate."""
+    # Fused adjacency build: the basket expansion emits BOTH pair
+    # directions in-row and collect_set dedups (u, v) inside the SAME
+    # hash aggregation that builds the neighbor arrays — one shuffle
+    # where edges→distinct→checkpoint→union→repartition took three
+    # plus a materialization (measured ~2× on the build at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = bucket_pair_expand(
+        li,
+        ("l_orderkey",),
+        F.col("l_partkey"),
+        lambda a, b: a < b,
+        distinct_members=True,
+    )
+    adj = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p.a").alias("node"), F.col("p.b").alias("nb")),
+                    F.struct(F.col("p.b").alias("node"), F.col("p.a").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.node").alias("node"), F.col("e.nb").alias("nb"))
+        .groupBy("node")
+        .agg(F.collect_set("nb").alias("nbrs"))
+        .cache()
+    )
+    lab = _lpa_from_adj(adj, LPA_ITERS)  # eager: labels materialized
+    adj.unpersist()
     comm = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -556,36 +585,148 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Indexed-label fast path bound: the per-round label array is ONE row
+# of |nodes| longs broadcast to every executor (~8 B/node → 256 MB at
+# 2^25). Past the cap — or with non-contiguous node ids — the join
+# path below takes over with identical semantics.
+LPA_INDEX_CAP = 1 << 25
+
+
 def lpa_labels(raw_edges: DataFrame, iters: int) -> DataFrame:
     """Synchronous LPA over a (u, v) u<v edge frame → (node, lab).
 
-    Scale shape — the adjacency shuffles ONCE, the rounds not at all:
-    the symmetric adjacency is repartitioned by u and CACHED (cache,
-    not localCheckpoint, on purpose: InMemoryTableScan keeps the
-    HashPartitioning(u) in the plan where a checkpointed RDD loses
-    it — measured 3× on the round loop, because the per-round
-    (node, label) aggregations group on supersets of u and elide
-    their Exchanges entirely). Each round broadcasts the label frame
-    into that partitioned adjacency and runs two hash aggregations —
-    count per (node, label), then the per-node argmax as
-    ``max(struct(n, -lab))`` (lexicographic struct max = count DESC,
-    label ASC — the window-free form): one in-memory adjacency scan
-    + pipelined aggs, zero data-sized exchanges per round. The label
-    broadcast is deliberate and bounded like KCORE_COLLECT_CAP: the
-    frame is NODE-sized (the entity graph, ∝ |parts|, a few bytes
-    per node — broadcastable to ~10^8 nodes); past that, drop the
-    hint and the same plan degrades to a co-partitioned join. Label
-    lineage grows linearly (one join per round), so rounds chain
-    lazily; a cadence checkpoint every PR_CHECKPOINT_EVERY rounds
-    bounds plan depth for large ``iters`` exactly like pagerank."""
+    Builds the per-node neighbor arrays (one shuffle — collect_set
+    dedups and groups in a single hash aggregation) and hands off to
+    ``_lpa_from_adj``; the final labels are materialized eagerly so
+    the adjacency cache can be released before returning (a long
+    driver session otherwise leaks one cached frame per call)."""
     edges = raw_edges.localCheckpoint(eager=True)
-    sym = _sym(edges).repartition("u").cache()
-    sym.count()  # bounded action: materializes the cache, one scalar
-    lab = (
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
+    adj = (
+        _sym(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.collect_set("v").alias("nbrs"))
+        .cache()
     )
+    lab = _lpa_from_adj(adj, iters)
+    adj.unpersist()
+    return lab
+
+
+def _lpa_from_adj(adj: DataFrame, iters: int) -> DataFrame:
+    """LPA rounds over a cached (node, nbrs) adjacency frame.
+
+    Dispatch: contiguous node ids (the TPC-H part graph: partkeys are
+    1..N dense) take the INDEXED path — each round broadcasts the
+    label assignment as ONE array positioned by node id, so the
+    neighbor-label lookup is an O(1) element_at inside a per-row HOF
+    and a round is a single scan of the |nodes|-row adjacency with
+    zero joins and zero shuffles (measured ~5× per round vs the
+    broadcast-join form at sf0.1). Sparse ids or > LPA_INDEX_CAP
+    nodes fall back to the join path: per round one broadcast label
+    join into the exploded adjacency + two hash aggregations (the
+    per-node argmax as ``max(struct(n, -lab))`` — count DESC, label
+    ASC, window-free), with every aggregation eliding its Exchange
+    under the adjacency's HashPartitioning(node). Both paths
+    materialize the result eagerly (node-sized) so callers can drop
+    the adjacency cache immediately."""
+    cnt, lo, hi = adj.agg(
+        F.count(F.lit(1)), F.min("node"), F.max("node")
+    ).first()
+    if cnt and cnt <= LPA_INDEX_CAP and hi - lo + 1 == cnt:
+        return _lpa_rounds_indexed(adj, int(lo), iters)
+    return _lpa_rounds_join(adj, iters).localCheckpoint(eager=True)
+
+
+def _mode_smallest(sorted_labs):
+    """Most frequent element of an ASC-sorted array, ties to the
+    smallest value — one aggregate fold over the run-lengths (strict
+    ``>`` keeps the earliest = smallest label on equal counts)."""
+    return F.aggregate(
+        sorted_labs,
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("long").alias("best"),
+            F.lit(0).alias("bestrun"),
+        ),
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(st["prev"]), st["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(x.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1))
+                > st["bestrun"],
+                x,
+            )
+            .otherwise(st["best"])
+            .alias("best"),
+            F.greatest(
+                F.when(x.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1)),
+                st["bestrun"],
+            ).alias("bestrun"),
+        ),
+        lambda st: st["best"],
+    )
+
+
+def _lpa_rounds_indexed(adj: DataFrame, lo: int, iters: int) -> DataFrame:
+    """Indexed-label LPA rounds: node ids are contiguous from ``lo``,
+    so round k's labels broadcast as one array with slot (node−lo+1).
+    Round 1 needs no array at all: from the identity labelling every
+    neighbor label is the (distinct) neighbor id, all counts are 1,
+    and the tie-break picks array_min(nbrs)."""
+    if iters <= 0:
+        return adj.select("node", F.col("node").alias("lab")).localCheckpoint(
+            eager=True
+        )
+    # Each round checkpoints its (node-sized) output eagerly: the next
+    # round's label array then reads 20k materialized rows instead of
+    # re-deriving the whole prior-round HOF plan inside the broadcast
+    # child — shallow plans beat one deep nested plan here because the
+    # cost is per-execution plan/codegen, not data (r9 lesson).
+    lab = adj.select("node", F.array_min("nbrs").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(1, iters):
+        labarr = lab.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("node", "lab"))),
+                lambda s: s["lab"],
+            ).alias("labarr")
+        )
+        lab = (
+            adj.crossJoin(F.broadcast(labarr))
+            .select(
+                "node",
+                _mode_smallest(
+                    F.array_sort(
+                        F.transform(
+                            "nbrs",
+                            lambda nb: F.element_at(
+                                "labarr", (nb - F.lit(lo) + 1).cast("int")
+                            ),
+                        )
+                    )
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def _lpa_rounds_join(adj: DataFrame, iters: int) -> DataFrame:
+    """Broadcast-join LPA rounds for sparse / oversized id spaces.
+
+    The exploded adjacency inherits HashPartitioning(node) from the
+    cached collect_set aggregation, so the per-round (node, label)
+    count and the per-node argmax both elide their Exchanges. The
+    label broadcast is node-sized (bounded like KCORE_COLLECT_CAP);
+    past ~10^8 nodes drop the hint and the identical plan degrades
+    to a co-partitioned join. Label lineage grows one join per
+    round; the cadence checkpoint bounds plan depth like pagerank."""
+    sym = adj.select(F.col("node").alias("u"), F.explode("nbrs").alias("v"))
+    lab = adj.select("node", F.col("node").alias("lab"))
     for i in range(iters):
         if i and i % PR_CHECKPOINT_EVERY == 0:
             lab = lab.localCheckpoint(eager=False)
