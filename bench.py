@@ -248,6 +248,45 @@ def resolve_detail_path(detail: dict, repo_dir: str) -> str:
     return canonical
 
 
+def _calibration_probe() -> float:
+    """Fixed single-threaded CPU work (md5 over 256 MB) timed in
+    seconds — a Spark-independent host-speed probe. ~0.3 s on this
+    box when idle; scales with ambient load/frequency, so the driver
+    artifact carries a machine-speed witness next to the query times.
+    """
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(256):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _load_factor(timings_min: dict, committed: dict | None) -> float | None:
+    """This run's min-of-sweeps headline total ÷ the committed idle
+    record's, over the shared query names — >1.1 reads as ambient
+    host load (or a real regression; per-query ratios disambiguate:
+    a flat inflation across all queries is load, a single-query
+    blowup is code). None when there is no comparable record."""
+    if not committed:
+        return None
+    old_q = committed.get("queries_min") or {}
+    shared = [
+        k
+        for k in timings_min
+        if isinstance(old_q.get(k), (int, float)) and not isinstance(old_q.get(k), bool)
+    ]
+    if not shared:
+        return None
+    old_total = sum(old_q[k] for k in shared)
+    if old_total <= 0:
+        return None
+    return round(sum(timings_min[k] for k in shared) / old_total, 3)
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -259,6 +298,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     warm_runs = int(os.environ.get("SPARK_BENCH_WARMUP", "1"))
+    calib_sec = _calibration_probe()
     spark = get_spark()
 
     queries = registry.all_queries()
@@ -328,16 +368,19 @@ def main() -> None:
     # Bulky diagnostics go to a FILE artifact — per-query history must
     # not depend on what survives stdout capture — plus one stdout line
     # for eyeballing live runs.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    load_factor = _load_factor(timings_min, _committed_detail(repo_dir))
     detail = {
         "metric": "headline_detail",
         "stat": stat,
         "value_min": round(sum(timings_min.values()), 3),
+        "load_factor": load_factor,
+        "calib_sec": calib_sec,
         "queries_min": timings_min,
         "queries_cold": cold,
         "queries_extended": extended,
         "sf": sf,
     }
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = resolve_detail_path(detail, repo_dir)
     if detail_path.endswith(".loaded.json"):
         print(
@@ -357,6 +400,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "stat": stat,
+                "load_factor": load_factor,
+                "calib_sec": calib_sec,
                 "queries": timings,
                 "sf": sf,
             }

@@ -87,6 +87,13 @@ def main() -> int:
     ot, nt = ref.get("value_min"), cur.get("value_min")
     if ot and nt:
         print(f"headline min total: {ot:.3f} -> {nt:.3f} ({nt / ot:.2f}x)")
+    lf, calib = cur.get("load_factor"), cur.get("calib_sec")
+    if lf is not None:
+        # written by bench.py at sweep time: this run ÷ the record
+        # committed at its HEAD (a flat >1.1 across queries = ambient
+        # host load; see SCALE.md "Bench record provenance")
+        print(f"load_factor vs committed record: {lf:.3f}"
+              + (f"  (calibration probe {calib:.3f}s)" if calib else ""))
     if flagged:
         print(f"\n{len(flagged)} flagged: {flagged}")
         return 1

@@ -154,3 +154,25 @@ def test_no_committed_record_writes_canonical_path(tmp_path, monkeypatch):
     assert bench.resolve_detail_path(anything, str(repo)).endswith(
         os.sep + "BENCH_DETAIL.json"
     )
+
+
+def test_load_factor_over_shared_keys():
+    bench = _bench()
+    # 1.2x over both shared queries -> 1.2 (q_new has no record row and
+    # must not poison the ratio)
+    lf = bench._load_factor({"q_a": 1.2, "q_b": 2.4, "q_new": 9.0}, RECORD)
+    assert lf == 1.2
+    # no record / empty record / zero total -> None, never ZeroDivisionError
+    assert bench._load_factor({"q_a": 1.0}, None) is None
+    assert bench._load_factor({"q_a": 1.0}, {"queries_min": {}}) is None
+    assert bench._load_factor({"q_a": 1.0}, {"queries_min": {"q_a": 0}}) is None
+    # boolean cells in a corrupt record are skipped like the guard does
+    assert bench._load_factor({"q_a": 1.0}, {"queries_min": {"q_a": True}}) is None
+
+
+def test_calibration_probe_is_positive_seconds():
+    bench = _bench()
+    t = bench._calibration_probe()
+    # fixed CPU work: strictly positive, and not absurdly long even on
+    # a loaded host (the probe is 256 MB of md5, ~0.3-0.5 s idle)
+    assert 0.01 < t < 30.0
