@@ -93,3 +93,40 @@ def test_bpe_query_matches_reference_on_corpus(spark, sf_dir):
     ]
     assert got == exp
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_sequential_equality_at_k64(spark, sf_dir):
+    """The trainer's k-bound witness (SCALE.md): 64 sequential merge
+    rounds — one bounded Spark job + a one-row collect each — still
+    reproduce the pure-Python reference trainer rule for rule. Also
+    measures the driver round-trip rate, since a real 32k-merge vocab
+    serializes 32k such rounds; the measured rounds/sec figure is
+    recorded in SCALE.md next to the documented k-bound."""
+    import re
+    import time
+
+    from big_data_traffict_prediction_spark.functions.bpe import (
+        bpe_merge_table,
+        word_vocab,
+    )
+    from big_data_traffict_prediction_spark.tables import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+            if w:
+                vocab[w] += 1
+    t0 = time.perf_counter()
+    got = bpe_merge_table(word_vocab(spark, sf_dir), 64)
+    dt = time.perf_counter() - t0
+    exp = _ref_bpe(vocab, 64)
+    assert got == exp
+    assert len(got) >= 32, f"corpus ran dry after {len(got)} merges"
+    rate = len(got) / dt
+    # sanity floor only — the figure itself goes to SCALE.md by hand
+    assert rate > 0.2, f"merge rounds unreasonably slow: {rate:.2f}/s"
+    print(f"\nBPE sequential trainer: {len(got)} merges in {dt:.1f}s "
+          f"({rate:.1f} rounds/s)")
