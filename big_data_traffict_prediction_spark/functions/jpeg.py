@@ -22,10 +22,13 @@ Scope (all honestly gated, never faked):
   any sampling factors ≤ 4 — integer AND non-integer ratios, via a
   nearest-neighbor index-map chroma upsampler — restart intervals
   supported; 8-bit extended sequential
-  (SOF1) decodes on the baseline path. ``decode_gray`` returns the
+  (SOF1) decodes on the baseline path; non-interleaved multi-scan
+  baseline streams (one Ns=1 scan per component — libjpeg's
+  non-interleaved mode) decode through the same shared coefficient
+  store the progressive path uses. ``decode_gray`` returns the
   (luma) Y plane; ``decode_rgb`` full color. 12-bit precision,
   lossless / arithmetic-coded, 4-component (CMYK), and
-  non-interleaved multi-scan *baseline* streams raise
+  partially-interleaved scans (1 < Ns < Nf) raise
   ``NotImplementedError``.
 - progressive encode (``encode_progressive``): libjpeg-style scan
   script (DC first w/ point transform, spectral-split AC first scans,
@@ -874,6 +877,7 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
     dri = 0
     progressive = False
     coef: list[np.ndarray] | None = None  # per comp (by, bx, 64) ZIGZAG order
+    seq_seen: set[int] = set()  # comp indices already scanned (multi-scan baseline)
     scans_seen = 0
     hmax = vmax = mcux = mcuy = 0
     while pos < len(data):
@@ -982,9 +986,50 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 continue
             ns = payload[0]
             if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG"
+                # T.81 A.2.2: a sequential frame may carry one
+                # NON-interleaved scan per component (libjpeg's
+                # non-interleaved baseline mode). Each scan covers its
+                # component's OWN block grid in raster order; blocks
+                # land in the same interleaved-superset coefficient
+                # store the progressive path uses, and reconstruction
+                # happens once every component has been scanned.
+                if ns != 1:
+                    raise NotImplementedError(
+                        "partially-interleaved baseline scan (1 < Ns < Nf)"
+                    )
+                if coef is None:
+                    coef = [
+                        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                        for _, hi, vi, _ in comps
+                    ]
+                cid, tsel = payload[1], payload[2]
+                ci = next(
+                    (i for i, c in enumerate(comps) if c[0] == cid), None
                 )
+                if ci is None:
+                    raise ValueError(f"scan references unknown component {cid}")
+                _, hi, vi, _ = comps[ci]
+                dc_tab = htables[(0, tsel >> 4)]
+                ac_tab = htables[(1, tsel & 0xF)]
+                bh, bw_ = _comp_block_dims(hi, vi, hmax, vmax, h, w)
+                end = _entropy_end(data, pos)
+                br = _BitReader(data[pos:end])
+                prev_dc = 0
+                unit = 0
+                for byi in range(bh):
+                    for bxi in range(bw_):
+                        if dri and unit and unit % dri == 0:
+                            # non-interleaved: the restart interval
+                            # counts data units (one block per MCU)
+                            br.sync_restart()
+                            prev_dc = 0
+                        zz = _decode_one_block(br, dc_tab, ac_tab, prev_dc)
+                        prev_dc = int(zz[0])
+                        coef[ci][byi, bxi] = zz
+                        unit += 1
+                seq_seen.add(ci)
+                pos = end
+                continue
             bcomps = comps
             bhmax, bvmax = hmax, vmax
             bmcux, bmcuy = mcux, mcuy
@@ -1016,7 +1061,10 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 w,
             )
         # APPn / COM / others: skipped
-    if progressive and scans_seen and coef is not None:
+    if coef is not None and (
+        (progressive and scans_seen)
+        or (not progressive and len(seq_seen) == len(comps))
+    ):
         # zigzag store -> natural order, then the shared reconstruction
         per_comp = []
         for zz in coef:
@@ -1027,6 +1075,11 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
             _reconstruct(comps, per_comp, qtables, mcux, mcuy, hmax, vmax, h, w),
             h,
             w,
+        )
+    if not progressive and seq_seen:
+        raise ValueError(
+            f"multi-scan baseline stream ended with only {len(seq_seen)} of "
+            f"{len(comps)} components scanned"
         )
     raise ValueError("no scan data found")
 

@@ -777,3 +777,112 @@ def test_upsampling_index_map_integer_and_fractional():
                 np.repeat(src, vmax // vi, axis=0), hmax // hi, axis=1
             )[:h, :w]
             assert (planes[1] == rep).all()
+
+
+def _encode_noninterleaved_color(
+    arr, quality=75, subsampling="4:2:0", restart_interval=0
+):
+    """Test fixture: the same coefficients encode_color produces, but
+    packaged as THREE non-interleaved baseline scans (one per
+    component, the libjpeg non-interleaved layout) — each scan covers
+    its component's OWN block grid in raster order (T.81 A.2.2)."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        _AC_CHROMA_ENC,
+        _AC_ENC,
+        _BitWriter,
+        _color_coef_grids,
+        _color_headers,
+        _comp_block_dims,
+        _DC_CHROMA_ENC,
+        _DC_ENC,
+        _emit_block,
+        _seg,
+    )
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    y_zz, chroma, mcux, mcuy, hs, vs, qy, qc = _color_coef_grids(
+        a, quality, subsampling
+    )
+    out = _color_headers(qy, qc, h, w, (hs << 4) | vs, 0xFFC0)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    scans = [
+        (1, y_zz, hs, vs, 0x00, _DC_ENC, _AC_ENC),
+        (2, chroma[0], 1, 1, 0x11, _DC_CHROMA_ENC, _AC_CHROMA_ENC),
+        (3, chroma[1], 1, 1, 0x11, _DC_CHROMA_ENC, _AC_CHROMA_ENC),
+    ]
+    for cid, grid, hi, vi, tsel, dc_enc, ac_enc in scans:
+        bh, bw_ = _comp_block_dims(hi, vi, hs, vs, h, w)
+        bw = _BitWriter()
+        prev_dc = 0
+        unit = 0
+        for byi in range(bh):
+            for bxi in range(bw_):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.emit_marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                    prev_dc = 0
+                prev_dc = _emit_block(bw, grid[byi, bxi], prev_dc, dc_enc, ac_enc)
+                unit += 1
+        out += _seg(0xFFDA, bytes([1, cid, tsel, 0, 0x3F, 0]))
+        out += bw.flush()
+    return out + b"\xff\xd9"
+
+
+def test_noninterleaved_baseline_matches_interleaved():
+    """A 3-scan non-interleaved baseline stream must decode to EXACTLY
+    the interleaved stream's planes (same coefficients, different scan
+    packaging). Odd sizes exercise the component-own grid being
+    smaller than the interleaved MCU superset (e.g. 24x20 4:2:0: Y own
+    grid 3x3 blocks vs 4x4 superset rows)."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape, sub in [
+        ((24, 20, 3), "4:2:0"),
+        ((16, 16, 3), "4:2:0"),
+        ((9, 17, 3), "4:4:4"),
+        ((33, 31, 3), "4:2:0"),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        multi = decode_rgb(_encode_noninterleaved_color(img, 80, sub))
+        single = decode_rgb(encode_color(img, 80, sub))
+        assert multi.shape == single.shape == shape
+        assert (multi == single).all(), (shape, sub)
+
+
+def test_noninterleaved_baseline_with_restarts():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    multi = decode_rgb(_encode_noninterleaved_color(img, 85, "4:2:0", 3))
+    single = decode_rgb(encode_color(img, 85, "4:2:0"))
+    assert (multi == single).all()
+
+
+def test_noninterleaved_baseline_gates_and_errors():
+    """Partial coverage (a truncated multi-scan file) is a classified
+    ValueError; a partially-interleaved scan (1 < Ns < Nf) stays an
+    honest NotImplementedError gate."""
+    from big_data_traffict_prediction_spark.functions.jpeg import decode_rgb
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = _encode_noninterleaved_color(img, 80, "4:4:4")
+    # drop the third scan: keep everything before the LAST SOS, add EOI
+    last_sos = data.rfind(b"\xff\xda")
+    with pytest.raises(ValueError, match="2 of 3 components"):
+        decode_rgb(data[:last_sos] + b"\xff\xd9")
+    # forge Ns=2 on the first scan header -> gated, not mis-decoded
+    first_sos = data.find(b"\xff\xda")
+    forged = bytearray(data)
+    forged[first_sos + 4] = 2  # Ns byte (after marker + 2-byte length)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_rgb(bytes(forged))
