@@ -164,6 +164,8 @@ EXTENDED = [
     "q_rolling_origin_eval",
     "q_negative_samples",
     "q_sql_supplier_scorecard",
+    # round 10
+    "q_cdc_merge",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import epoch_s
+from ..compat import NOW_EPOCH, epoch_s
 from ..registry import register
 from ..tables import load_table, traffic_history, with_traffic
 
@@ -722,4 +722,100 @@ def q_camera_reconcile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
         .orderBy("camera_id")
+    )
+
+
+# CDC merge window: target state as of T1, one change batch [T1, T2).
+CDC_T1_EPOCH = NOW_EPOCH - 28 * 86400
+CDC_T2_EPOCH = CDC_T1_EPOCH + 3 * 86400
+
+
+@register(
+    "q_cdc_merge",
+    oracle=with_traffic(f"""
+, tgt AS (
+  SELECT camera_id, event_type,
+         MAX({{'ts': ts, 'id': id, 'new_count': new_count}}) AS s
+  FROM traffic
+  WHERE ts < make_timestamp(CAST({CDC_T1_EPOCH} AS BIGINT) * 1000000)
+  GROUP BY 1, 2
+),
+feed AS (
+  SELECT camera_id, event_type,
+         MAX({{'ts': ts, 'id': id, 'new_count': new_count}}) AS f
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({CDC_T1_EPOCH} AS BIGINT) * 1000000)
+    AND ts <  make_timestamp(CAST({CDC_T2_EPOCH} AS BIGINT) * 1000000)
+  GROUP BY 1, 2
+)
+SELECT camera_id, event_type,
+       t.s.new_count AS old_cnt,
+       f.f.new_count AS feed_cnt,
+       CASE WHEN f.f IS NULL THEN t.s.new_count
+            WHEN f.f.new_count = 0 THEN NULL
+            ELSE f.f.new_count END AS merged_cnt,
+       CASE WHEN t.s IS NULL AND f.f.new_count > 0 THEN 'insert'
+            WHEN t.s IS NULL THEN 'delete_miss'
+            WHEN f.f IS NULL THEN 'keep'
+            WHEN f.f.new_count = 0 THEN 'delete'
+            ELSE 'update' END AS action
+FROM tgt t FULL OUTER JOIN feed f USING (camera_id, event_type)
+ORDER BY camera_id, event_type
+"""),
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) semantics — the lakehouse operator that
+    PRODUCES the snapshot generations q_snapshot_diff compares and the
+    SCD-2 intervals q_asof_config_join replays: a keyed target table
+    (latest per-key state as of T1) merged with one change batch
+    ([T1, T2), compacted to its latest row per key; a zero count is
+    the delete tombstone, the common CDC convention). Every MERGE
+    branch is emitted with its audit action — matched+update,
+    matched+delete, unmatched-source insert, tombstone-for-absent-key
+    (delete_miss), and untouched target rows (keep) — alongside the
+    post-merge state (merged_cnt; NULL = row absent after the merge).
+
+    Scale shape: both sides compact via ONE hash aggregation each
+    (max(struct) latest-per-key — map-side partial, no window), and
+    the full-outer join runs co-partitioned: the two aggregations
+    already hash-partition on exactly the join keys, so the join adds
+    ZERO exchanges. On a real lakehouse table the target side is the
+    stored partition layout and the feed is a day's batch — same
+    plan, with AQE skew-split on pathological keys. Branch coverage
+    at every SF is pinned by tests (all five actions non-empty at
+    sf0.01)."""
+    h = traffic_history(spark, sf_dir)
+    t1 = F.timestamp_seconds(F.lit(CDC_T1_EPOCH))
+    t2 = F.timestamp_seconds(F.lit(CDC_T2_EPOCH))
+    key = ["camera_id", "event_type"]
+    tgt = (
+        h.filter(F.col("ts") < t1)
+        .groupBy(*key)
+        .agg(F.max(F.struct("ts", "id", "new_count")).alias("s"))
+    )
+    feed = (
+        h.filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+        .groupBy(*key)
+        .agg(F.max(F.struct("ts", "id", "new_count")).alias("f"))
+    )
+    old_cnt = F.col("s.new_count")
+    feed_cnt = F.col("f.new_count")
+    return (
+        tgt.join(feed, key, "full_outer")
+        .select(
+            *key,
+            old_cnt.alias("old_cnt"),
+            feed_cnt.alias("feed_cnt"),
+            F.when(F.col("f").isNull(), old_cnt)
+            .when(feed_cnt == 0, F.lit(None).cast("long"))
+            .otherwise(feed_cnt)
+            .alias("merged_cnt"),
+            F.when(F.col("s").isNull() & (feed_cnt > 0), F.lit("insert"))
+            .when(F.col("s").isNull(), F.lit("delete_miss"))
+            .when(F.col("f").isNull(), F.lit("keep"))
+            .when(feed_cnt == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+        .orderBy(*key)
     )

@@ -333,3 +333,33 @@ def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path):
     }
     got = {r.camera_id for r in q_skyline_pareto(spark, path).collect()}
     assert got == expected
+
+
+def test_cdc_merge_branches_and_state(spark, oracle_sf_dir):
+    """All five MERGE actions fire at sf0.01 (the oracle SF — the
+    smoke SF only has 3), and the merged state obeys the semantics:
+    insert/update carry the feed value, keep carries the target
+    value, delete/delete_miss leave no state."""
+    from big_data_traffict_prediction_spark.operators.joins import q_cdc_merge
+
+    rows = q_cdc_merge(spark, oracle_sf_dir).collect()
+    by_action: dict[str, list] = {}
+    for r in rows:
+        by_action.setdefault(r.action, []).append(r)
+    assert set(by_action) == {"insert", "update", "delete", "delete_miss", "keep"}
+    for r in rows:
+        if r.action == "insert":
+            assert r.old_cnt is None and r.merged_cnt == r.feed_cnt > 0
+        elif r.action == "update":
+            assert r.old_cnt is not None and r.merged_cnt == r.feed_cnt > 0
+        elif r.action == "keep":
+            assert r.feed_cnt is None and r.merged_cnt == r.old_cnt
+        elif r.action == "delete":
+            assert r.old_cnt is not None and r.feed_cnt == 0
+            assert r.merged_cnt is None
+        else:  # delete_miss
+            assert r.old_cnt is None and r.feed_cnt == 0
+            assert r.merged_cnt is None
+    # keys unique after merge (it is a table state, not a log)
+    keys = [(r.camera_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))

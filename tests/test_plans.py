@@ -825,3 +825,14 @@ def test_k_anonymity_is_one_fact_aggregation(spark, sf_dir):
     a = explain.audit(df)
     assert explain.nested_loop_join_count(df) <= 1
     assert a["take_ordered"], "risky-group top-N must plan as TakeOrdered"
+
+
+def test_cdc_merge_join_is_copartitioned(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.joins import q_cdc_merge
+
+    # both sides compact via one hash aggregation each, partitioned on
+    # exactly the join keys — the full-outer join must add NO exchange
+    # beyond the two aggregation exchanges + the final orderBy range
+    # partition (3 total; a 4th would mean the join re-shuffled a side)
+    df = q_cdc_merge(spark, sf_dir)
+    assert explain.shuffle_count(df) <= 3, explain.formatted_plan(df)
