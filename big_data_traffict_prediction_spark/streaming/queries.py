@@ -752,3 +752,108 @@ def q_stream_hll_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_end",
         F.expr(_hll_final_sql("_raw", "_v")).alias("hll_cameras"),
     ).orderBy("window_start")
+
+
+# Streaming CDC upsert window: target state as of T1 (batch side), one
+# change stream [T1, T2) compacted to latest-per-camera IN the stream.
+STREAM_CDC_T1_EPOCH = 1706659200 - 29 * 86400  # NOW - 29d
+STREAM_CDC_T2_EPOCH = STREAM_CDC_T1_EPOCH + 2 * 86400
+
+
+@register(
+    "q_stream_cdc_merge",
+    oracle=with_traffic(f"""
+, tgt AS (
+  SELECT camera_id, MAX({{'ts': ts, 'id': id, 'new_count': new_count}}) AS s
+  FROM traffic
+  WHERE ts < make_timestamp(CAST({STREAM_CDC_T1_EPOCH} AS BIGINT) * 1000000)
+  GROUP BY 1
+),
+feed AS (
+  SELECT camera_id, MAX({{'ts': ts, 'id': id, 'new_count': new_count}}) AS f
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({STREAM_CDC_T1_EPOCH} AS BIGINT) * 1000000)
+    AND ts <  make_timestamp(CAST({STREAM_CDC_T2_EPOCH} AS BIGINT) * 1000000)
+  GROUP BY 1
+)
+SELECT camera_id,
+       t.s.new_count AS old_cnt,
+       f.f.new_count AS feed_cnt,
+       CASE WHEN f.f IS NULL THEN t.s.new_count
+            WHEN f.f.new_count = 0 THEN NULL
+            ELSE f.f.new_count END AS merged_cnt,
+       CASE WHEN t.s IS NULL AND f.f.new_count > 0 THEN 'insert'
+            WHEN t.s IS NULL THEN 'delete_miss'
+            WHEN f.f IS NULL THEN 'keep'
+            WHEN f.f.new_count = 0 THEN 'delete'
+            ELSE 'update' END AS action
+FROM tgt t FULL OUTER JOIN feed f USING (camera_id)
+ORDER BY camera_id
+"""),
+)
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO: the change feed is compacted to its
+    latest row per camera INSIDE the stream — state is ONE struct per
+    key, merged across micro-batches by lexicographic ``max(struct(
+    ts, id, new_count))``, which is commutative and idempotent, so
+    the drained complete-mode output is invariant to chunking and
+    replay order and the whole upsert hash-checks against the batch
+    oracle (same discipline as q_stream_hll_cameras: sketch/state in
+    the stream, exact SQL twin in DuckDB). The merge itself runs
+    post-drain against the batch target (latest per-camera state as
+    of T1) with the same five-branch conflict rules as q_cdc_merge —
+    a zero count is the delete tombstone.
+
+    Scale shape: streaming state is |keys| structs (bounded like the
+    HLL registers — never ∝ stream length); the post-drain side is a
+    key-sized join. This is the foreachBatch-upsert pattern every
+    lakehouse streaming ingest uses, with the state compaction kept
+    INSIDE Structured Streaming where it is exactly-once."""
+    from pyspark.sql import functions as F
+
+    from ..tables import traffic_history
+
+    t1 = F.timestamp_seconds(F.lit(STREAM_CDC_T1_EPOCH))
+    t2 = F.timestamp_seconds(F.lit(STREAM_CDC_T2_EPOCH))
+    stage, base = _staged(spark, sf_dir)
+    feed_latest = (
+        simulate.read_stream(spark, stage)
+        .filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+        .groupBy("camera_id")
+        .agg(F.max(F.struct("ts", "id", "new_count")).alias("f"))
+    )
+    drained = windows.run_to_memory(
+        spark,
+        feed_latest,
+        f"q_stream_cdc_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    tgt = (
+        traffic_history(spark, sf_dir)
+        .filter(F.col("ts") < t1)
+        .groupBy("camera_id")
+        .agg(F.max(F.struct("ts", "id", "new_count")).alias("s"))
+    )
+    old_cnt = F.col("s.new_count")
+    feed_cnt = F.col("f.new_count")
+    return (
+        tgt.join(drained, "camera_id", "full_outer")
+        .select(
+            "camera_id",
+            old_cnt.alias("old_cnt"),
+            feed_cnt.alias("feed_cnt"),
+            F.when(F.col("f").isNull(), old_cnt)
+            .when(feed_cnt == 0, F.lit(None).cast("long"))
+            .otherwise(feed_cnt)
+            .alias("merged_cnt"),
+            F.when(F.col("s").isNull() & (feed_cnt > 0), F.lit("insert"))
+            .when(F.col("s").isNull(), F.lit("delete_miss"))
+            .when(F.col("f").isNull(), F.lit("keep"))
+            .when(feed_cnt == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+        .orderBy("camera_id")
+    )

@@ -784,3 +784,48 @@ def test_stream_hll_registers_chunking_invariant(spark, sf_dir):
 
     a, b = drained(2), drained(7)
     assert a and a == b
+
+
+def test_stream_cdc_feed_compaction_chunking_invariant(spark, sf_dir):
+    """q_stream_cdc_merge's oracle claim rests on max(struct) state
+    merge being commutative/idempotent across micro-batch boundaries.
+    Replay the same feed window as 2 and as 7 chunks: identical
+    compacted (camera, latest-row) sets."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        STREAM_CDC_T1_EPOCH,
+        STREAM_CDC_T2_EPOCH,
+    )
+
+    t1 = F.timestamp_seconds(F.lit(STREAM_CDC_T1_EPOCH))
+    t2 = F.timestamp_seconds(F.lit(STREAM_CDC_T2_EPOCH))
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"cdcinv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        latest = (
+            simulate.read_stream(spark, stage)
+            .filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+            .groupBy("camera_id")
+            .agg(F.max(F.struct("ts", "id", "new_count")).alias("f"))
+        )
+        out = windows.run_to_memory(
+            spark,
+            latest,
+            f"cdcinv_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+            output_mode="complete",
+        )
+        return {
+            (r.camera_id, r.f.ts, r.f.id, r.f.new_count) for r in out.collect()
+        }
+
+    a, b = drained(2), drained(7)
+    assert a and a == b
