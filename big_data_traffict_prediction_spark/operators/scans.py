@@ -218,3 +218,101 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("group_size", "event_type", "qi_hour", "qi_value_band")
         .limit(K_ANON_TOP)
     )
+
+
+# Data-skipping index build: one zone-map row per day partition.
+ZM_BLOOM_BITS = 62  # bits 0..61 keep the OR-fold inside positive int64
+ZM_PROBE_CAMERA = "7"  # point-lookup probe for the bloom column
+ZM_PROBE_COUNT = 450  # range probe for the min/max columns
+
+
+@register(
+    "q_zone_map_stats",
+    oracle=with_traffic(f"""
+, zm AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT camera_id) AS BIGINT) AS n_cameras,
+         CAST(MIN(new_count) AS BIGINT) AS min_count,
+         CAST(MAX(new_count) AS BIGINT) AS max_count,
+         CAST(BIT_OR(1::BIGINT << CAST(
+             CAST(('0x' || substr(md5('zm#' || camera_id), 1, 15)) AS BIGINT)
+               % {ZM_BLOOM_BITS} AS INT)) AS BIGINT) AS bloom_fp
+  FROM traffic GROUP BY 1, 2
+)
+SELECT d, hr, n_rows, n_cameras, min_count, max_count, bloom_fp,
+       ((bloom_fp >> CAST(
+           CAST(('0x' || substr(md5('zm#{ZM_PROBE_CAMERA}'), 1, 15)) AS BIGINT)
+             % {ZM_BLOOM_BITS} AS INT)) & 1) = 0 AS skip_for_camera,
+       NOT ({ZM_PROBE_COUNT} BETWEEN min_count AND max_count) AS skip_for_range
+FROM zm
+ORDER BY d, hr
+"""),
+)
+def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping index build — the zone-map/bloom stats a lakehouse
+    writer records per file so point and range probes can prune
+    partitions without opening them (Delta/Iceberg column stats,
+    parquet row-group min/max, at engine level): per (day, hour) zone —
+    the file grain of a partitioned lake layout — the row count, distinct cameras, min/max of the measure, and a 62-bit
+    bloom fingerprint of the camera ids (bit = md5-hash mod 62, OR-
+    folded — deterministic, so the DuckDB twin matches bit for bit).
+    Two probe columns demonstrate the pruning decision itself:
+    ``skip_for_camera`` (bloom bit for a fixed probe camera unset →
+    the whole zone cannot contain it) and ``skip_for_range`` (probe
+    value outside [min, max]).
+
+    Scale shape: ONE aggregation over the fact at the partition grain
+    — every stat (count, min, max, bit_or) has a map-side partial, so
+    100 TB reduces to |partitions| rows in one exchange; the index is
+    then a driver-cacheable dimension. The probes are per-row
+    expressions on that dimension — the actual skip at query time is
+    exactly what Spark's own PartitionFilters + parquet row-group
+    stats do with this same metadata."""
+    h = traffic_history(spark, sf_dir)
+    bit = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("zm#"), F.col("camera_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(ZM_BLOOM_BITS),
+    ).cast("int")
+    one = F.lit(1).cast("long")
+    zm = (
+        h.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.hour("ts").cast("long").alias("hr"),
+            "camera_id",
+            "new_count",
+            bit.alias("bit"),
+        )
+        .groupBy("d", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("camera_id").cast("long").alias("n_cameras"),
+            F.min("new_count").cast("long").alias("min_count"),
+            F.max("new_count").cast("long").alias("max_count"),
+            F.bit_or(F.call_function("shiftleft", one, F.col("bit")))
+            .cast("long")
+            .alias("bloom_fp"),
+        )
+    )
+    import hashlib
+
+    probe_bit = (
+        int(hashlib.md5(f"zm#{ZM_PROBE_CAMERA}".encode()).hexdigest()[:15], 16)
+        % ZM_BLOOM_BITS
+    )
+    return zm.select(
+        "d", "hr", "n_rows", "n_cameras", "min_count", "max_count", "bloom_fp",
+        (
+            F.call_function("shiftright", F.col("bloom_fp"), F.lit(probe_bit))
+            .bitwiseAND(F.lit(1))
+            == 0
+        ).alias("skip_for_camera"),
+        (~F.lit(ZM_PROBE_COUNT).between(F.col("min_count"), F.col("max_count"))).alias(
+            "skip_for_range"
+        ),
+    ).orderBy("d", "hr")

@@ -363,3 +363,20 @@ def test_cdc_merge_branches_and_state(spark, oracle_sf_dir):
     # keys unique after merge (it is a table state, not a log)
     keys = [(r.camera_id, r.event_type) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_zone_map_probes_fire(spark, oracle_sf_dir):
+    """Both pruning decisions must actually skip zones at the oracle
+    SF — a grain change that saturates the bloom (e.g. day-level zones
+    with 150 cameras over 62 bits) would silently make the index
+    useless while still hash-matching."""
+    from big_data_traffict_prediction_spark.operators.scans import q_zone_map_stats
+
+    rows = q_zone_map_stats(spark, oracle_sf_dir).collect()
+    assert sum(r.skip_for_camera for r in rows) > 0
+    assert sum(r.skip_for_range for r in rows) > 0
+    # a skip decision must never be wrong: skipped zones where the
+    # probe camera hashed into the bloom would be data loss — checked
+    # by construction here (bloom has no false negatives)
+    probe_rows = sum(not r.skip_for_camera for r in rows)
+    assert probe_rows > 0  # probe camera does exist in some zones
