@@ -196,3 +196,92 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "id")
         .limit(ZORDER_LIMIT)
     )
+
+
+# Compaction planner: pack per-(day, camera) chunks into target-size
+# output files. Row-size proxy: fixed overhead + payload lengths.
+COMPACT_TARGET_BYTES = 4096
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+WITH chunks AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(user_id AS VARCHAR) AS camera_id,
+         CAST(SUM(24 + length(props) + length(CAST(user_id AS VARCHAR)))
+              AS BIGINT) AS chunk_bytes
+  FROM events GROUP BY 1, 2
+),
+packed AS (
+  SELECT d, camera_id, chunk_bytes,
+         COALESCE(SUM(chunk_bytes) OVER (
+           PARTITION BY d ORDER BY CAST(camera_id AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM chunks
+)
+SELECT d, camera_id, chunk_bytes,
+       CAST(cum_before // 4096 AS BIGINT) AS bin_id,
+       CAST(MAX(cum_before // 4096 + 1) OVER (PARTITION BY d) AS BIGINT) AS day_bins,
+       CAST(SUM(chunk_bytes) OVER (PARTITION BY d) AS BIGINT) AS day_bytes
+FROM packed
+ORDER BY d, CAST(camera_id AS BIGINT)
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse OPTIMIZE step: a
+    date-partitioned layout accumulates one small file per (day,
+    camera) ingest; the planner assigns each chunk to a target-size
+    output bin by greedy running-total packing (bin = floor of the
+    EXCLUSIVE byte prefix over the day's chunks in stable camera
+    order / target). Emits the full assignment plus per-day bin and
+    byte totals — the manifest a rewrite job would execute.
+
+    Scale shape: one aggregation reduces the fact to |day × camera|
+    chunk rows (map-side partial SUM of the per-row size proxy); the
+    prefix sum windows over each DAY partition independently —
+    bounded by the per-day chunk count (the file count, never the
+    row count), so no global window and no skew: exactly the
+    per-partition planning a real OPTIMIZE performs. The greedy
+    exclusive-prefix rule is deterministic and engine-neutral
+    (pure integer floors), so the DuckDB twin hash-matches."""
+    e = load_table(spark, sf_dir, "events")
+    chunks = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.col("user_id").cast("string").alias("camera_id"),
+            (
+                F.lit(24)
+                + F.length("props")
+                + F.length(F.col("user_id").cast("string"))
+            ).alias("row_bytes"),
+        )
+        .groupBy("d", "camera_id")
+        .agg(F.sum("row_bytes").cast("long").alias("chunk_bytes"))
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("d").orderBy(F.col("camera_id").cast("long"))
+    cum_before = F.coalesce(
+        F.sum("chunk_bytes").over(
+            order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    packed = chunks.select(
+        "d",
+        "camera_id",
+        "chunk_bytes",
+        F.call_function(
+            "div", cum_before, F.lit(COMPACT_TARGET_BYTES)
+        ).alias("bin_id"),
+    )
+    day = Window.partitionBy("d")
+    return packed.select(
+        "d",
+        "camera_id",
+        "chunk_bytes",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (F.max("bin_id").over(day) + 1).cast("long").alias("day_bins"),
+        F.sum("chunk_bytes").over(day).cast("long").alias("day_bytes"),
+    ).orderBy("d", F.col("camera_id").cast("long"))

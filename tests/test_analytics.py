@@ -380,3 +380,32 @@ def test_zone_map_probes_fire(spark, oracle_sf_dir):
     # by construction here (bloom has no false negatives)
     probe_rows = sum(not r.skip_for_camera for r in rows)
     assert probe_rows > 0  # probe camera does exist in some zones
+
+
+def test_compaction_plan_bins_are_sound(spark, oracle_sf_dir):
+    """Greedy exclusive-prefix packing invariants: bin ids are dense
+    from 0 within each day, every bin except possibly the last holds
+    at least the target MINUS one chunk (no premature bin break), and
+    no bin exceeds target + its largest single chunk (a chunk may
+    straddle the boundary, nothing else may)."""
+    from collections import defaultdict
+
+    from big_data_traffict_prediction_spark.operators.reshape import (
+        COMPACT_TARGET_BYTES,
+        q_compaction_plan,
+    )
+
+    rows = q_compaction_plan(spark, oracle_sf_dir).collect()
+    by_day = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_day[r.d][r.bin_id].append(r.chunk_bytes)
+    assert any(len(bins) > 1 for bins in by_day.values())  # packing fires
+    for d, bins in by_day.items():
+        assert sorted(bins) == list(range(len(bins))), d  # dense ids
+        for b, sizes in bins.items():
+            fill = sum(sizes)
+            assert fill <= COMPACT_TARGET_BYTES + max(sizes), (d, b)
+            if b < len(bins) - 1:
+                # the NEXT chunk started a new bin only because the
+                # prefix crossed the target
+                assert fill >= COMPACT_TARGET_BYTES - max(sizes), (d, b)
