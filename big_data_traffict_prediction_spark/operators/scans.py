@@ -316,3 +316,90 @@ def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skip_for_range"
         ),
     ).orderBy("d", "hr")
+
+
+L_DIVERSITY = 3  # a QI group with fewer distinct sensitive values leaks
+L_DIV_TOP = 50
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+WITH grps AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS qi_hour,
+         CAST(FLOOR(value / 50) AS BIGINT) AS qi_value_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN n_sensitive < {L_DIVERSITY} THEN 1 ELSE 0 END)
+              AS BIGINT) AS groups_at_risk
+  FROM grps
+)
+SELECT g.event_type, g.qi_hour, g.qi_value_band, g.group_size, g.n_sensitive,
+       s.n_groups, s.groups_at_risk
+FROM grps g, stats s
+WHERE g.n_sensitive < {L_DIVERSITY}
+ORDER BY g.n_sensitive, g.group_size, g.event_type, g.qi_hour, g.qi_value_band
+LIMIT {L_DIV_TOP}
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    q_k_anonymity (Machanavajjhala et al. 2007): a quasi-identifier
+    group can pass the size check yet still leak if nearly all its
+    rows belong to the SAME sensitive value (here user_id); any group
+    with fewer than L distinct sensitive values is reported, smallest
+    diversity first, with corpus-level exposure as broadcast scalars.
+
+    Scale shape: COUNT(DISTINCT) per group plans as the standard
+    two-phase expand-aggregate — both phases map-side partial over
+    the QI-tuple domain (|event_types|·24·|value bands|, dimension-
+    sized at any fact scale); the documented 100 TB swap for a
+    high-cardinality sensitive column is the HLL register sketch
+    (q_hll_distinct) at the same plan shape. Top-N risky groups plan
+    as TakeOrderedAndProject."""
+    from ..tables import load_table
+
+    grps = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("qi_hour"),
+            F.floor(F.col("value") / 50).cast("long").alias("qi_value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "qi_hour", "qi_value_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("user_id").cast("long").alias("n_sensitive"),
+        )
+    )
+    stats = grps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_sensitive") < L_DIVERSITY, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_at_risk"),
+    )
+    return (
+        grps.filter(F.col("n_sensitive") < L_DIVERSITY)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "qi_hour",
+            "qi_value_band",
+            "group_size",
+            "n_sensitive",
+            "n_groups",
+            "groups_at_risk",
+        )
+        .orderBy(
+            "n_sensitive", "group_size", "event_type", "qi_hour", "qi_value_band"
+        )
+        .limit(L_DIV_TOP)
+    )
