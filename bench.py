@@ -166,6 +166,10 @@ EXTENDED = [
     "q_sql_supplier_scorecard",
     # round 10
     "q_cdc_merge",
+    "q_stream_cdc_merge",
+    "q_zone_map_stats",
+    "q_compaction_plan",
+    "q_l_diversity",
 ]
 
 
