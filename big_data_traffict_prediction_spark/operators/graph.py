@@ -680,21 +680,34 @@ def _lpa_rounds_indexed(adj: DataFrame, lo: int, iters: int) -> DataFrame:
         return adj.select("node", F.col("node").alias("lab")).localCheckpoint(
             eager=True
         )
-    # Each round checkpoints its (node-sized) output eagerly: the next
-    # round's label array then reads 20k materialized rows instead of
-    # re-deriving the whole prior-round HOF plan inside the broadcast
-    # child — shallow plans beat one deep nested plan here because the
-    # cost is per-execution plan/codegen, not data (r9 lesson).
-    lab = adj.select("node", F.array_min("nbrs").alias("lab")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(1, iters):
-        labarr = lab.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("node", "lab"))),
-                lambda s: s["lab"],
-            ).alias("labarr")
+    if iters == 1:
+        return adj.select("node", F.array_min("nbrs").alias("lab")).localCheckpoint(
+            eager=True
         )
+    # Round 1 never materializes: from the identity labelling every
+    # neighbor label is the (distinct) neighbor id, so round-1 labels
+    # are array_min(nbrs) per node and round 2's label ARRAY is built
+    # straight from the adjacency — one broadcast child instead of a
+    # checkpoint job plus an aggregation job. Rounds 2+ checkpoint
+    # their (node-sized) output eagerly so the next round's array
+    # reads materialized rows instead of re-deriving the prior-round
+    # HOF plan — shallow plans beat one deep nested plan here because
+    # the cost is per-execution plan/codegen, not data (r9 lesson).
+    labarr = adj.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("node").alias("node"),
+                        F.array_min("nbrs").alias("lab"),
+                    )
+                )
+            ),
+            lambda s: s["lab"],
+        ).alias("labarr")
+    )
+    lab = None
+    for r in range(2, iters + 1):
         lab = (
             adj.crossJoin(F.broadcast(labarr))
             .select(
@@ -712,6 +725,13 @@ def _lpa_rounds_indexed(adj: DataFrame, lo: int, iters: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        if r < iters:
+            labarr = lab.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("node", "lab"))),
+                    lambda s: s["lab"],
+                ).alias("labarr")
+            )
     return lab
 
 
