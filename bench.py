@@ -170,6 +170,7 @@ EXTENDED = [
     "q_zone_map_stats",
     "q_compaction_plan",
     "q_l_diversity",
+    "q_scd2_build",
 ]
 
 

@@ -527,3 +527,83 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(PATH_TOP_K)
     )
+
+
+# SCD-2 band width: the tracked "state" of a camera is its congestion
+# band; a new version opens whenever the band changes.
+SCD2_BAND = 100
+
+
+@register(
+    "q_scd2_build",
+    oracle=with_traffic(f"""
+, states AS (
+  SELECT camera_id, ts, id,
+         CAST(new_count // {SCD2_BAND} AS BIGINT) AS state
+  FROM traffic
+),
+changes AS (
+  SELECT camera_id, ts, id, state,
+         LAG(state) OVER (PARTITION BY camera_id ORDER BY ts, id) AS prev_state
+  FROM states
+),
+versions AS (
+  SELECT camera_id, state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY camera_id ORDER BY ts, id) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY camera_id ORDER BY ts, id) AS version
+  FROM changes WHERE prev_state IS NULL OR state <> prev_state
+)
+SELECT camera_id, state, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current,
+       CAST(version AS BIGINT) AS version,
+       CAST(MAX(version) OVER (PARTITION BY camera_id) AS BIGINT) AS n_versions
+FROM versions
+ORDER BY camera_id, version
+"""),
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval BUILD — the operator that PRODUCES the
+    slowly-changing-dimension table the as-of join replays
+    (q_asof_config_join) and the CDC merge maintains (q_cdc_merge):
+    collapse each camera's event log to its state-CHANGE points (the
+    tracked state is the congestion band new_count // SCD2_BAND) and
+    emit one versioned validity interval per change — valid_from at
+    the change event, valid_to at the next change (exclusive, NULL =
+    current), with per-key version numbers.
+
+    Scale shape: one window family, both passes partitioned by
+    camera_id (bounded cardinality, AQE-skew-split if hot): a ``lag``
+    pass marks change points on the full log, then ``lead`` + rank
+    run on the CHANGE rows only — the version table is change-sized,
+    not event-sized, which is the entire point of SCD-2 at 100 TB
+    (store transitions, join as-of). Exact integer band arithmetic;
+    the DuckDB twin hash-matches including timestamps."""
+    h = traffic_history(spark, sf_dir).select(
+        "camera_id",
+        "ts",
+        "id",
+        F.call_function("div", F.col("new_count"), F.lit(SCD2_BAND)).alias("state"),
+    )
+    wk = Window.partitionBy("camera_id").orderBy("ts", "id")
+    changes = h.withColumn("prev_state", F.lag("state").over(wk)).filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    versions = changes.select(
+        "camera_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wk).alias("valid_to"),
+        F.row_number().over(wk).cast("long").alias("version"),
+    )
+    return versions.select(
+        "camera_id",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "version",
+        F.max("version")
+        .over(Window.partitionBy("camera_id"))
+        .cast("long")
+        .alias("n_versions"),
+    ).orderBy("camera_id", "version")

@@ -409,3 +409,27 @@ def test_compaction_plan_bins_are_sound(spark, oracle_sf_dir):
                 # the NEXT chunk started a new bin only because the
                 # prefix crossed the target
                 assert fill >= COMPACT_TARGET_BYTES - max(sizes), (d, b)
+
+
+def test_scd2_intervals_tile_per_camera(spark, oracle_sf_dir):
+    """SCD-2 invariants: versions are dense from 1, consecutive
+    intervals tile exactly (valid_to == next valid_from), exactly one
+    current (open) interval per camera, and adjacent versions always
+    change state."""
+    from collections import defaultdict
+
+    from big_data_traffict_prediction_spark.operators.windows import q_scd2_build
+
+    rows = q_scd2_build(spark, oracle_sf_dir).collect()
+    by_cam = defaultdict(list)
+    for r in rows:
+        by_cam[r.camera_id].append(r)
+    assert by_cam
+    for cam, vs in by_cam.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1)), cam
+        assert sum(r.is_current for r in vs) == 1 and vs[-1].is_current, cam
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, cam
+            assert a.state != b.state, cam
+        assert all(r.n_versions == len(vs) for r in vs), cam
