@@ -836,3 +836,52 @@ def test_cdc_merge_join_is_copartitioned(spark, sf_dir):
     # partition (3 total; a 4th would mean the join re-shuffled a side)
     df = q_cdc_merge(spark, sf_dir)
     assert explain.shuffle_count(df) <= 3, explain.formatted_plan(df)
+
+
+def test_zone_map_is_one_pruned_aggregation(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_zone_map_stats
+
+    df = q_zone_map_stats(spark, sf_dir)
+    a = explain.audit(df)
+    # scan reads ONLY (ts, user_id, value); the distinct-count expand
+    # plus the final sort bound the exchanges at 3 — all stats are
+    # map-side partial over the zone grain
+    assert sorted(set(a["read_schema"])) == ["ts", "user_id", "value"]
+    assert a["shuffles"] <= 3, explain.formatted_plan(df)
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+
+
+def test_compaction_plan_windows_stay_per_day(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.reshape import (
+        q_compaction_plan,
+    )
+
+    df = q_compaction_plan(spark, sf_dir)
+    a = explain.audit(df)
+    # chunk aggregation + day-partitioned window + final sort; a 4th
+    # exchange would mean a window re-partitioned globally
+    assert sorted(set(a["read_schema"])) == ["props", "ts", "user_id"]
+    assert a["shuffles"] <= 3, explain.formatted_plan(df)
+    assert a["sort_merge_joins"] == 0
+
+
+def test_scd2_build_is_one_window_family(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import q_scd2_build
+
+    df = q_scd2_build(spark, sf_dir)
+    a = explain.audit(df)
+    # every window partitions by camera_id: one exchange for the
+    # family + the final sort, no joins at all
+    assert a["shuffles"] <= 2, explain.formatted_plan(df)
+    assert a["broadcast_joins"] == 0 and a["sort_merge_joins"] == 0
+    assert explain.nested_loop_join_count(df) == 0
+
+
+def test_l_diversity_tops_as_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_l_diversity
+
+    df = q_l_diversity(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["take_ordered"], "risky-group top-N must plan as TakeOrdered"
+    # the only nested loop is the one-row stats broadcast
+    assert explain.nested_loop_join_count(df) <= 1
