@@ -171,6 +171,7 @@ EXTENDED = [
     "q_compaction_plan",
     "q_l_diversity",
     "q_scd2_build",
+    "q_embedding_jl_project",
 ]
 
 

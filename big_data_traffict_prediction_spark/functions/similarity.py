@@ -1286,3 +1286,149 @@ def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# Johnson-Lindenstrauss random projection: 64 -> JL_DIM dims via a
+# deterministic Rademacher (+/-1) matrix. Component fixed-point scale
+# chosen so every squared distance stays exact int64 (|x| < 1 ->
+# t <= 1e6, proj <= 64e6, proj-diff^2 * JL_DIM <= ~7e16).
+JL_DIM = 16
+JL_COMP_SCALE = 1_000_000
+
+
+def _jl_planes() -> list[list[int]]:
+    """JL_DIM Rademacher rows over the 64 dims from md5 of fixed
+    strings — deterministic constants, same discipline as
+    ``_srp_planes`` (the random tape is O(k·d), never O(corpus))."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl-{j}-{d}".encode()).digest()[0] & 1 else -1
+            for d in range(64)
+        ]
+        for j in range(JL_DIM)
+    ]
+
+
+_JL_PLANES = _jl_planes()
+_JL_PLANE_STRS = [
+    "".join("+" if v == 1 else "-" for v in row) for row in _JL_PLANES
+]
+
+
+def _jl_oracle() -> str:
+    planes_rows = ",\n    ".join(
+        f"({j}, {row})" for j, row in enumerate(_JL_PLANES)
+    )
+    return f"""
+WITH tfp AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {JL_COMP_SCALE}.0) AS BIGINT)) AS t
+  FROM embeddings
+),
+planes(j, r) AS (VALUES
+    {planes_rows}
+),
+proj AS (
+  SELECT vec_id, t,
+         list(CAST(y AS BIGINT) ORDER BY j) AS y
+  FROM (
+    SELECT vec_id, t, j,
+           list_sum(list_transform(generate_series(1, 64), i -> t[i] * r[i])) AS y
+    FROM tfp CROSS JOIN planes
+  ) GROUP BY vec_id, t
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (a.t[i] - b.t[i]) * (a.t[i] - b.t[i]))) AS BIGINT) AS d2_orig_fp,
+         CAST(list_sum(list_transform(generate_series(1, {JL_DIM}),
+              j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS BIGINT) AS d2_proj_fp
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+)
+SELECT vec_a, vec_b, d2_orig_fp, d2_proj_fp,
+       CAST(FLOOR(CAST(d2_proj_fp AS DOUBLE) * 1000000.0
+            / CAST({JL_DIM} AS DOUBLE) / CAST(d2_orig_fp AS DOUBLE)) AS BIGINT)
+         AS ratio_ppm
+FROM pairs
+WHERE d2_orig_fp > 0
+ORDER BY vec_a
+"""
+
+
+@register("q_embedding_jl_project", oracle=_jl_oracle())
+def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with its distortion
+    audit — the embedding-compression step a 100 TB ANN pipeline runs
+    before indexing (project once, search in k ≪ d dims): each vector
+    is projected 64 → JL_DIM dims through a deterministic Rademacher
+    matrix in exact component fixed-point, and disjoint consecutive
+    pairs report squared distance before vs after as an exact-integer
+    pair audit (ratio_ppm ≈ 1e6·‖R(a−b)‖²/(k·‖a−b‖²), whose
+    concentration around 1e6 IS the JL lemma; the distortion bound is
+    pinned by test). All arithmetic to the two d2 columns is exact
+    int64, so the DuckDB twin hash-matches; only the final ratio
+    divides — as double in an identical expression shape on both
+    engines.
+
+    Scale shape: the projection is a zero-shuffle per-row HOF over
+    the broadcast k×d sign matrix (compact '+/-' strings, the SRP
+    plan-size lesson); the audit joins vec 2i with 2i+1 — a
+    key-partitioned join of two half-corpus projections, no window
+    over the corpus, no all-pairs."""
+    planes = F.array(*[F.lit(s) for s in _JL_PLANE_STRS])
+    t = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(JL_COMP_SCALE))).cast(
+            "long"
+        ),
+    )
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", t.alias("t")
+    )
+    y = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.element_at("t", i)
+            * F.when(F.substring(p, i, F.lit(1)) == "+", 1).otherwise(-1),
+        ),
+    )
+    proj = base.select("vec_id", "t", y.alias("y"))
+    a = proj.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("t").alias("ta"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("t").alias("tb"),
+        F.col("y").alias("yb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    pairs = a.join(b, "vec_a").select(
+        "vec_a",
+        "vec_b",
+        sq(F.col("ta"), F.col("tb")).alias("d2_orig_fp"),
+        sq(F.col("ya"), F.col("yb")).alias("d2_proj_fp"),
+    )
+    ratio = F.floor(
+        F.col("d2_proj_fp").cast("double")
+        * F.lit(1_000_000.0)
+        / F.lit(float(JL_DIM))
+        / F.col("d2_orig_fp").cast("double")
+    ).cast("long")
+    return (
+        pairs.filter(F.col("d2_orig_fp") > 0)
+        .select("vec_a", "vec_b", "d2_orig_fp", "d2_proj_fp", ratio.alias("ratio_ppm"))
+        .orderBy("vec_a")
+    )

@@ -672,3 +672,23 @@ def test_weighted_sample_estimator_is_calibrated(spark, sf_dir):
         f"HT estimator miscalibrated: est={row.est_total} "
         f"exact={row.exact_total} err_ppm={row.err_ppm}"
     )
+
+
+def test_jl_projection_distortion_concentrates(spark, oracle_sf_dir):
+    """The Johnson-Lindenstrauss audit: with k=16 the squared-distance
+    ratio ||R(a-b)||^2/(k*||a-b||^2) is chi^2_k/k distributed —
+    median within ~15% of 1, tails bounded. A broken sign matrix or a
+    scale slip would blow these immediately."""
+    import statistics
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_embedding_jl_project,
+    )
+
+    ratios = [
+        r.ratio_ppm for r in q_embedding_jl_project(spark, oracle_sf_dir).collect()
+    ]
+    assert len(ratios) >= 100
+    med = statistics.median(ratios)
+    assert 800_000 < med < 1_250_000, med
+    assert all(100_000 < r < 4_000_000 for r in ratios), (min(ratios), max(ratios))
