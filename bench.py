@@ -172,6 +172,7 @@ EXTENDED = [
     "q_l_diversity",
     "q_scd2_build",
     "q_embedding_jl_project",
+    "q_join_size_sketch",
 ]
 
 

@@ -615,3 +615,108 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+@register(
+    "q_join_size_sketch",
+    oracle=with_traffic(f"""
+, sides AS (
+  SELECT camera_id,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS am,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 0 ELSE 1 END AS pm
+  FROM traffic
+),
+exact AS (
+  SELECT CAST(SUM(na * npm) AS BIGINT) AS exact_pairs,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM (
+    SELECT camera_id, SUM(am) AS na, SUM(pm) AS npm
+    FROM sides GROUP BY camera_id
+  )
+),
+grid AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || camera_id), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS bucket,
+         CAST(SUM(am) AS BIGINT) AS ca,
+         CAST(SUM(pm) AS BIGINT) AS cb
+  FROM sides, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS cm_estimate
+  FROM (SELECT d, SUM(ca * cb) AS ip FROM grid GROUP BY d)
+)
+SELECT x.exact_pairs, x.n_keys, e.cm_estimate,
+       CAST(e.cm_estimate - x.exact_pairs AS BIGINT) AS overcount,
+       CAST((e.cm_estimate - x.exact_pairs) * 1000000 // x.exact_pairs AS BIGINT)
+         AS over_ppm
+FROM exact x, est e
+"""),
+)
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by count-min inner product (the
+    AMS / Cormode-Muthukrishnan F2-style estimator every
+    cost-based optimizer variant of this uses): how many row pairs
+    would `morning-events ⋈ evening-events ON camera_id` produce?
+    Each side streams into the SAME {CM_DEPTH}×{CM_WIDTH} hash grid
+    as q_heavy_hitters_sketch; the estimate is min over rows of the
+    per-row inner product Σ_b cellA[b]·cellB[b] — never below the
+    exact answer (inner-product collisions only ADD), pinned by test
+    next to the exact twin a production planner never computes.
+
+    The 100 TB point: the planner question "how big is this join"
+    is answered from two FIXED-SIZE (depth×width) grids built in one
+    map-side-combined pass per side — no per-key frame, no join, no
+    shuffle beyond 2·depth·width cells — while the exact answer
+    needs the full per-key count materialization."""
+    h = traffic_history(spark, sf_dir).select(
+        "camera_id",
+        F.when(F.hour("ts") < 12, 1).otherwise(0).alias("am"),
+        F.when(F.hour("ts") < 12, 0).otherwise(1).alias("pm"),
+    )
+    per_key = h.groupBy("camera_id").agg(
+        F.sum("am").alias("na"), F.sum("pm").alias("npm")
+    )
+    exact = per_key.agg(
+        F.sum(F.col("na") * F.col("npm")).cast("long").alias("exact_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    from ..functions.text import hash60
+
+    d_col = F.explode(F.array(*[F.lit(d) for d in range(CM_DEPTH)])).alias("d")
+    grid = (
+        h.select("camera_id", "am", "pm", d_col)
+        .withColumn(
+            "bucket",
+            F.pmod(
+                hash60(
+                    F.concat(F.col("d").cast("string"), F.lit("#"), F.col("camera_id"))
+                ),
+                F.lit(CM_WIDTH),
+            ),
+        )
+        .groupBy("d", "bucket")
+        .agg(
+            F.sum("am").cast("long").alias("ca"),
+            F.sum("pm").cast("long").alias("cb"),
+        )
+    )
+    est = (
+        grid.groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cm_estimate"))
+    )
+    over = (F.col("cm_estimate") - F.col("exact_pairs")).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_pairs",
+            "n_keys",
+            "cm_estimate",
+            over.alias("overcount"),
+            F.call_function(
+                "div", over * F.lit(1_000_000), F.col("exact_pairs")
+            ).alias("over_ppm"),
+        )
+    )

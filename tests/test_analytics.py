@@ -433,3 +433,18 @@ def test_scd2_intervals_tile_per_camera(spark, oracle_sf_dir):
             assert a.valid_to == b.valid_from, cam
             assert a.state != b.state, cam
         assert all(r.n_versions == len(vs) for r in vs), cam
+
+
+def test_join_size_sketch_never_underestimates(spark, oracle_sf_dir):
+    """CM inner product only ADDS on collisions: estimate >= exact,
+    and with 150 keys over 4x512 cells the relative error stays well
+    under the 1/width analytical bound's practical envelope."""
+    from big_data_traffict_prediction_spark.operators.tsdb import (
+        q_join_size_sketch,
+    )
+
+    r = q_join_size_sketch(spark, oracle_sf_dir).collect()[0]
+    assert r.exact_pairs > 0 and r.n_keys > 0
+    assert r.cm_estimate >= r.exact_pairs
+    assert r.overcount == r.cm_estimate - r.exact_pairs
+    assert r.over_ppm < 600_000, r  # < 60% over — collisions, not junk
