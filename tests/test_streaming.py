@@ -829,3 +829,79 @@ def test_stream_cdc_feed_compaction_chunking_invariant(spark, sf_dir):
 
     a, b = drained(2), drained(7)
     assert a and a == b
+
+
+def test_streaming_restart_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint recovery across a stop/restart: drain the first two
+    chunks to a fault-tolerant parquet sink, then 'restart' the same
+    query (same checkpoint) after two more chunks arrive. The second
+    drain must process ONLY the new files and the combined sink must
+    equal a fresh single-drain of all four chunks — the exactly-once
+    recovery contract a production ingest relies on."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    stage = simulate.stage_stream_dir(
+        spark, sf_dir, str(tmp_path / "all"), n_chunks=4
+    )
+    chunk_dirs = sorted(
+        p for p in (tmp_path / "all").iterdir() if p.is_dir()
+    )
+    assert len(chunk_dirs) == 4
+    serve = tmp_path / "serve"
+    serve.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        agg = windows.tumbling_counts(
+            simulate.read_stream(spark, str(serve)), "1 hour"
+        )
+        with windows.stream_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    for d in chunk_dirs[:2]:
+        sh.copytree(d, serve / d.name)
+    drain()
+    n_first = spark.read.parquet(out_dir).count()
+    for d in chunk_dirs[2:]:
+        sh.copytree(d, serve / d.name)
+    drain()  # restart from the same checkpoint
+
+    final_rows = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("window_start", "window_end", "camera_id",
+                "total_new_count", "n_samples")
+        .collect()
+    ]
+    recovered = set(final_rows)
+    # no duplicate rows in the sink — reprocessed batches would survive
+    # the set comparison below but not this
+    assert len(final_rows) == len(recovered)
+    single = {
+        tuple(r)
+        for r in windows.run_to_memory(
+            spark,
+            windows.tumbling_counts(simulate.read_stream(spark, stage), "1 hour"),
+            "restart_ref",
+            str(tmp_path / "refckpt"),
+        )
+        .select("window_start", "window_end", "camera_id",
+                "total_new_count", "n_samples")
+        .collect()
+    }
+    assert recovered == single
+    # the restart emitted strictly new windows (no reprocessing): the
+    # first drain's rows are a proper subset of the final sink
+    assert 0 < n_first < len(recovered)
