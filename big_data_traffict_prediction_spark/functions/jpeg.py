@@ -1008,6 +1008,13 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 )
                 if ci is None:
                     raise ValueError(f"scan references unknown component {cid}")
+                if ci in seq_seen:
+                    # T.81 sequential mode: each component appears in at
+                    # most one scan per frame; a duplicate would silently
+                    # overwrite already-decoded coefficients.
+                    raise ValueError(
+                        f"duplicate sequential scan for component {cid}"
+                    )
                 _, hi, vi, _ = comps[ci]
                 dc_tab = htables[(0, tsel >> 4)]
                 ac_tab = htables[(1, tsel & 0xF)]

@@ -219,12 +219,18 @@ packed AS (
            PARTITION BY d ORDER BY CAST(camera_id AS BIGINT)
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM chunks
+),
+binned AS (
+  SELECT d, camera_id, chunk_bytes,
+         DENSE_RANK() OVER (PARTITION BY d ORDER BY cum_before // 4096) - 1
+           AS bin_id
+  FROM packed
 )
 SELECT d, camera_id, chunk_bytes,
-       CAST(cum_before // 4096 AS BIGINT) AS bin_id,
-       CAST(MAX(cum_before // 4096 + 1) OVER (PARTITION BY d) AS BIGINT) AS day_bins,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(MAX(bin_id + 1) OVER (PARTITION BY d) AS BIGINT) AS day_bins,
        CAST(SUM(chunk_bytes) OVER (PARTITION BY d) AS BIGINT) AS day_bytes
-FROM packed
+FROM binned
 ORDER BY d, CAST(camera_id AS BIGINT)
 """,
 )
@@ -232,10 +238,13 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner — the lakehouse OPTIMIZE step: a
     date-partitioned layout accumulates one small file per (day,
     camera) ingest; the planner assigns each chunk to a target-size
-    output bin by greedy running-total packing (bin = floor of the
-    EXCLUSIVE byte prefix over the day's chunks in stable camera
-    order / target). Emits the full assignment plus per-day bin and
-    byte totals — the manifest a rewrite job would execute.
+    output bin by greedy running-total packing (chunks sharing the
+    same floor(EXCLUSIVE byte prefix / target) share a bin, in stable
+    camera order; bin ids are then DENSE-ranked so a single chunk
+    larger than the target can't leave holes in the id space and
+    ``day_bins`` counts real bins). Emits the full assignment plus
+    per-day bin and byte totals — the manifest a rewrite job would
+    execute.
 
     Scale shape: one aggregation reduces the fact to |day × camera|
     chunk rows (map-side partial SUM of the per-row size proxy); the
@@ -259,6 +268,15 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "camera_id")
         .agg(F.sum("row_bytes").cast("long").alias("chunk_bytes"))
     )
+    return pack_chunks_into_bins(chunks)
+
+
+def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
+    """Greedy prefix packing of (d, camera_id, chunk_bytes) rows into
+    COMPACT_TARGET_BYTES bins. Bin ids dense-rank the floor of the
+    exclusive prefix so oversized chunks (> 2× target) can't leave
+    holes in the id space. All windows partition by day — bounded by
+    the per-day file count."""
     from pyspark.sql import Window
 
     order = Window.partitionBy("d").orderBy(F.col("camera_id").cast("long"))
@@ -268,12 +286,21 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    packed = chunks.select(
+    floored = chunks.select(
         "d",
         "camera_id",
         "chunk_bytes",
         F.call_function(
             "div", cum_before, F.lit(COMPACT_TARGET_BYTES)
+        ).alias("bin_floor"),
+    )
+    packed = floored.select(
+        "d",
+        "camera_id",
+        "chunk_bytes",
+        (
+            F.dense_rank().over(Window.partitionBy("d").orderBy("bin_floor"))
+            - 1
         ).alias("bin_id"),
     )
     day = Window.partitionBy("d")

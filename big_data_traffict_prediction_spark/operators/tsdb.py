@@ -659,7 +659,7 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     AMS / Cormode-Muthukrishnan F2-style estimator every
     cost-based optimizer variant of this uses): how many row pairs
     would `morning-events ⋈ evening-events ON camera_id` produce?
-    Each side streams into the SAME {CM_DEPTH}×{CM_WIDTH} hash grid
+    Each side streams into the SAME CM_DEPTH×CM_WIDTH (4×512) hash grid
     as q_heavy_hitters_sketch; the estimate is min over rows of the
     per-row inner product Σ_b cellA[b]·cellB[b] — never below the
     exact answer (inner-product collisions only ADD), pinned by test

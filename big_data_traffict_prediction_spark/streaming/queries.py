@@ -36,6 +36,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..compat import NOW_EPOCH
 from ..operators.prediction import _THRESHOLDS_CTE
 from ..registry import register
 from ..tables import with_traffic
@@ -756,7 +757,7 @@ def q_stream_hll_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Streaming CDC upsert window: target state as of T1 (batch side), one
 # change stream [T1, T2) compacted to latest-per-camera IN the stream.
-STREAM_CDC_T1_EPOCH = 1706659200 - 29 * 86400  # NOW - 29d
+STREAM_CDC_T1_EPOCH = NOW_EPOCH - 29 * 86400  # stays on the dataset epoch
 STREAM_CDC_T2_EPOCH = STREAM_CDC_T1_EPOCH + 2 * 86400
 
 

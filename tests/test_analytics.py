@@ -411,6 +411,33 @@ def test_compaction_plan_bins_are_sound(spark, oracle_sf_dir):
                 assert fill >= COMPACT_TARGET_BYTES - max(sizes), (d, b)
 
 
+def test_compaction_plan_dense_bins_with_oversized_chunk(spark):
+    """A single chunk larger than 2x the target used to skip bin ids
+    (floor of the prefix jumps by >1); the dense-rank derivation keeps
+    ids dense and day_bins honest regardless of chunk size."""
+    from big_data_traffict_prediction_spark.operators.reshape import (
+        COMPACT_TARGET_BYTES,
+        pack_chunks_into_bins,
+    )
+
+    t = COMPACT_TARGET_BYTES
+    chunks = spark.createDataFrame(
+        [
+            ("2024-01-01", "1", t // 2),
+            ("2024-01-01", "2", 3 * t),  # oversized: floor jumps by 3
+            ("2024-01-01", "3", t // 2),
+            ("2024-01-01", "4", t // 2),
+        ],
+        "d string, camera_id string, chunk_bytes long",
+    )
+    rows = {r.camera_id: r for r in pack_chunks_into_bins(chunks).collect()}
+    ids = sorted({r.bin_id for r in rows.values()})
+    assert ids == list(range(len(ids)))  # dense, no holes
+    assert rows["1"].bin_id == 0 and rows["2"].bin_id == 0
+    assert rows["3"].bin_id == 1  # prefix t/2+3t crosses; next dense id
+    assert all(r.day_bins == len(ids) for r in rows.values())
+
+
 def test_scd2_intervals_tile_per_camera(spark, oracle_sf_dir):
     """SCD-2 invariants: versions are dense from 1, consecutive
     intervals tile exactly (valid_to == next valid_from), exactly one

@@ -886,3 +886,22 @@ def test_noninterleaved_baseline_gates_and_errors():
     forged[first_sos + 4] = 2  # Ns byte (after marker + 2-byte length)
     with pytest.raises((NotImplementedError, ValueError)):
         decode_rgb(bytes(forged))
+
+
+def test_noninterleaved_duplicate_scan_is_rejected():
+    """T.81 sequential mode allows each component at most one scan per
+    frame; a second scan of an already-decoded component must raise,
+    not silently overwrite its coefficients."""
+    from big_data_traffict_prediction_spark.functions.jpeg import decode_rgb
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = _encode_noninterleaved_color(img, 80, "4:4:4")
+    # retarget the LAST scan at component 1 (already scanned first):
+    # cid byte sits at SOS + marker(2) + length(2) + Ns(1)
+    last_sos = data.rfind(b"\xff\xda")
+    forged = bytearray(data)
+    assert forged[last_sos + 5] == 3
+    forged[last_sos + 5] = 1
+    with pytest.raises(ValueError, match="duplicate sequential scan"):
+        decode_rgb(bytes(forged))
