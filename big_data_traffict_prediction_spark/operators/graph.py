@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..compat import global_rank
-from ..functions.dedup import bucket_pair_expand
+from ..functions.dedup import MAX_BUCKET_EXPAND, bucket_pair_expand
 from ..registry import register
 from ..tables import load_table
 
@@ -543,40 +543,46 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed path (per round: one broadcast label ARRAY + a zero-join,
     zero-shuffle HOF scan of the node-sized adjacency; the per-node
     argmax is an in-row run-length fold over the sorted neighbor
-    labels, NOT a sort window). Top-20 communities by size plan as
-    TakeOrderedAndProject over the community aggregate."""
-    # Fused adjacency build: the basket expansion emits BOTH pair
-    # directions in-row and collect_set dedups (u, v) inside the SAME
-    # hash aggregation that builds the neighbor arrays — one shuffle
-    # where edges→distinct→checkpoint→union→repartition took three
-    # plus a materialization (measured ~2× on the build at sf0.1).
+    labels, NOT a sort window). The final round's label scan is fused
+    straight into the community aggregation — the per-node label
+    frame is never materialized, only the |communities|-sized counts
+    are (eagerly, so the adjacency cache drops before return). Top-20
+    communities by size plan as TakeOrderedAndProject."""
+    # Basket-union adjacency build: each basket row already carries
+    # the full (capped, sorted-distinct) member set, so a node's
+    # neighbor array is array_distinct(flatten(...)) of its baskets
+    # minus itself — same two shuffles as the pair expansion but no
+    # m²/2 pair-struct HOF and half the shuffled rows (measured ~1 s
+    # off the build at sf0.1). Identical pair semantics: both derive
+    # from the same slice(sort_array(collect_set), 1, cap) baskets.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = bucket_pair_expand(
-        li,
-        ("l_orderkey",),
-        F.col("l_partkey"),
-        lambda a, b: a < b,
-        distinct_members=True,
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, MAX_BUCKET_EXPAND
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
     )
     adj = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("p.a").alias("node"), F.col("p.b").alias("nb")),
-                    F.struct(F.col("p.b").alias("node"), F.col("p.a").alias("nb")),
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.node").alias("node"), F.col("e.nb").alias("nb"))
+        baskets.select(F.explode("ms").alias("node"), "ms")
         .groupBy("node")
-        .agg(F.collect_set("nb").alias("nbrs"))
+        .agg(
+            F.array_remove(
+                F.array_distinct(F.flatten(F.collect_list("ms"))),
+                F.col("node").cast("long"),
+            ).alias("nbrs")
+        )
         .cache()
     )
-    lab = _lpa_from_adj(adj, LPA_ITERS)  # eager: labels materialized
-    adj.unpersist()
-    comm = lab.groupBy(F.col("lab").alias("community")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+    lab = _lpa_labels_lazy(adj, LPA_ITERS)
+    comm = (
+        lab.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .localCheckpoint(eager=True)  # |communities| rows
     )
+    adj.unpersist()
     stats = comm.agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
     return (
         comm.crossJoin(F.broadcast(stats))
@@ -613,7 +619,17 @@ def lpa_labels(raw_edges: DataFrame, iters: int) -> DataFrame:
 
 
 def _lpa_from_adj(adj: DataFrame, iters: int) -> DataFrame:
-    """LPA rounds over a cached (node, nbrs) adjacency frame.
+    """Eager (node, lab) labels — `_lpa_labels_lazy` materialized so
+    callers can drop the adjacency cache immediately."""
+    return _lpa_labels_lazy(adj, iters).localCheckpoint(eager=True)
+
+
+def _lpa_labels_lazy(adj: DataFrame, iters: int) -> DataFrame:
+    """LPA rounds over a cached (node, nbrs) adjacency frame,
+    returned LAZY — the adjacency cache must stay live until the
+    caller materializes (fusing a downstream aggregation into the
+    final round's scan is the point: q_lpa_communities never
+    materializes the per-node frame at all).
 
     Dispatch: contiguous node ids (the TPC-H part graph: partkeys are
     1..N dense) take the INDEXED path — each round broadcasts the
@@ -626,15 +642,13 @@ def _lpa_from_adj(adj: DataFrame, iters: int) -> DataFrame:
     join into the exploded adjacency + two hash aggregations (the
     per-node argmax as ``max(struct(n, -lab))`` — count DESC, label
     ASC, window-free), with every aggregation eliding its Exchange
-    under the adjacency's HashPartitioning(node). Both paths
-    materialize the result eagerly (node-sized) so callers can drop
-    the adjacency cache immediately."""
+    under the adjacency's HashPartitioning(node)."""
     cnt, lo, hi = adj.agg(
         F.count(F.lit(1)), F.min("node"), F.max("node")
     ).first()
     if cnt and cnt <= LPA_INDEX_CAP and hi - lo + 1 == cnt:
         return _lpa_rounds_indexed(adj, int(lo), iters)
-    return _lpa_rounds_join(adj, iters).localCheckpoint(eager=True)
+    return _lpa_rounds_join(adj, iters)
 
 
 def _mode_smallest(sorted_labs):
@@ -670,29 +684,38 @@ def _mode_smallest(sorted_labs):
     )
 
 
+# Bound the lazy labarr chain's plan depth: every k intermediate
+# rounds the ONE-ROW label array is checkpointed (a tiny job — the
+# array is |nodes| longs) so per-execution plan/codegen stays flat
+# while short chains (LPA_ITERS=3 → one intermediate round) run as a
+# single fused job with zero driver sync points.
+LPA_LABARR_CHECKPOINT_EVERY = 4
+
+
 def _lpa_rounds_indexed(adj: DataFrame, lo: int, iters: int) -> DataFrame:
     """Indexed-label LPA rounds: node ids are contiguous from ``lo``,
     so round k's labels broadcast as one array with slot (node−lo+1).
     Round 1 needs no array at all: from the identity labelling every
     neighbor label is the (distinct) neighbor id, all counts are 1,
-    and the tie-break picks array_min(nbrs)."""
+    and the tie-break picks array_min(nbrs). Returns LAZY — the final
+    round is one HOF scan of the adjacency that downstream
+    aggregations fuse into.
+
+    Collect-free array handoff: intermediate rounds never materialize
+    a per-node frame — round r's label ARRAY aggregates straight out
+    of round (r−1)'s broadcast scan (one row of |nodes| longs), so
+    the whole chain is broadcast-exchange children of the final scan
+    with no node-sized checkpoints and no per-round driver jobs
+    (measured ~25% off the rounds at sf0.1 vs the per-round eager
+    node-frame checkpoints)."""
     if iters <= 0:
-        return adj.select("node", F.col("node").alias("lab")).localCheckpoint(
-            eager=True
-        )
+        return adj.select("node", F.col("node").alias("lab"))
     if iters == 1:
-        return adj.select("node", F.array_min("nbrs").alias("lab")).localCheckpoint(
-            eager=True
-        )
+        return adj.select("node", F.array_min("nbrs").alias("lab"))
     # Round 1 never materializes: from the identity labelling every
     # neighbor label is the (distinct) neighbor id, so round-1 labels
     # are array_min(nbrs) per node and round 2's label ARRAY is built
-    # straight from the adjacency — one broadcast child instead of a
-    # checkpoint job plus an aggregation job. Rounds 2+ checkpoint
-    # their (node-sized) output eagerly so the next round's array
-    # reads materialized rows instead of re-deriving the prior-round
-    # HOF plan — shallow plans beat one deep nested plan here because
-    # the cost is per-execution plan/codegen, not data (r9 lesson).
+    # straight from the adjacency.
     labarr = adj.agg(
         F.transform(
             F.array_sort(
@@ -706,33 +729,32 @@ def _lpa_rounds_indexed(adj: DataFrame, lo: int, iters: int) -> DataFrame:
             lambda s: s["lab"],
         ).alias("labarr")
     )
-    lab = None
-    for r in range(2, iters + 1):
-        lab = (
-            adj.crossJoin(F.broadcast(labarr))
-            .select(
-                "node",
-                _mode_smallest(
-                    F.array_sort(
-                        F.transform(
-                            "nbrs",
-                            lambda nb: F.element_at(
-                                "labarr", (nb - F.lit(lo) + 1).cast("int")
-                            ),
-                        )
+
+    def mode_scan(la: DataFrame) -> DataFrame:
+        return adj.crossJoin(F.broadcast(la)).select(
+            "node",
+            _mode_smallest(
+                F.array_sort(
+                    F.transform(
+                        "nbrs",
+                        lambda nb: F.element_at(
+                            "labarr", (nb - F.lit(lo) + 1).cast("int")
+                        ),
                     )
-                ).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+                )
+            ).alias("lab"),
         )
-        if r < iters:
-            labarr = lab.agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("node", "lab"))),
-                    lambda s: s["lab"],
-                ).alias("labarr")
-            )
-    return lab
+
+    for r in range(2, iters):
+        labarr = mode_scan(labarr).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("node", "lab"))),
+                lambda s: s["lab"],
+            ).alias("labarr")
+        )
+        if (r - 1) % LPA_LABARR_CHECKPOINT_EVERY == 0:
+            labarr = labarr.localCheckpoint(eager=True)
+    return mode_scan(labarr)
 
 
 def _lpa_rounds_join(adj: DataFrame, iters: int) -> DataFrame:
