@@ -173,6 +173,9 @@ EXTENDED = [
     "q_scd2_build",
     "q_embedding_jl_project",
     "q_join_size_sketch",
+    # round 11
+    "q_zone_map_merge",
+    "q_scd2_apply",
 ]
 
 

@@ -729,6 +729,42 @@ def q_camera_reconcile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_T1_EPOCH = NOW_EPOCH - 28 * 86400
 CDC_T2_EPOCH = CDC_T1_EPOCH + 3 * 86400
 
+# The MERGE rule, shared by the audit query and the property tests
+# (idempotence / batch composition in tests/test_joins.py): one
+# definition so the tombstone/update/keep semantics cannot drift.
+CDC_KEY = ["camera_id", "event_type"]
+
+
+def cdc_latest_per_key(rows: DataFrame, col: str = "s") -> DataFrame:
+    """Compact a change set to its latest row per key — max(struct) is
+    commutative + idempotent, so the compaction is chunk-invariant."""
+    return rows.groupBy(*CDC_KEY).agg(
+        F.max(F.struct("ts", "id", "new_count")).alias(col)
+    )
+
+
+def cdc_joined(tgt: DataFrame, feed: DataFrame) -> DataFrame:
+    """Full-outer target×feed with the post-merge state ``s_next``
+    (NULL = row absent after the merge: a zero count tombstones)."""
+    return tgt.join(feed, CDC_KEY, "full_outer").select(
+        *CDC_KEY,
+        "s",
+        "f",
+        F.when(F.col("f").isNull(), F.col("s"))
+        .when(F.col("f.new_count") == 0, F.lit(None))
+        .otherwise(F.col("f"))
+        .alias("s_next"),
+    )
+
+
+def cdc_post_state(tgt: DataFrame, feed: DataFrame) -> DataFrame:
+    """The merged target STATE — what the next batch merges into."""
+    return (
+        cdc_joined(tgt, feed)
+        .filter(F.col("s_next").isNotNull())
+        .select(*CDC_KEY, F.col("s_next").alias("s"))
+    )
+
 
 @register(
     "q_cdc_merge",
@@ -787,29 +823,19 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = traffic_history(spark, sf_dir)
     t1 = F.timestamp_seconds(F.lit(CDC_T1_EPOCH))
     t2 = F.timestamp_seconds(F.lit(CDC_T2_EPOCH))
-    key = ["camera_id", "event_type"]
-    tgt = (
-        h.filter(F.col("ts") < t1)
-        .groupBy(*key)
-        .agg(F.max(F.struct("ts", "id", "new_count")).alias("s"))
-    )
-    feed = (
-        h.filter((F.col("ts") >= t1) & (F.col("ts") < t2))
-        .groupBy(*key)
-        .agg(F.max(F.struct("ts", "id", "new_count")).alias("f"))
+    tgt = cdc_latest_per_key(h.filter(F.col("ts") < t1), "s")
+    feed = cdc_latest_per_key(
+        h.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), "f"
     )
     old_cnt = F.col("s.new_count")
     feed_cnt = F.col("f.new_count")
     return (
-        tgt.join(feed, key, "full_outer")
+        cdc_joined(tgt, feed)
         .select(
-            *key,
+            *CDC_KEY,
             old_cnt.alias("old_cnt"),
             feed_cnt.alias("feed_cnt"),
-            F.when(F.col("f").isNull(), old_cnt)
-            .when(feed_cnt == 0, F.lit(None).cast("long"))
-            .otherwise(feed_cnt)
-            .alias("merged_cnt"),
+            F.col("s_next.new_count").alias("merged_cnt"),
             F.when(F.col("s").isNull() & (feed_cnt > 0), F.lit("insert"))
             .when(F.col("s").isNull(), F.lit("delete_miss"))
             .when(F.col("f").isNull(), F.lit("keep"))
@@ -817,5 +843,5 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("update"))
             .alias("action"),
         )
-        .orderBy(*key)
+        .orderBy(*CDC_KEY)
     )

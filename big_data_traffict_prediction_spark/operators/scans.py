@@ -318,6 +318,117 @@ def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d", "hr")
 
 
+# Incremental zone-map maintenance: rows whose id lands in the delta
+# slot play the part of a late-arriving ingest batch (they scatter
+# into MANY existing zones, so the merge exercises real stat combines,
+# not just whole-zone appends as a clean new-day delta would).
+ZM_DELTA_MOD = 20
+ZM_DELTA_SLOT = 7
+
+_ZM_BLOOM_SQL = f"""CAST(BIT_OR(1::BIGINT << CAST(
+             CAST(('0x' || substr(md5('zm#' || camera_id), 1, 15)) AS BIGINT)
+               % {ZM_BLOOM_BITS} AS INT)) AS BIGINT)"""
+
+
+@register(
+    "q_zone_map_merge",
+    oracle=with_traffic(f"""
+, b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(new_count) AS BIGINT) AS mn,
+         CAST(MAX(new_count) AS BIGINT) AS mx, {_ZM_BLOOM_SQL} AS fp
+  FROM traffic WHERE id % {ZM_DELTA_MOD} <> {ZM_DELTA_SLOT} GROUP BY 1, 2
+),
+dl AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(new_count) AS BIGINT) AS mn,
+         CAST(MAX(new_count) AS BIGINT) AS mx, {_ZM_BLOOM_SQL} AS fp
+  FROM traffic WHERE id % {ZM_DELTA_MOD} = {ZM_DELTA_SLOT} GROUP BY 1, 2
+)
+SELECT d, hr,
+       COALESCE(b.n, 0) + COALESCE(dl.n, 0) AS n_rows,
+       LEAST(b.mn, dl.mn) AS min_count,
+       GREATEST(b.mx, dl.mx) AS max_count,
+       COALESCE(b.fp, 0) | COALESCE(dl.fp, 0) AS bloom_fp,
+       CASE WHEN b.n IS NULL THEN 'insert'
+            WHEN dl.n IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM b FULL OUTER JOIN dl USING (d, hr)
+ORDER BY d, hr
+"""),
+)
+def q_zone_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map MAINTENANCE — the nightly companion to
+    q_zone_map_stats' full build: a late-arriving ingest batch (the
+    delta) updates the stored per-(day, hour) stats by MERGING stat
+    rows, never re-scanning the base data. Every kept stat is
+    mergeable by construction — counts add, min/max fold, the bloom
+    fingerprint ORs — which is exactly why lakehouse column stats are
+    restricted to such algebras (the full build's COUNT(DISTINCT)
+    column is deliberately absent here: distinct is not mergeable
+    without a sketch; the engine's mergeable-distinct answer is the
+    q_hll_* register family). ``action`` reports what the delta did
+    to each zone (insert / update / keep).
+
+    Scale shape (same discipline as q_cdc_merge): each side compacts
+    to |zones| stat rows via ONE map-side-combined hash aggregation;
+    both aggregations hash-partition on the zone key, so the
+    full-outer merge join adds ZERO extra exchanges
+    (plan-asserted). At 100 TB the base side is the stored index —
+    |zones| rows read back, not a re-scan; the in-query base build
+    stands in for that read."""
+    h = traffic_history(spark, sf_dir)
+    bit = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("zm#"), F.col("camera_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(ZM_BLOOM_BITS),
+    ).cast("int")
+    one = F.lit(1).cast("long")
+
+    def zone_stats(side: DataFrame, tag: str) -> DataFrame:
+        return (
+            side.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("d"),
+                F.hour("ts").cast("long").alias("hr"),
+                "new_count",
+                bit.alias("bit"),
+            )
+            .groupBy("d", "hr")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"{tag}_n"),
+                F.min("new_count").cast("long").alias(f"{tag}_mn"),
+                F.max("new_count").cast("long").alias(f"{tag}_mx"),
+                F.bit_or(F.call_function("shiftleft", one, F.col("bit")))
+                .cast("long")
+                .alias(f"{tag}_fp"),
+            )
+        )
+
+    is_delta = F.pmod(F.col("id"), F.lit(ZM_DELTA_MOD)) == ZM_DELTA_SLOT
+    base = zone_stats(h.filter(~is_delta), "b")
+    delta = zone_stats(h.filter(is_delta), "dl")
+    merged = base.join(delta, ["d", "hr"], "full_outer")
+    return merged.select(
+        "d",
+        "hr",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("dl_n", F.lit(0))).alias("n_rows"),
+        F.least("b_mn", "dl_mn").alias("min_count"),
+        F.greatest("b_mx", "dl_mx").alias("max_count"),
+        F.coalesce("b_fp", F.lit(0))
+        .bitwiseOR(F.coalesce("dl_fp", F.lit(0)))
+        .alias("bloom_fp"),
+        F.when(F.col("b_n").isNull(), "insert")
+        .when(F.col("dl_n").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    ).orderBy("d", "hr")
+
+
 L_DIVERSITY = 3  # a QI group with fewer distinct sensitive values leaks
 L_DIV_TOP = 50
 

@@ -475,3 +475,88 @@ def test_join_size_sketch_never_underestimates(spark, oracle_sf_dir):
     assert r.cm_estimate >= r.exact_pairs
     assert r.overcount == r.cm_estimate - r.exact_pairs
     assert r.over_ppm < 600_000, r  # < 60% over — collisions, not junk
+
+
+def test_zone_map_merge_equals_full_rebuild(spark, oracle_sf_dir):
+    """The incremental-equals-rebuild theorem for zone maps: merging
+    the base index with the late-batch delta must reproduce the full
+    build's stats exactly on every mergeable column (the full build
+    additionally carries the non-mergeable COUNT(DISTINCT), which the
+    merge deliberately omits)."""
+    from big_data_traffict_prediction_spark.operators.scans import (
+        q_zone_map_merge,
+        q_zone_map_stats,
+    )
+
+    cols = ["d", "hr", "n_rows", "min_count", "max_count", "bloom_fp"]
+    merged = {
+        (r.d, r.hr): r for r in q_zone_map_merge(spark, oracle_sf_dir).collect()
+    }
+    full = {
+        (r.d, r.hr): r for r in q_zone_map_stats(spark, oracle_sf_dir).collect()
+    }
+    assert merged.keys() == full.keys() and merged
+    for k, m in merged.items():
+        f = full[k]
+        for c in cols:
+            assert getattr(m, c) == getattr(f, c), (k, c)
+    acts = {r.action for r in merged.values()}
+    assert "update" in acts  # the delta really merged into existing zones
+
+
+def test_scd2_apply_planted_scenarios(spark):
+    """Edge coverage the real feed may not draw every round: a camera
+    untouched by the delta, a camera whose delta never changes band, a
+    camera whose delta both closes the open interval and appends, and
+    a camera born in the delta."""
+    import datetime
+
+    from big_data_traffict_prediction_spark.operators import windows as W
+
+    t1 = datetime.datetime.utcfromtimestamp(W.SCD2_APPLY_T1)
+    day = datetime.timedelta(days=1)
+    B = W.SCD2_BAND
+    rows = []  # (id, camera_id, ts, new_count)
+    # cam "a": base only (2 versions), no delta rows -> untouched
+    rows += [(1, "a", t1 - 9 * day, 0), (2, "a", t1 - 8 * day, B)]
+    # cam "b": base 1 version, delta rows in the SAME band -> untouched
+    rows += [(3, "b", t1 - 9 * day, B), (4, "b", t1 + day, B + 1)]
+    # cam "c": base 1 version, delta changes band twice -> close + 2 new
+    rows += [
+        (5, "c", t1 - 9 * day, 0),
+        (6, "c", t1 + day, B),
+        (7, "c", t1 + 2 * day, 2 * B),
+    ]
+    # cam "d": born in the delta, one band change
+    rows += [(8, "d", t1 + day, 0), (9, "d", t1 + 2 * day, B)]
+    df = spark.createDataFrame(
+        [(i, c, ts, n) for i, c, ts, n in rows],
+        "id long, camera_id string, ts timestamp, new_count long",
+    )
+    import big_data_traffict_prediction_spark.tables as tables
+
+    orig = tables.traffic_history
+    tables.traffic_history = lambda s, d: df
+    W.traffic_history = tables.traffic_history
+    try:
+        out = {
+            (r.camera_id, r.version): r
+            for r in W.q_scd2_apply(spark, "ignored").collect()
+        }
+    finally:
+        tables.traffic_history = orig
+        W.traffic_history = orig
+    # a: untouched, still current on version 2
+    assert out[("a", 2)].is_current and out[("a", 2)].n_versions == 2
+    assert out[("a", 1)].valid_to == out[("a", 2)].valid_from
+    # b: same band throughout -> one version, still open
+    assert out[("b", 1)].is_current and out[("b", 1)].n_versions == 1
+    # c: base interval closed AT the first delta change, two appended
+    assert not out[("c", 1)].is_current
+    assert out[("c", 1)].valid_to == t1 + day
+    assert out[("c", 2)].state == 1 and out[("c", 3)].state == 2
+    assert out[("c", 3)].is_current and out[("c", 3)].n_versions == 3
+    # d: born in the delta with its own version chain
+    assert out[("d", 1)].valid_to == out[("d", 2)].valid_from
+    assert out[("d", 2)].is_current and out[("d", 2)].n_versions == 2
+    assert len(out) == 8

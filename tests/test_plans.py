@@ -877,6 +877,39 @@ def test_scd2_build_is_one_window_family(spark, sf_dir):
     assert explain.nested_loop_join_count(df) == 0
 
 
+def test_zone_map_merge_join_is_copartitioned(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import q_zone_map_merge
+
+    # base and delta stats each compact via one hash aggregation
+    # partitioned on exactly the zone key — the full-outer merge must
+    # add NO exchange beyond the two aggregation exchanges + the final
+    # orderBy range partition (3 total; a 4th would mean the merge
+    # re-shuffled a side — i.e. the "incremental" path re-shuffled the
+    # stored index)
+    df = q_zone_map_merge(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["shuffles"] <= 3, explain.formatted_plan(df)
+    assert explain.nested_loop_join_count(df) == 0
+
+
+def test_scd2_apply_never_windows_the_union(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.windows import q_scd2_apply
+
+    # base history and delta change-detection each window ONCE behind
+    # lazy checkpoints; the drivable plan windows only the delta feed
+    # (the lead/rank versioning pass). More visible Window nodes would
+    # mean a multi-referenced stage re-executes its window family, or
+    # the "incremental" path re-windowed base+delta history (the
+    # O(history) rebuild this operator exists to avoid)
+    df = q_scd2_apply(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    import re as _re
+
+    windows = len(_re.findall(r"^\(\d+\) Window\b", plan, _re.MULTILINE))
+    assert windows == 1, plan
+    assert explain.nested_loop_join_count(df) == 0
+
+
 def test_l_diversity_tops_as_take_ordered(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.scans import q_l_diversity
 
