@@ -22,13 +22,13 @@ Scope (all honestly gated, never faked):
   any sampling factors ≤ 4 — integer AND non-integer ratios, via a
   nearest-neighbor index-map chroma upsampler — restart intervals
   supported; 8-bit extended sequential
-  (SOF1) decodes on the baseline path; non-interleaved multi-scan
-  baseline streams (one Ns=1 scan per component — libjpeg's
-  non-interleaved mode) decode through the same shared coefficient
+  (SOF1) decodes on the baseline path; multi-scan baseline streams —
+  one Ns=1 scan per component (libjpeg's non-interleaved mode) or
+  partially-interleaved subsets (1 < Ns < Nf, e.g. the classic
+  Y-then-CbCr layout) — decode through the same shared coefficient
   store the progressive path uses. ``decode_gray`` returns the
   (luma) Y plane; ``decode_rgb`` full color. 12-bit precision,
-  lossless / arithmetic-coded, 4-component (CMYK), and
-  partially-interleaved scans (1 < Ns < Nf) raise
+  lossless / arithmetic-coded, and 4-component (CMYK) streams raise
   ``NotImplementedError``.
 - progressive encode (``encode_progressive``): libjpeg-style scan
   script (DC first w/ point transform, spectral-split AC first scans,
@@ -986,17 +986,63 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 continue
             ns = payload[0]
             if ns != len(comps):
-                # T.81 A.2.2: a sequential frame may carry one
-                # NON-interleaved scan per component (libjpeg's
-                # non-interleaved baseline mode). Each scan covers its
-                # component's OWN block grid in raster order; blocks
-                # land in the same interleaved-superset coefficient
-                # store the progressive path uses, and reconstruction
-                # happens once every component has been scanned.
-                if ns != 1:
-                    raise NotImplementedError(
-                        "partially-interleaved baseline scan (1 < Ns < Nf)"
-                    )
+                # T.81 A.2.2/A.2.3: a sequential frame may carry its
+                # components across SEVERAL scans — one non-interleaved
+                # (Ns=1) scan per component (libjpeg's non-interleaved
+                # baseline mode), or partially-interleaved scans
+                # grouping a subset (the classic Y-then-CbCr layout).
+                # Blocks land in the same interleaved-superset
+                # coefficient store the progressive path uses, and
+                # reconstruction happens once every component has been
+                # scanned.
+                if ns > 1:
+                    # partially-interleaved: the scan's components
+                    # interleave per MCU with their OWN sampling
+                    # factors on the FRAME's MCU grid (T.81 A.2.3);
+                    # restart intervals count MCUs.
+                    if coef is None:
+                        coef = [
+                            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                            for _, hi, vi, _ in comps
+                        ]
+                    idxs: list[int] = []
+                    scan = []
+                    for i in range(ns):
+                        cid, tsel = payload[1 + 2 * i], payload[2 + 2 * i]
+                        ci = next(
+                            (k for k, c in enumerate(comps) if c[0] == cid),
+                            None,
+                        )
+                        if ci is None:
+                            raise ValueError(
+                                f"scan references unknown component {cid}"
+                            )
+                        if ci in seq_seen or ci in idxs:
+                            raise ValueError(
+                                f"duplicate sequential scan for component {cid}"
+                            )
+                        idxs.append(ci)
+                        _, hi, vi, _ = comps[ci]
+                        scan.append(
+                            (
+                                htables[(0, tsel >> 4)],
+                                htables[(1, tsel & 0xF)],
+                                hi,
+                                vi,
+                            )
+                        )
+                    end = _entropy_end(data, pos)
+                    per = _decode_entropy(data[pos:end], scan, mcux, mcuy, dri)
+                    for ci, nat in zip(idxs, per):
+                        _, hi, vi, _ = comps[ci]
+                        # store keeps zigzag order; _decode_entropy
+                        # emits natural — invert the scatter
+                        coef[ci][...] = nat[:, ZIGZAG].reshape(
+                            mcuy * vi, mcux * hi, 64
+                        )
+                        seq_seen.add(ci)
+                    pos = end
+                    continue
                 if coef is None:
                     coef = [
                         np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
@@ -1037,6 +1083,12 @@ def _decode_impl(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 seq_seen.add(ci)
                 pos = end
                 continue
+            if seq_seen:
+                # a full-interleave scan would silently re-decode
+                # components already delivered by per-component scans
+                raise ValueError(
+                    "full-interleave scan after per-component scans"
+                )
             bcomps = comps
             bhmax, bvmax = hmax, vmax
             bmcux, bmcuy = mcux, mcuy

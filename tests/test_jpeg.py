@@ -869,8 +869,9 @@ def test_noninterleaved_baseline_with_restarts():
 
 def test_noninterleaved_baseline_gates_and_errors():
     """Partial coverage (a truncated multi-scan file) is a classified
-    ValueError; a partially-interleaved scan (1 < Ns < Nf) stays an
-    honest NotImplementedError gate."""
+    ValueError; forging Ns=2 onto a one-component scan header leaves a
+    malformed component list, classified as ValueError (the genuine
+    1 < Ns < Nf layout decodes — see the y-then-cbcr tests)."""
     from big_data_traffict_prediction_spark.functions.jpeg import decode_rgb
 
     rng = np.random.default_rng(13)
@@ -902,6 +903,127 @@ def test_noninterleaved_duplicate_scan_is_rejected():
     last_sos = data.rfind(b"\xff\xda")
     forged = bytearray(data)
     assert forged[last_sos + 5] == 3
+    forged[last_sos + 5] = 1
+    with pytest.raises(ValueError, match="duplicate sequential scan"):
+        decode_rgb(bytes(forged))
+
+
+def _encode_y_then_cbcr(arr, quality=75, subsampling="4:2:0", restart_interval=0):
+    """Test fixture for PARTIALLY-interleaved baseline (T.81 A.2.3):
+    the classic libjpeg multi-scan color layout — scan 1 carries Y
+    alone (non-interleaved, its own block grid), scan 2 interleaves
+    (Cb, Cr) per MCU on the frame's MCU grid. Same coefficients as
+    encode_color, different scan packaging."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        _AC_CHROMA_ENC,
+        _AC_ENC,
+        _BitWriter,
+        _color_coef_grids,
+        _color_headers,
+        _comp_block_dims,
+        _DC_CHROMA_ENC,
+        _DC_ENC,
+        _emit_block,
+        _seg,
+    )
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    y_zz, chroma, mcux, mcuy, hs, vs, qy, qc = _color_coef_grids(
+        a, quality, subsampling
+    )
+    out = _color_headers(qy, qc, h, w, (hs << 4) | vs, 0xFFC0)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    # scan 1: Y, non-interleaved over its OWN grid
+    bh, bw_ = _comp_block_dims(hs, vs, hs, vs, h, w)
+    bw = _BitWriter()
+    prev_dc = 0
+    unit = 0
+    for byi in range(bh):
+        for bxi in range(bw_):
+            if restart_interval and unit and unit % restart_interval == 0:
+                bw.emit_marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                prev_dc = 0
+            prev_dc = _emit_block(bw, y_zz[byi, bxi], prev_dc, _DC_ENC, _AC_ENC)
+            unit += 1
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0x3F, 0]))
+    out += bw.flush()
+    # scan 2: (Cb, Cr) interleaved per MCU; chroma grids are already
+    # MCU-padded (mcuy x mcux blocks at 1x1 factors)
+    bw = _BitWriter()
+    prev = [0, 0]
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.emit_marker(0xD0 + ((mcu_i // restart_interval - 1) % 8))
+                prev = [0, 0]
+            for ci, grid in enumerate(chroma):
+                prev[ci] = _emit_block(
+                    bw, grid[my, mx], prev[ci], _DC_CHROMA_ENC, _AC_CHROMA_ENC
+                )
+            mcu_i += 1
+    out += _seg(0xFFDA, bytes([2, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
+    out += bw.flush()
+    return out + b"\xff\xd9"
+
+
+def test_partially_interleaved_y_then_cbcr_matches_interleaved():
+    """The Y-then-(Cb,Cr) two-scan layout must decode to EXACTLY the
+    single interleaved scan's planes; odd sizes exercise the chroma
+    MCU padding and the Y own-grid/superset mismatch."""
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rng = np.random.default_rng(15)
+    for shape, sub in [
+        ((24, 20, 3), "4:2:0"),
+        ((16, 16, 3), "4:2:0"),
+        ((9, 17, 3), "4:4:4"),
+        ((33, 31, 3), "4:2:0"),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        multi = decode_rgb(_encode_y_then_cbcr(img, 80, sub))
+        single = decode_rgb(encode_color(img, 80, sub))
+        assert multi.shape == single.shape == shape
+        assert (multi == single).all(), (shape, sub)
+
+
+def test_partially_interleaved_with_restarts():
+    from big_data_traffict_prediction_spark.functions.jpeg import (
+        decode_rgb,
+        encode_color,
+    )
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    multi = decode_rgb(_encode_y_then_cbcr(img, 85, "4:2:0", 3))
+    single = decode_rgb(encode_color(img, 85, "4:2:0"))
+    assert (multi == single).all()
+
+
+def test_partially_interleaved_errors():
+    """Duplicate component inside a partial scan, a component scanned
+    by two scans, and a full-interleave scan AFTER per-component scans
+    are all classified ValueErrors, never silent mis-decodes."""
+    from big_data_traffict_prediction_spark.functions.jpeg import decode_rgb
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = _encode_y_then_cbcr(img, 80, "4:4:4")
+    last_sos = data.rfind(b"\xff\xda")
+    # (a) Cr slot forged to Cb: duplicate WITHIN the scan
+    forged = bytearray(data)
+    assert forged[last_sos + 7] == 3
+    forged[last_sos + 7] = 2
+    with pytest.raises(ValueError, match="duplicate sequential scan"):
+        decode_rgb(bytes(forged))
+    # (b) Cb slot forged to Y: component 1 scanned twice across scans
+    forged = bytearray(data)
+    assert forged[last_sos + 5] == 2
     forged[last_sos + 5] = 1
     with pytest.raises(ValueError, match="duplicate sequential scan"):
         decode_rgb(bytes(forged))
