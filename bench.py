@@ -176,6 +176,9 @@ EXTENDED = [
     # round 11
     "q_zone_map_merge",
     "q_scd2_apply",
+    "q_mv_refresh",
+    "q_drift_tvd",
+    "q_stream_zone_map",
 ]
 
 

@@ -556,3 +556,80 @@ def q_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# Materialized-view refresh window: the MV "as stored" covers events
+# before T1; one refresh batch [T1, T2) is folded in incrementally.
+MV_T1_EPOCH = NOW_EPOCH - 6 * 86400
+MV_T2_EPOCH = NOW_EPOCH - 1 * 86400
+
+
+@register(
+    "q_mv_refresh",
+    oracle=with_traffic(f"""
+SELECT camera_id, strftime(ts, '%Y-%m-%d') AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(new_count) AS BIGINT) AS total_count,
+       CAST(MAX(new_count) AS BIGINT) AS peak_count
+FROM traffic
+WHERE ts < make_timestamp(CAST({MV_T2_EPOCH} AS BIGINT) * 1000000)
+GROUP BY 1, 2
+ORDER BY camera_id, d
+"""),
+)
+def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW refresh — the third leg of the
+    maintenance trilogy (index: q_zone_map_merge, dimension:
+    q_scd2_apply, aggregate: this): the stored per-(camera, day) MV is
+    brought current by folding in ONE delta batch of raw events — the
+    delta aggregates at MV grain and merges into the stored rows via a
+    co-partitioned full-outer join (counts and sums ADD, peaks fold by
+    GREATEST; all self-maintainable for insert-only deltas, which is
+    why real engines restrict incremental view maintenance to such
+    algebras).
+
+    The oracle is the FULL RECOMPUTE over everything before T2, so the
+    driver's hash check is the incremental-equals-recompute theorem
+    for this view — same discipline as q_scd2_apply.
+
+    Scale shape: the base side stands in for reading the stored MV
+    (|camera × day| rows); the delta aggregates once (map-side
+    partial) and the merge join adds ZERO exchanges beyond the two
+    aggregations (both hash-partition on exactly the view key,
+    plan-asserted). Nightly cost is O(delta + view), not O(history)."""
+    h = traffic_history(spark, sf_dir)
+    t1 = F.timestamp_seconds(F.lit(MV_T1_EPOCH))
+    t2 = F.timestamp_seconds(F.lit(MV_T2_EPOCH))
+
+    def mv_grain(side: DataFrame, tag: str) -> DataFrame:
+        return (
+            side.select(
+                "camera_id",
+                F.date_format("ts", "yyyy-MM-dd").alias("d"),
+                "new_count",
+            )
+            .groupBy("camera_id", "d")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"{tag}_n"),
+                F.sum("new_count").cast("long").alias(f"{tag}_sum"),
+                F.max("new_count").cast("long").alias(f"{tag}_peak"),
+            )
+        )
+
+    stored = mv_grain(h.filter(F.col("ts") < t1), "b")
+    delta = mv_grain(h.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), "dl")
+    return (
+        stored.join(delta, ["camera_id", "d"], "full_outer")
+        .select(
+            "camera_id",
+            "d",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("dl_n", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            (F.coalesce("b_sum", F.lit(0)) + F.coalesce("dl_sum", F.lit(0)))
+            .cast("long")
+            .alias("total_count"),
+            F.greatest("b_peak", "dl_peak").cast("long").alias("peak_count"),
+        )
+        .orderBy("camera_id", "d")
+    )

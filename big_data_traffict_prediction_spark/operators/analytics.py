@@ -1937,3 +1937,120 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slot")
     )
+
+
+# Drift-detection windows: reference week vs current week, and the
+# congestion-band bucketing shared with the SCD-2 state.
+DRIFT_A1 = _NOW_EPOCH - 21 * 86400
+DRIFT_A2 = _NOW_EPOCH - 14 * 86400
+DRIFT_B1 = _NOW_EPOCH - 7 * 86400
+DRIFT_B2 = _NOW_EPOCH
+DRIFT_BUCKET = 50
+DRIFT_TOP = 50
+
+
+@register(
+    "q_drift_tvd",
+    oracle=with_traffic(f"""
+, ev AS (
+  SELECT camera_id, CAST(new_count // {DRIFT_BUCKET} AS BIGINT) AS bucket,
+         CASE WHEN ts >= make_timestamp(CAST({DRIFT_A1} AS BIGINT) * 1000000)
+               AND ts <  make_timestamp(CAST({DRIFT_A2} AS BIGINT) * 1000000)
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN ts >= make_timestamp(CAST({DRIFT_B1} AS BIGINT) * 1000000)
+               AND ts <  make_timestamp(CAST({DRIFT_B2} AS BIGINT) * 1000000)
+              THEN 1 ELSE 0 END AS b
+  FROM traffic
+  WHERE (ts >= make_timestamp(CAST({DRIFT_A1} AS BIGINT) * 1000000)
+         AND ts < make_timestamp(CAST({DRIFT_A2} AS BIGINT) * 1000000))
+     OR (ts >= make_timestamp(CAST({DRIFT_B1} AS BIGINT) * 1000000)
+         AND ts < make_timestamp(CAST({DRIFT_B2} AS BIGINT) * 1000000))
+),
+bc AS (
+  SELECT camera_id, bucket, SUM(a) AS ca, SUM(b) AS cb
+  FROM ev GROUP BY 1, 2
+),
+tot AS (
+  SELECT camera_id, SUM(ca) AS na, SUM(cb) AS nb FROM bc GROUP BY 1
+),
+num AS (
+  SELECT bc.camera_id, t.na, t.nb,
+         SUM(ABS(bc.ca * t.nb - bc.cb * t.na)) AS num,
+         COUNT(*) AS n_buckets
+  FROM bc JOIN tot t USING (camera_id)
+  GROUP BY 1, 2, 3
+)
+SELECT camera_id, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST((1000000 * num) // (2 * na * nb) AS BIGINT) AS tvd_ppm
+FROM num WHERE na > 0 AND nb > 0
+ORDER BY tvd_ppm DESC, camera_id
+LIMIT {DRIFT_TOP}
+"""),
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data drift detection: per camera, the total-variation
+    distance between the congestion-band distribution of a reference
+    week and the current week — the dataset-shift gate an ML pipeline
+    runs before retraining (TVD rather than PSI/KL because it needs NO
+    logarithms: TVD = Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b) is exact
+    integer arithmetic end-to-end, so the score hash-matches across
+    engines instead of drifting in the 15th decimal). Top movers by
+    drift, cameras observed in both windows only.
+
+    Scale shape: one conditional-aggregation pass reduces the fact to
+    |camera × band| bucket rows (map-side partial); totals and the
+    cross-term fold stay at camera/bucket grain; the top movers plan
+    as TakeOrderedAndProject. Products c·n stay inside int64 up to
+    ~3·10^9 rows per camera-window — beyond that, swap the ppm fold
+    to DECIMAL(38,0)."""
+    h = traffic_history(spark, sf_dir)
+
+    def win(lo: int, hi: int):
+        return (F.col("ts") >= F.timestamp_seconds(F.lit(lo))) & (
+            F.col("ts") < F.timestamp_seconds(F.lit(hi))
+        )
+
+    in_a, in_b = win(DRIFT_A1, DRIFT_A2), win(DRIFT_B1, DRIFT_B2)
+    ev = h.filter(in_a | in_b).select(
+        "camera_id",
+        F.call_function("div", F.col("new_count"), F.lit(DRIFT_BUCKET)).alias(
+            "bucket"
+        ),
+        in_a.cast("long").alias("a"),
+        in_b.cast("long").alias("b"),
+    )
+    bc = ev.groupBy("camera_id", "bucket").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    tot = bc.groupBy("camera_id").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    num = (
+        bc.join(tot, "camera_id")
+        .groupBy("camera_id", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias(
+                "num"
+            ),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+    return (
+        num.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "camera_id",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.call_function(
+                "div",
+                F.lit(1000000) * F.col("num"),
+                F.lit(2) * F.col("na") * F.col("nb"),
+            )
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+        .orderBy(F.desc("tvd_ppm"), "camera_id")
+        .limit(DRIFT_TOP)
+    )

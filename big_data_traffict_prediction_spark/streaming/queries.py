@@ -866,3 +866,82 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+_SZM_BLOOM_SQL = """CAST(BIT_OR(1::BIGINT << CAST(
+             CAST(('0x' || substr(md5('zm#' || camera_id), 1, 15)) AS BIGINT)
+               % 62 AS INT)) AS BIGINT)"""
+
+
+@register(
+    "q_stream_zone_map",
+    oracle=with_traffic(f"""
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(new_count) AS BIGINT) AS min_count,
+       CAST(MAX(new_count) AS BIGINT) AS max_count,
+       {_SZM_BLOOM_SQL} AS bloom_fp
+FROM traffic GROUP BY 1, 2
+ORDER BY d, hr
+"""),
+)
+def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-skipping index build — the ingest-side twin of
+    q_zone_map_stats: zone stats accumulate as complete-mode streaming
+    aggregation state while files land, so the skipping index is
+    already current when the batch job would only be starting. Every
+    kept stat is a commutative, associative fold (count, min, max,
+    bit_or) — each input row is absorbed exactly once into per-zone
+    state, so the drained output is invariant to chunking and replay
+    order and the whole index hash-checks against the batch SQL (the
+    same discipline as the streaming HLL and CDC twins). The
+    non-mergeable COUNT(DISTINCT) is absent here for the same reason
+    it is absent from q_zone_map_merge: streaming state must be
+    mergeable, which is exactly the lakehouse stats restriction.
+
+    Scale shape: state is |zones| rows of five scalars — partition
+    grain, never row grain; at 100 TB the same query reads Kafka/file
+    drops and the index lands via foreachBatch upsert."""
+    from pyspark.sql import functions as F
+
+    stage, base = _staged(spark, sf_dir)
+    rows = simulate.read_stream(spark, stage)
+    bit = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("zm#"), F.col("camera_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(62),
+    ).cast("int")
+    zm = (
+        rows.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.hour("ts").cast("long").alias("hr"),
+            "new_count",
+            bit.alias("bit"),
+        )
+        .groupBy("d", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("new_count").cast("long").alias("min_count"),
+            F.max("new_count").cast("long").alias("max_count"),
+            F.bit_or(
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit"))
+            )
+            .cast("long")
+            .alias("bloom_fp"),
+        )
+    )
+    out = windows.run_to_memory(
+        spark,
+        zm,
+        f"q_stream_zone_map_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return out.orderBy("d", "hr")

@@ -560,3 +560,47 @@ def test_scd2_apply_planted_scenarios(spark):
     assert out[("d", 1)].valid_to == out[("d", 2)].valid_from
     assert out[("d", 2)].is_current and out[("d", 2)].n_versions == 2
     assert len(out) == 8
+
+
+def test_drift_tvd_planted_bounds(spark):
+    """A camera replaying its reference distribution drifts 0 ppm; a
+    camera whose current week lands entirely in new buckets drifts the
+    full 1,000,000 ppm; a half-shifted camera lands at 500,000."""
+    import datetime
+
+    from big_data_traffict_prediction_spark.operators import analytics as A
+
+    a1 = datetime.datetime.utcfromtimestamp(A.DRIFT_A1)
+    b1 = datetime.datetime.utcfromtimestamp(A.DRIFT_B1)
+    B = A.DRIFT_BUCKET
+    rows = []
+    rid = 0
+
+    def add(cam, when, count):
+        nonlocal rid
+        rows.append((rid, cam, when, count))
+        rid += 1
+
+    hour = datetime.timedelta(hours=1)
+    for k in range(4):  # cam "same": identical band histograms
+        add("same", a1 + k * hour, (k % 2) * B)
+        add("same", b1 + k * hour, (k % 2) * B)
+    for k in range(4):  # cam "flip": disjoint bands
+        add("flip", a1 + k * hour, 0)
+        add("flip", b1 + k * hour, 5 * B)
+    for k in range(4):  # cam "half": half the mass moves
+        add("half", a1 + k * hour, 0)
+        add("half", b1 + k * hour, (k % 2) * 5 * B)
+    df = spark.createDataFrame(
+        rows, "id long, camera_id string, ts timestamp, new_count long"
+    )
+    orig = A.traffic_history
+    A.traffic_history = lambda s, d: df
+    try:
+        out = {r.camera_id: r for r in A.q_drift_tvd(spark, "ignored").collect()}
+    finally:
+        A.traffic_history = orig
+    assert out["same"].tvd_ppm == 0
+    assert out["flip"].tvd_ppm == 1000000
+    assert out["half"].tvd_ppm == 500000
+    assert all(r.n_a == 4 and r.n_b == 4 for r in out.values())

@@ -918,3 +918,24 @@ def test_l_diversity_tops_as_take_ordered(spark, sf_dir):
     assert a["take_ordered"], "risky-group top-N must plan as TakeOrdered"
     # the only nested loop is the one-row stats broadcast
     assert explain.nested_loop_join_count(df) <= 1
+
+
+def test_mv_refresh_merge_is_copartitioned(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.aggregates import q_mv_refresh
+
+    # stored-MV and delta sides aggregate once each on exactly the
+    # view key; the full-outer merge must add no exchange beyond the
+    # two aggregation exchanges + the final orderBy range partition
+    df = q_mv_refresh(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["shuffles"] <= 3, explain.formatted_plan(df)
+    assert explain.nested_loop_join_count(df) == 0
+
+
+def test_drift_tvd_tops_as_take_ordered(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.analytics import q_drift_tvd
+
+    df = q_drift_tvd(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["take_ordered"], "top drift movers must plan as TakeOrdered"
+    assert explain.nested_loop_join_count(df) == 0

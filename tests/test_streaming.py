@@ -905,3 +905,67 @@ def test_streaming_restart_recovers_exactly_once(spark, sf_dir, tmp_path):
     # the restart emitted strictly new windows (no reprocessing): the
     # first drain's rows are a proper subset of the final sink
     assert 0 < n_first < len(recovered)
+
+
+def test_stream_zone_map_chunking_invariant(spark, sf_dir):
+    """Zone stats are commutative+associative folds, so the drained
+    streaming index must be identical at any micro-batch chunking —
+    the property that licenses its batch-SQL oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"zminv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        rows = simulate.read_stream(spark, stage)
+        bit = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("zm#"), F.col("camera_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(62),
+        ).cast("int")
+        zm = (
+            rows.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("d"),
+                F.hour("ts").cast("long").alias("hr"),
+                "new_count",
+                bit.alias("bit"),
+            )
+            .groupBy("d", "hr")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("new_count").cast("long").alias("min_count"),
+                F.max("new_count").cast("long").alias("max_count"),
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), F.col("bit")
+                    )
+                )
+                .cast("long")
+                .alias("bloom_fp"),
+            )
+        )
+        out = windows.run_to_memory(
+            spark, zm, f"zminv_{uuid.uuid4().hex[:8]}", f"{base}/ckpt",
+            output_mode="complete",
+        )
+        got = {
+            (r.d, r.hr, r.n_rows, r.min_count, r.max_count, r.bloom_fp)
+            for r in out.collect()
+        }
+        shutil.rmtree(base, ignore_errors=True)
+        return got
+
+    a, b = drained(2), drained(5)
+    assert a and a == b
