@@ -179,6 +179,7 @@ EXTENDED = [
     "q_mv_refresh",
     "q_drift_tvd",
     "q_stream_zone_map",
+    "q_ann_ivf_delta",
 ]
 
 

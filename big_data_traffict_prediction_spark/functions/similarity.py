@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import let
+from ..compat import exact_ppm, let
 from ..registry import register
 from ..tables import load_table
 
@@ -567,6 +567,158 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ann_ivf_delta",
+    oracle=f"""
+WITH {_VECS_CTE},
+bounds AS (
+  SELECT ((MAX(vec_id) + 1) * 4) // 5 AS split FROM vecs
+),
+params AS (
+  SELECT split, GREATEST(split // {IVF_CELLS}, 1) AS stride FROM bounds
+),
+centers AS (
+  SELECT CAST(v.vec_id // p.stride AS INT) AS cell, v.embedding AS center
+  FROM vecs v, params p
+  WHERE v.vec_id % p.stride = 0 AND v.vec_id < p.stride * {IVF_CELLS}
+    AND v.vec_id < p.split
+),
+scored AS (
+  SELECT v.vec_id, c.cell, {_dot_fp_sql("v.embedding", "c.center")} AS d
+  FROM vecs v CROSS JOIN centers c
+),
+ranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM scored
+),
+assigned AS (
+  SELECT r.cell, r.d, (r.vec_id >= p.split) AS is_delta
+  FROM ranked r, params p WHERE rn = 1
+),
+cells AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS base_n,
+         CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS delta_n,
+         CAST(SUM(CASE WHEN is_delta THEN d ELSE 0 END) AS BIGINT)
+           AS delta_fit_fp
+  FROM assigned GROUP BY 1
+),
+tot AS (SELECT SUM(base_n + delta_n) AS n_all FROM cells)
+SELECT cell, base_n, delta_n,
+       CAST(base_n + delta_n AS BIGINT) AS total_n,
+       CAST(((base_n + delta_n) * 1000000) // t.n_all AS BIGINT) AS share_ppm,
+       delta_fit_fp
+FROM cells, tot t
+ORDER BY cell
+""",
+)
+def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index MAINTENANCE — the nightly companion to
+    q_ann_ivf's full build (and the fourth leg of the maintenance
+    family: index, dimension, aggregate, ANN): a delta batch of new
+    vectors (the top 20% of the id space, standing in for today's
+    embeddings) is absorbed into the STORED IVF index. The coarse
+    quantizer is NOT retrained — centers derive from base-corpus seeds
+    only — so the delta cost is one broadcast-HOF assignment pass over
+    the new vectors; the base side is re-assigned only to reconstruct
+    the stored posting-list sizes a real system would read back.
+
+    Emits what the index maintainer monitors: per-cell posting sizes
+    before/after (base_n, delta_n, total_n), the post-merge occupancy
+    share (share_ppm — the rebalance trigger), and delta_fit_fp (the
+    exact fixed-point sum of the new vectors' dots with their assigned
+    centers — when new data drifts away from the old centroids this
+    falls, which is the retrain signal; integer arithmetic, so it
+    hash-checks instead of drifting like a float mean-cosine would).
+
+    Scale shape: assignment is an executor-local HOF over the ONE-ROW
+    broadcast center array (same as q_ann_ivf — no N×cells shuffle);
+    the only aggregation is the |cells|-row conditional count; the
+    occupancy share joins a one-row broadcast total. Zero
+    non-broadcast joins, so the plan survives any corpus size."""
+    vecs = _vecs(spark, sf_dir)
+    # one row, referenced by the seed filter AND the delta flag —
+    # checkpoint so the id-bound aggregation runs once, not per branch
+    params = (
+        vecs.agg(
+            F.call_function(
+                "div", (F.max("vec_id") + 1) * 4, F.lit(5)
+            ).alias("split")
+        )
+        .select(
+            "split",
+            F.greatest(
+                F.call_function("div", F.col("split"), F.lit(IVF_CELLS)),
+                F.lit(1),
+            ).alias("stride"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    centers = (
+        vecs.crossJoin(F.broadcast(params))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * IVF_CELLS)
+            & (F.col("vec_id") < F.col("split"))
+        )
+        .select(
+            F.floor(F.col("vec_id") / F.col("stride")).cast("int").alias("cell"),
+            F.col("embedding").alias("center"),
+        )
+    )
+    centers_row = centers.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("cs")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _dot_fp(F.col("embedding"), c["center"]).alias("d"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(centers_row))
+        .crossJoin(F.broadcast(params.select("split")))
+        .select(
+            (-best["negcell"]).cast("int").alias("cell"),
+            best["d"].alias("d"),
+            (F.col("vec_id") >= F.col("split")).alias("is_delta"),
+        )
+    )
+    is_d = F.col("is_delta").cast("long")
+    # |cells| rows, read by the total AND the final select — eager
+    # checkpoint so the corpus assignment pass runs exactly once
+    cells = (
+        assigned.groupBy("cell")
+        .agg(
+            F.sum(F.lit(1) - is_d).cast("long").alias("base_n"),
+            F.sum(is_d).cast("long").alias("delta_n"),
+            F.sum(F.when(F.col("is_delta"), F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("delta_fit_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum(F.col("base_n") + F.col("delta_n")).alias("n_all"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "base_n",
+            "delta_n",
+            (F.col("base_n") + F.col("delta_n")).cast("long").alias("total_n"),
+            exact_ppm(F.col("base_n") + F.col("delta_n"), F.col("n_all")).alias(
+                "share_ppm"
+            ),
+            "delta_fit_fp",
+        )
+        .orderBy("cell")
     )
 
 

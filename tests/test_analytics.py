@@ -604,3 +604,43 @@ def test_drift_tvd_planted_bounds(spark):
     assert out["flip"].tvd_ppm == 1000000
     assert out["half"].tvd_ppm == 500000
     assert all(r.n_a == 4 and r.n_b == 4 for r in out.values())
+
+
+def test_ann_ivf_delta_planted_assignment(spark, tmp_path):
+    """Delta vectors pointing at a known base seed's direction must
+    land in that seed's cell with a positive fit; the stored quantizer
+    (base seeds) must not move when the delta arrives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_ann_ivf_delta,
+    )
+
+    dim = 8
+    def unit(k):
+        v = [0.0] * dim
+        v[k] = 1.0
+        return v
+
+    # ids 0..11 base (split = (15*4)//5 = 12), 12..14 delta;
+    # stride = max(12//8, 1) = 1 -> seeds are ids 0..7 = 8 axis units
+    rows = [unit(i) for i in range(8)]          # seeds: distinct axes
+    rows += [unit(0), unit(0), unit(5), unit(5)]  # base bulk
+    rows += [unit(5), unit(5), unit(5)]           # delta: all near seed 5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(15), pa.int64()),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
+            "label": pa.array([0] * 15, pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+    out = {r.cell: r for r in q_ann_ivf_delta(spark, str(d)).collect()}
+    assert out[5].delta_n == 3 and out[5].delta_fit_fp > 0
+    assert sum(r.delta_n for r in out.values()) == 3
+    assert sum(r.base_n for r in out.values()) == 12
+    assert out[0].base_n == 3 and out[5].base_n == 3  # seed + 2 bulk each
+    assert sum(r.share_ppm for r in out.values()) <= 1000000

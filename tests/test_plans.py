@@ -939,3 +939,18 @@ def test_drift_tvd_tops_as_take_ordered(spark, sf_dir):
     a = explain.audit(df)
     assert a["take_ordered"], "top drift movers must plan as TakeOrdered"
     assert explain.nested_loop_join_count(df) == 0
+
+
+def test_ann_ivf_delta_is_broadcast_only(spark, sf_dir):
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_ann_ivf_delta,
+    )
+
+    # assignment is a HOF over one-row broadcasts (params, the center
+    # array, the occupancy total) — the only joins allowed are those
+    # scalar broadcasts; no sort-merge join and no corpus-sized
+    # exchange beyond the |cells|-row aggregation + final sort
+    df = q_ann_ivf_delta(spark, sf_dir)
+    a = explain.audit(df)
+    assert a["sort_merge_joins"] == 0, explain.formatted_plan(df)
+    assert a["shuffles"] <= 4, explain.formatted_plan(df)
