@@ -180,6 +180,7 @@ EXTENDED = [
     "q_drift_tvd",
     "q_stream_zone_map",
     "q_ann_ivf_delta",
+    "q_ddsketch_quantiles",
 ]
 
 

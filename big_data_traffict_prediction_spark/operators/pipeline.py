@@ -1245,3 +1245,138 @@ def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# DDSketch-style mergeable quantiles: log2 octaves split into 4 linear
+# sub-buckets -> relative error <= 1/4, pure integer arithmetic.
+DDS_QS = (50, 90, 99)
+
+_DDS_BUCKET_SQL = """CASE WHEN x <= 3 THEN x
+         ELSE 4 * (length(bin(x)) - 1)
+              + (x - (1 << (length(bin(x)) - 1)))
+                // (1 << (length(bin(x)) - 3)) END"""
+_DDS_UPPER_SQL = """CASE WHEN bucket <= 3 THEN bucket
+         ELSE (1 << (bucket // 4))
+              + ((bucket % 4) + 1) * (1 << (bucket // 4 - 2)) - 1 END"""
+
+
+def _dds_oracle() -> str:
+    from ..tables import with_traffic
+
+    picks = ",\n       ".join(
+        f"CAST(MIN(CASE WHEN cum >= (n * {q} + 99) // 100 THEN upper END)"
+        f" AS BIGINT) AS p{q}_est"
+        for q in DDS_QS
+    )
+    return with_traffic(f"""
+, bk AS (
+  SELECT camera_id, {_DDS_BUCKET_SQL} AS bucket
+  FROM (SELECT camera_id, new_count AS x FROM traffic)
+),
+bc AS (
+  SELECT camera_id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2
+),
+cum AS (
+  SELECT camera_id, bucket, {_DDS_UPPER_SQL} AS upper,
+         SUM(c) OVER (PARTITION BY camera_id ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY camera_id) AS n
+  FROM bc
+)
+SELECT camera_id, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       {picks}
+FROM cum GROUP BY camera_id
+ORDER BY camera_id
+""")
+
+
+def dds_bucket(x):
+    """Sketch bucket of a non-negative integer column: exact buckets
+    0..3 for x <= 3, then octave*4 + linear quarter-slot. Shared by
+    the query and the mergeability test."""
+    blen = F.length(F.bin(x))
+    o = (blen - 1).cast("int")
+    lo = F.call_function("shiftleft", F.lit(1).cast("long"), o)
+    width = F.call_function("shiftleft", F.lit(1).cast("long"), (o - 2).cast("int"))
+    return (
+        F.when(x <= 3, x.cast("long"))
+        .otherwise(4 * o.cast("long") + F.call_function("div", x - lo, width))
+        .cast("long")
+    )
+
+
+def dds_upper(bucket):
+    """Inclusive upper bound of a sketch bucket (the quantile answer)."""
+    o = F.call_function("div", bucket, F.lit(4)).cast("int")
+    s = F.pmod(bucket, F.lit(4))
+    lo = F.call_function("shiftleft", F.lit(1).cast("long"), o)
+    width = F.call_function("shiftleft", F.lit(1).cast("long"), (o - 2).cast("int"))
+    return F.when(bucket <= 3, bucket).otherwise(lo + (s + 1) * width - 1).cast("long")
+
+
+@register("q_ddsketch_quantiles", oracle=_dds_oracle())
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles — the DDSketch idea (Masson et al., VLDB
+    2019) in its integer-exact form: values land in log2 octaves split
+    into 4 linear sub-buckets, so every per-camera distribution
+    compresses to a few dozen (bucket, count) pairs whose counts ADD —
+    the property the exact percentile (q_approx_quantile's
+    inverse-CDF) fundamentally lacks, and the reason real 100 TB
+    systems persist quantile sketches per partition and merge at read
+    time. The quantile answer is the bucket upper bound at the
+    ceil(q·n) cumulative rank: always >= the exact percentile and
+    within +25% of it (buckets 0..3 are exact) — both bounds pinned
+    against percentile_disc by test, and the mergeability law
+    sketch(A ∪ B) = sketch(A) + sketch(B) is pinned exactly.
+
+    Scale shape: ONE map-side-combined aggregation to |cameras × ~48
+    buckets| rows; the cumulative pass windows over each camera's
+    bucket list (bounded by 4·log2(max), never by row count). Pure
+    integer bit-length arithmetic — no log() floats — so the sketch
+    hash-matches DuckDB bit for bit."""
+    from ..tables import traffic_history
+
+    h = traffic_history(spark, sf_dir)
+    from pyspark.sql import Window
+
+    bc = (
+        h.select("camera_id", dds_bucket(F.col("new_count")).alias("bucket"))
+        .groupBy("camera_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("camera_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("camera_id")
+    cum = bc.select(
+        "camera_id",
+        dds_upper(F.col("bucket")).alias("upper"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.call_function(
+                    "div", F.col("n") * q + 99, F.lit(100)
+                ),
+                F.col("upper"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_est")
+        for q in DDS_QS
+    ]
+    return (
+        cum.groupBy("camera_id")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            *picks,
+        )
+        .orderBy("camera_id")
+    )

@@ -96,3 +96,68 @@ def test_vocab_coverage_reaches_target_monotonically(spark, sf_dir):
     # the cut is minimal: the second-to-last row was still short of it
     if len(rows) >= 2:
         assert rows[-2].coverage_pct < VOCAB_COVERAGE_PCT
+
+
+def test_ddsketch_error_bound_vs_exact(spark, oracle_sf_dir):
+    """Every estimate must sit at or above the exact percentile and
+    within the sketch's +25% relative guarantee (exact below 4 -> the
+    estimate IS exact: buckets 0..3 are singletons)."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        DDS_QS,
+        q_ddsketch_quantiles,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    got = {r.camera_id: r for r in q_ddsketch_quantiles(spark, oracle_sf_dir).collect()}
+    exact = (
+        traffic_history(spark, oracle_sf_dir)
+        .groupBy("camera_id")
+        .agg(
+            F.expr(
+                "percentile_disc(array(0.50,0.90,0.99))"
+                " WITHIN GROUP (ORDER BY new_count)"
+            ).alias("e")
+        )
+        .collect()
+    )
+    assert got
+    for r in exact:
+        g = got[r.camera_id]
+        for q, ex in zip(DDS_QS, r.e):
+            est = getattr(g, f"p{q}_est")
+            assert est >= ex, (r.camera_id, q, est, ex)
+            if ex <= 3:
+                assert est == ex, (r.camera_id, q, est, ex)
+            else:
+                assert est <= ex + ex // 4 + 1, (r.camera_id, q, est, ex)
+
+
+def test_ddsketch_buckets_are_mergeable(spark, sf_dir):
+    """The mergeability law: bucket counts of A ∪ B equal the
+    bucket-wise SUM of A's and B's counts — the property that lets a
+    100 TB system persist per-partition sketches and merge at read."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.pipeline import dds_bucket
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    h = traffic_history(spark, sf_dir).select(
+        "camera_id", dds_bucket(F.col("new_count")).alias("bucket"), "id"
+    )
+    whole = {
+        (r.camera_id, r.bucket): r.c
+        for r in h.groupBy("camera_id", "bucket").agg(F.count("*").alias("c")).collect()
+    }
+    half = lambda p: (
+        h.filter(F.pmod("id", F.lit(2)) == p)
+        .groupBy("camera_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    merged: dict = {}
+    for part in (0, 1):
+        for r in half(part):
+            merged[(r.camera_id, r.bucket)] = merged.get((r.camera_id, r.bucket), 0) + r.c
+    assert merged == whole and whole
