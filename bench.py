@@ -181,6 +181,8 @@ EXTENDED = [
     "q_stream_zone_map",
     "q_ann_ivf_delta",
     "q_ddsketch_quantiles",
+    "q_stream_ddsketch",
+    "q_analyze_table",
 ]
 
 

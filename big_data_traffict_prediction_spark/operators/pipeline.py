@@ -1380,3 +1380,148 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+# ANALYZE TABLE: canonical string image per profiled column — integer
+# columns zero-pad to width 20 so lexicographic MIN/MAX equals numeric
+# order; the double measure goes through the exact fixed-point image.
+_ANALYZE_COLS_SQL = {
+    "event_id": "lpad(CAST(event_id AS VARCHAR), 20, '0')",
+    "ts": "strftime(ts, '%Y-%m-%d %H:%M:%S')",
+    "user_id": "lpad(CAST(user_id AS VARCHAR), 20, '0')",
+    "event_type": "event_type",
+    "value": "lpad(CAST(CAST(FLOOR(value * 10000) AS BIGINT) AS VARCHAR), 20, '0')",
+    "props": "props",
+}
+
+_ANALYZE_H_SQL = "CAST(('0x' || substr(md5('ant#' || val), 1, 10)) AS BIGINT)"
+
+
+def _analyze_oracle() -> str:
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col, {expr} AS val FROM events"
+        for c, expr in _ANALYZE_COLS_SQL.items()
+    )
+    return f"""
+WITH base AS (
+{unpivot}
+),
+prof AS (
+  SELECT col, COUNT(*) AS n_rows,
+         SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+         COUNT(DISTINCT val) AS ndv_exact,
+         MIN(val) AS min_val, MAX(val) AS max_val
+  FROM base GROUP BY 1
+),
+hb AS (
+  SELECT col AS grp, h // {_HLL_WMOD} AS bucket,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {HLL_MAX_RANK}
+              ELSE 1 + bit_count(((h % {_HLL_WMOD}) & (-(h % {_HLL_WMOD}))) - 1)
+         END AS rank
+  FROM (SELECT col, {_ANALYZE_H_SQL} AS h FROM base WHERE val IS NOT NULL)
+),
+regs AS (
+  SELECT grp, bucket, MAX(rank) AS reg FROM hb GROUP BY 1, 2
+),
+est AS (
+  SELECT grp,
+         {HLL_NUMER} // (1000 * (CAST(SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS _raw,
+         {HLL_M} - COUNT(*) AS _v
+  FROM regs GROUP BY 1
+)
+SELECT p.col AS col_name, CAST(p.n_rows AS BIGINT) AS n_rows,
+       CAST(p.n_null AS BIGINT) AS n_null,
+       CAST(p.ndv_exact AS BIGINT) AS ndv_exact,
+       {_hll_final_sql("e._raw", "e._v")} AS ndv_hll,
+       p.min_val, p.max_val
+FROM prof p JOIN est e ON e.grp = p.col
+ORDER BY col_name
+"""
+
+
+@register("q_analyze_table", oracle=_analyze_oracle())
+def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — the cost-based-optimizer statistics pass every
+    warehouse runs before planning: per column, the row count, null
+    count, exact NDV, a MERGEABLE HLL NDV estimate (the one a 100 TB
+    system actually persists — the exact COUNT(DISTINCT) rides along
+    as the calibration witness, same discipline as q_hll_distinct),
+    and min/max over a canonical string image (integers zero-padded so
+    lexicographic order IS numeric order; the double measure goes
+    through the exact fixed-point image first — no float rendering in
+    any hashed cell).
+
+    Scale shape: the column stack explodes each row into |columns|
+    (col, val) pairs — the standard ANALYZE trade: one scan, ~|cols|×
+    shuffle volume, all aggregates map-side partial; the HLL register
+    frame is |cols|·64 rows. Per-column sketches persist and merge by
+    register max as partitions are appended, so the nightly stats
+    refresh is incremental exactly like q_zone_map_merge."""
+    e = load_table(spark, sf_dir, "events")
+    canon = {
+        "event_id": F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        "ts": F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        "user_id": F.lpad(F.col("user_id").cast("string"), 20, "0"),
+        "event_type": F.col("event_type"),
+        "value": F.lpad(
+            F.floor(F.col("value") * 10000).cast("long").cast("string"), 20, "0"
+        ),
+        "props": F.col("props"),
+    }
+    base = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), v.alias("val"))
+                    for c, v in canon.items()
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.val")
+    prof = base.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).cast("long").alias("n_null"),
+        F.countDistinct("val").cast("long").alias("ndv_exact"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ant#"), F.col("val"))), 1, 10),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hb = base.filter(F.col("val").isNotNull()).select(F.col("col").alias("grp"), h)
+    w = F.col("h") % F.lit(_HLL_WMOD)
+    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(1) + F.bit_count(w.bitwiseAND(-w) - 1)
+    )
+    regs = (
+        hb.select(
+            "grp",
+            F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)).alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    est = _hll_estimate(regs).select(
+        F.col("grp").alias("col"), F.col("hll_users").alias("ndv_hll")
+    )
+    return (
+        prof.join(est, "col")
+        .select(
+            F.col("col").alias("col_name"),
+            "n_rows",
+            "n_null",
+            "ndv_exact",
+            F.col("ndv_hll").cast("long").alias("ndv_hll"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("col_name")
+    )

@@ -945,3 +945,82 @@ def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("d", "hr")
+
+
+from ..operators.pipeline import _dds_oracle as _dds_oracle_shared  # noqa: E402
+
+
+@register(
+    # the streaming sketch must equal the batch rebuild bit for bit —
+    # one oracle text serves both registrations
+    "q_stream_ddsketch",
+    oracle=_dds_oracle_shared(),
+)
+def q_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable quantiles: the DDSketch bucket counts
+    accumulate as complete-mode aggregation state while files land
+    (counts are additive, so the drained sketch is chunking-invariant
+    — same law the batch test pins); the quantile picks run once on
+    the drained |cameras × buckets| table. Hash-checked against the
+    SAME oracle as the batch q_ddsketch_quantiles: the strongest
+    possible statement that streaming ingestion and batch rebuild
+    produce the identical sketch.
+
+    Scale shape: state is |cameras × ~48 buckets| counts — the
+    persisted-sketch pattern; at 100 TB the drain lands per-window
+    sketches via foreachBatch and readers merge by bucket-wise SUM."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.pipeline import DDS_QS, dds_bucket, dds_upper
+
+    stage, base = _staged(spark, sf_dir)
+    rows = simulate.read_stream(spark, stage)
+    bc = (
+        rows.select(
+            "camera_id", dds_bucket(F.col("new_count")).alias("bucket")
+        )
+        .groupBy("camera_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained = windows.run_to_memory(
+        spark,
+        bc,
+        f"q_stream_ddsketch_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    wcum = (
+        Window.partitionBy("camera_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("camera_id")
+    cum = drained.select(
+        "camera_id",
+        dds_upper(F.col("bucket")).alias("upper"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.call_function("div", F.col("n") * q + 99, F.lit(100)),
+                F.col("upper"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_est")
+        for q in DDS_QS
+    ]
+    return (
+        cum.groupBy("camera_id")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            *picks,
+        )
+        .orderBy("camera_id")
+    )

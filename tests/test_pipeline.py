@@ -161,3 +161,36 @@ def test_ddsketch_buckets_are_mergeable(spark, sf_dir):
         for r in half(part):
             merged[(r.camera_id, r.bucket)] = merged.get((r.camera_id, r.bucket), 0) + r.c
     assert merged == whole and whole
+
+
+def test_analyze_table_counts_planted_nulls(spark, tmp_path):
+    """The profile must count nulls per column, exclude them from NDV
+    and min/max, and zero-pad integers so lexicographic min/max equals
+    numeric order ('9' vs '10')."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_analyze_table,
+    )
+
+    rows = [
+        (9, datetime(2024, 1, 1, 8), None, "click", 1.5, "{}"),
+        (10, datetime(2024, 1, 2, 9), 7, "view", 0.25, None),
+        (11, datetime(2024, 1, 3, 10), 7, "view", 490.02, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.col_name: r for r in q_analyze_table(spark, str(tmp_path)).collect()}
+    assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert out["user_id"].n_null == 1 and out["user_id"].ndv_exact == 1
+    assert out["props"].n_null == 1 and out["props"].ndv_exact == 1
+    # zero-padding: numeric order survives the string min/max
+    assert out["event_id"].min_val.endswith("9")
+    assert out["event_id"].max_val.endswith("11")
+    assert out["event_id"].min_val < out["event_id"].max_val
+    assert out["value"].min_val.endswith("2500")  # 0.25 * 10000
+    assert out["value"].ndv_exact == 3
