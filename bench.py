@@ -183,6 +183,7 @@ EXTENDED = [
     "q_ddsketch_quantiles",
     "q_stream_ddsketch",
     "q_analyze_table",
+    "q_ann_recall_eval",
 ]
 
 

@@ -1584,3 +1584,82 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "d2_orig_fp", "d2_proj_fp", ratio.alias("ratio_ppm"))
         .orderBy("vec_a")
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the two REGISTERED oracles verbatim (nested WITH in
+    derived tables), so the eval judges exactly the shipped queries."""
+    from ..registry import _REGISTRY
+
+    bf = _REGISTRY["q_ann_bruteforce"].oracle
+    ivf = _REGISTRY["q_ann_ivf"].oracle
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({bf})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf})),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM bf b JOIN ivf i USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // {TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM bf b LEFT JOIN hits h ON h.query_id = b.query_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@register("q_ann_recall_eval", oracle=None)  # oracle bound after both deps
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVAL — the third leg of the ANN family (build:
+    q_ann_ivf, maintain: q_ann_ivf_delta, evaluate: this): per query,
+    recall@{TOP_K} of the IVF index against the exact brute-force
+    baseline, computed by running BOTH registered pipelines and
+    intersecting their top-K sets — the measurement that decides
+    IVF_PROBES / IVF_CELLS before anyone trusts the index. Exact ppm
+    integers; the oracle composes the two registered oracle texts
+    verbatim, so the driver hash pins the eval AND both underlying
+    pipelines in one check.
+
+    Scale shape: inherits each pipeline's audited plan; the eval
+    itself is a (queries × K)-row equi-join + count — negligible next
+    to either side. At 100 TB the baseline runs on a sampled query
+    set (QUERY_LIMIT here), which is exactly how production recall
+    monitoring works."""
+    bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.call_function(
+                "div",
+                F.coalesce("n_hits", F.lit(0)) * F.lit(1_000_000),
+                F.lit(TOP_K),
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# bind after both dependency oracles exist in the registry
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from ..registry import _REGISTRY as _SIM_REG  # noqa: E402
+
+_SIM_REG["q_ann_recall_eval"] = _dc_replace(
+    _SIM_REG["q_ann_recall_eval"], oracle=_ann_recall_oracle()
+)

@@ -194,3 +194,21 @@ def test_analyze_table_counts_planted_nulls(spark, tmp_path):
     assert out["event_id"].min_val < out["event_id"].max_val
     assert out["value"].min_val.endswith("2500")  # 0.25 * 10000
     assert out["value"].ndv_exact == 3
+
+
+def test_ann_recall_eval_is_informative(spark, oracle_sf_dir):
+    """The eval must produce a non-vacuous spread: every query has a
+    full exact top-K, some query recalls perfectly, and the macro
+    recall sits strictly between 'broken' and 'the eval is a tautology'
+    (random embeddings cluster poorly, so IVF@2-probes cannot be ~1)."""
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        TOP_K,
+        q_ann_recall_eval,
+    )
+
+    rows = q_ann_recall_eval(spark, oracle_sf_dir).collect()
+    assert rows and all(r.n_exact == TOP_K for r in rows)
+    assert all(0 <= r.n_hits <= TOP_K for r in rows)
+    macro = sum(r.recall_ppm for r in rows) / len(rows)
+    assert 100_000 < macro < 1_000_000, macro
+    assert any(r.recall_ppm == 1_000_000 for r in rows)
