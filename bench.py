@@ -184,6 +184,7 @@ EXTENDED = [
     "q_stream_ddsketch",
     "q_analyze_table",
     "q_ann_recall_eval",
+    "q_dedup_recall_eval",
 ]
 
 

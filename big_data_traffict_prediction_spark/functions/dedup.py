@@ -1291,3 +1291,79 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cross_dup_ppm"),
     ).orderBy("source")
+
+
+def _dedup_recall_oracle() -> str:
+    """Compose the exact-pair and LSH oracles verbatim, so one driver
+    hash pins the eval and both underlying pipelines."""
+    from ..registry import _REGISTRY
+
+    exact = _REGISTRY["q_dedup_ngram_jaccard"].oracle
+    lsh = _REGISTRY["q_dedup_minhash_lsh"].oracle
+    return f"""
+WITH truth AS (SELECT d1, d2 FROM ({exact})),
+cand AS (SELECT d1, d2, is_duplicate FROM ({lsh}))
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT COUNT(*) FROM cand WHERE is_duplicate) AS BIGINT)
+         AS n_verified,
+       CAST((SELECT COUNT(*) FROM cand WHERE is_duplicate) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT COUNT(*) FROM cand WHERE is_duplicate) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM cand), 1) AS BIGINT)
+         AS precision_ppm
+"""
+
+
+@register("q_dedup_recall_eval", oracle=None)  # bound below
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY EVAL — the eval leg of the dedup family (exact
+    truth: q_dedup_ngram_jaccard; scale path: q_dedup_minhash_lsh):
+    how much of the exact near-dup pair set does 16-hash/4-band LSH
+    surface (candidate recall — banding's miss rate is the quantity a
+    corpus curator must bound before trusting the scale path), and how
+    selective are the bands (candidate precision — verified / raised)?
+    A verified candidate IS a true pair (candidates are exact-Jaccard
+    verified), so recall needs only the two counts. One summary row,
+    exact ppm integers; the oracle composes both registered oracle
+    texts verbatim.
+
+    Scale shape: inherits both pipelines' audited candidate-bounded
+    plans; the eval adds three global counts. At 100 TB the exact side
+    runs on a document sample — production LSH recall monitoring."""
+    truth_n = q_dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    cand = q_dedup_minhash_lsh(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum(F.col("is_duplicate").cast("long")).cast("long").alias("n_verified"),
+    )
+    return truth_n.crossJoin(F.broadcast(cand)).select(
+        "n_true",
+        "n_cand",
+        "n_verified",
+        F.call_function(
+            "div",
+            F.col("n_verified") * F.lit(1_000_000),
+            F.greatest(F.col("n_true"), F.lit(1)),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.call_function(
+            "div",
+            F.col("n_verified") * F.lit(1_000_000),
+            F.greatest(F.col("n_cand"), F.lit(1)),
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+    )
+
+
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from ..registry import _REGISTRY as _DEDUP_REG  # noqa: E402
+
+_DEDUP_REG["q_dedup_recall_eval"] = _dc_replace(
+    _DEDUP_REG["q_dedup_recall_eval"], oracle=_dedup_recall_oracle()
+)

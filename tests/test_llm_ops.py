@@ -692,3 +692,20 @@ def test_jl_projection_distortion_concentrates(spark, oracle_sf_dir):
     med = statistics.median(ratios)
     assert 800_000 < med < 1_250_000, med
     assert all(100_000 < r < 4_000_000 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_dedup_recall_eval_invariants(spark, oracle_sf_dir):
+    """Verified candidates are exact-Jaccard true pairs, so the eval's
+    counts must nest (verified <= true, verified <= candidates) and be
+    non-vacuous on the synthetic corpus (its planted dups collide in
+    every band, so recall is full there — the eval exists to catch the
+    corpora where it is not)."""
+    from big_data_traffict_prediction_spark.functions.dedup import (
+        q_dedup_recall_eval,
+    )
+
+    r = q_dedup_recall_eval(spark, oracle_sf_dir).first()
+    assert r.n_true > 0
+    assert r.n_verified <= r.n_true and r.n_verified <= r.n_cand
+    assert r.recall_ppm == r.n_verified * 1_000_000 // max(r.n_true, 1)
+    assert r.precision_ppm == r.n_verified * 1_000_000 // max(r.n_cand, 1)
