@@ -185,6 +185,7 @@ EXTENDED = [
     "q_analyze_table",
     "q_ann_recall_eval",
     "q_dedup_recall_eval",
+    "q_selectivity_estimate",
 ]
 
 

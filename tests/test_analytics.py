@@ -644,3 +644,21 @@ def test_ann_ivf_delta_planted_assignment(spark, tmp_path):
     assert sum(r.base_n for r in out.values()) == 12
     assert out[0].base_n == 3 and out[5].base_n == 3  # seed + 2 bulk each
     assert sum(r.share_ppm for r in out.values()) <= 1000000
+
+
+def test_selectivity_estimate_prunes_and_bounds(spark, oracle_sf_dir):
+    """Pruning counts must nest (scanned <= in-range <= total), the
+    estimate must be non-vacuous and within the uniform-assumption
+    envelope (under 5x of truth on this corpus), and a zero-overlap
+    measure range must skip every zone."""
+    from big_data_traffict_prediction_spark.operators.scans import (
+        q_selectivity_estimate,
+    )
+
+    r = q_selectivity_estimate(spark, oracle_sf_dir).first()
+    assert r.zones_scanned <= r.zones_in_range <= r.zones_total
+    assert r.zones_in_range > 0 and r.exact_rows > 0 and r.est_rows > 0
+    assert r.est_rows <= 5 * r.exact_rows  # uniform-assumption envelope
+    assert r.err_ppm == abs(r.est_rows - r.exact_rows) * 1_000_000 // max(
+        r.exact_rows, 1
+    )

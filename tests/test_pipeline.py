@@ -212,3 +212,38 @@ def test_ann_recall_eval_is_informative(spark, oracle_sf_dir):
     macro = sum(r.recall_ppm for r in rows) / len(rows)
     assert 100_000 < macro < 1_000_000, macro
     assert any(r.recall_ppm == 1_000_000 for r in rows)
+
+
+def test_ddsketch_bucket_laws_exhaustive(spark):
+    """Bucket-mapping laws over an exhaustive integer sweep: buckets
+    are monotone in x, every x is <= its bucket's upper bound, and the
+    previous bucket's upper bound is < x (the bounds tile with no gaps
+    or overlaps) — the algebra both engines must agree on for the
+    sketch to hash-match."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        dds_bucket,
+        dds_upper,
+    )
+
+    xs = spark.range(0, 20000).select(F.col("id").alias("x"))
+    rows = xs.select(
+        "x",
+        dds_bucket(F.col("x")).alias("b"),
+        dds_upper(dds_bucket(F.col("x"))).alias("up"),
+    ).collect()
+    rows.sort(key=lambda r: r.x)
+    prev_b = -1
+    uppers = {}
+    for r in rows:
+        assert r.b >= prev_b, (r.x, r.b, prev_b)  # monotone
+        assert r.x <= r.up, (r.x, r.b, r.up)  # upper bound holds
+        uppers[r.b] = r.up
+        prev_b = max(prev_b, r.b)
+    bs = sorted(uppers)
+    for a, b in zip(bs, bs[1:]):
+        # bounds tile: the next bucket starts right after this upper
+        assert uppers[a] < uppers[b], (a, b)
+    # relative error law: upper <= x + x // 4 + 1 for every x
+    assert all(r.up <= r.x + r.x // 4 + 1 for r in rows)
