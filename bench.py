@@ -186,6 +186,7 @@ EXTENDED = [
     "q_ann_recall_eval",
     "q_dedup_recall_eval",
     "q_selectivity_estimate",
+    "q_clustering_depth",
 ]
 
 

@@ -312,3 +312,130 @@ def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
         (F.max("bin_id").over(day) + 1).cast("long").alias("day_bins"),
         F.sum("chunk_bytes").over(day).cast("long").alias("day_bytes"),
     ).orderBy("d", F.col("camera_id").cast("long"))
+
+
+# Clustering-depth probe: files per layout; probe = one camera lookup.
+CLUSTER_FILES = 64
+
+
+def _clustering_oracle() -> str:
+    from ..tables import with_traffic
+
+    n = CLUSTER_FILES
+    return with_traffic(f"""
+, base AS (
+  SELECT CAST(camera_id AS BIGINT) AS cam, ts, id,
+         CAST({_ZK_SQL} AS BIGINT) AS zkey
+  FROM traffic
+),
+nat AS (
+  SELECT cam, ((ROW_NUMBER() OVER (ORDER BY ts, id) - 1) * {n})
+              // (SELECT COUNT(*) FROM base) AS f
+  FROM base
+),
+zo AS (
+  SELECT cam, ((ROW_NUMBER() OVER (ORDER BY zkey, id) - 1) * {n})
+              // (SELECT COUNT(*) FROM base) AS f
+  FROM base
+),
+files AS (
+  SELECT 'ingest' AS layout, f, MIN(cam) AS mn, MAX(cam) AS mx
+  FROM nat GROUP BY 2
+  UNION ALL
+  SELECT 'zorder' AS layout, f, MIN(cam) AS mn, MAX(cam) AS mx
+  FROM zo GROUP BY 2
+),
+cams AS (SELECT DISTINCT CAST(camera_id AS BIGINT) AS cam FROM traffic),
+scans AS (
+  SELECT fl.layout, CAST(COUNT(*) AS BIGINT) AS files_scanned
+  FROM cams c JOIN files fl ON c.cam BETWEEN fl.mn AND fl.mx
+  GROUP BY 1
+)
+SELECT s.layout,
+       CAST((SELECT COUNT(*) FROM cams) AS BIGINT) AS n_cameras,
+       CAST({n} AS BIGINT) AS n_files,
+       s.files_scanned,
+       CAST(s.files_scanned * 1000000
+            // ((SELECT COUNT(*) FROM cams) * {n}) AS BIGINT) AS scan_ppm
+FROM scans s
+ORDER BY layout
+""")
+
+
+@register("q_clustering_depth", oracle=_clustering_oracle())
+def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout clustering quality — the metric behind OPTIMIZE
+    ZORDER's before/after report: cut the fact into CLUSTER_FILES
+    equal files under (a) ingest order (ts, id) and (b) z-order
+    (zkey, id), record each file's camera min/max (its zone-map row),
+    and measure how many files a single-camera point lookup must scan
+    under each layout (``scan_ppm`` = scanned/total in ppm). Ingest
+    order interleaves every camera into every file (scan_ppm → 1e6);
+    the z-order layout gives each camera range locality, so the SAME
+    zone-map stats skip most files — connecting q_zorder_key (the
+    layout key) to q_zone_map_stats (the skipping index) with the
+    number that justifies the rewrite.
+
+    Scale shape: file assignment uses compat.global_rank (range
+    repartition + per-partition rank — never a data-sized single
+    window); per-file stats are one hash aggregation at file grain;
+    the probe joins the camera dimension against the 2×CLUSTER_FILES
+    broadcast files frame (bounded non-equi join by construction)."""
+    from ..compat import epoch_s, global_rank
+    from ..tables import traffic_history
+
+    h = traffic_history(spark, sf_dir)
+    cam16 = (F.col("camera_id").cast("long") % 65536).cast("long")
+    hour16 = (F.floor(epoch_s("ts") / 3600).cast("long") % 65536).cast("long")
+    zkey = _spread_bits(cam16).bitwiseOR(F.shiftleft(_spread_bits(hour16), 1))
+    base = h.select(
+        F.col("camera_id").cast("long").alias("cam"),
+        "ts",
+        "id",
+        zkey.cast("long").alias("zkey"),
+    )
+
+    def layout_files(order_cols, name):
+        ranked = global_rank(base, order_cols)
+        return (
+            ranked.select(
+                "cam",
+                F.call_function(
+                    "div", (F.col("_rk") - 1) * CLUSTER_FILES, F.col("_n")
+                ).alias("f"),
+            )
+            .groupBy("f")
+            .agg(F.min("cam").alias("mn"), F.max("cam").alias("mx"))
+            .select(F.lit(name).alias("layout"), "f", "mn", "mx")
+        )
+
+    files = layout_files(["ts", "id"], "ingest").unionByName(
+        layout_files(["zkey", "id"], "zorder")
+    )
+    cams = base.select("cam").distinct()
+    scans = (
+        cams.join(
+            F.broadcast(files),
+            (F.col("cam") >= F.col("mn")) & (F.col("cam") <= F.col("mx")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
+    )
+    stats = cams.agg(F.count(F.lit(1)).cast("long").alias("n_cameras"))
+    return (
+        scans.crossJoin(F.broadcast(stats))
+        .select(
+            "layout",
+            "n_cameras",
+            F.lit(CLUSTER_FILES).cast("long").alias("n_files"),
+            "files_scanned",
+            F.call_function(
+                "div",
+                F.col("files_scanned") * F.lit(1_000_000),
+                F.col("n_cameras") * F.lit(CLUSTER_FILES),
+            )
+            .cast("long")
+            .alias("scan_ppm"),
+        )
+        .orderBy("layout")
+    )

@@ -662,3 +662,20 @@ def test_selectivity_estimate_prunes_and_bounds(spark, oracle_sf_dir):
     assert r.err_ppm == abs(r.est_rows - r.exact_rows) * 1_000_000 // max(
         r.exact_rows, 1
     )
+
+
+def test_clustering_depth_zorder_beats_ingest(spark, oracle_sf_dir):
+    """The number that justifies OPTIMIZE ZORDER: a camera point probe
+    under the ingest layout touches ~every file (cameras interleave in
+    time), while the z-ordered layout's camera locality lets the same
+    zone-map stats skip a large fraction."""
+    from big_data_traffict_prediction_spark.operators.reshape import (
+        q_clustering_depth,
+    )
+
+    rows = {r.layout: r for r in q_clustering_depth(spark, oracle_sf_dir).collect()}
+    assert set(rows) == {"ingest", "zorder"}
+    ing, zo = rows["ingest"], rows["zorder"]
+    assert ing.n_cameras == zo.n_cameras and ing.n_files == zo.n_files == 64
+    assert ing.scan_ppm > 900_000  # ingest order: camera in ~every file
+    assert zo.scan_ppm < ing.scan_ppm * 7 // 10  # z-order locality wins
