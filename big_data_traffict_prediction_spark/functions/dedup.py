@@ -1332,31 +1332,28 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: inherits both pipelines' audited candidate-bounded
     plans; the eval adds three global counts. At 100 TB the exact side
     runs on a document sample — production LSH recall monitoring."""
+    from ..compat import exact_ppm
+
     truth_n = q_dedup_ngram_jaccard(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("n_true")
     )
     cand = q_dedup_minhash_lsh(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("n_cand"),
-        F.sum(F.col("is_duplicate").cast("long")).cast("long").alias("n_verified"),
+        # coalesce: SUM over zero rows is NULL, the oracle's COUNT is 0
+        F.coalesce(F.sum(F.col("is_duplicate").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_verified"),
     )
     return truth_n.crossJoin(F.broadcast(cand)).select(
         "n_true",
         "n_cand",
         "n_verified",
-        F.call_function(
-            "div",
-            F.col("n_verified") * F.lit(1_000_000),
-            F.greatest(F.col("n_true"), F.lit(1)),
-        )
-        .cast("long")
-        .alias("recall_ppm"),
-        F.call_function(
-            "div",
-            F.col("n_verified") * F.lit(1_000_000),
-            F.greatest(F.col("n_cand"), F.lit(1)),
-        )
-        .cast("long")
-        .alias("precision_ppm"),
+        exact_ppm(
+            F.col("n_verified"), F.greatest(F.col("n_true"), F.lit(1))
+        ).alias("recall_ppm"),
+        exact_ppm(
+            F.col("n_verified"), F.greatest(F.col("n_cand"), F.lit(1))
+        ).alias("precision_ppm"),
     )
 
 

@@ -1643,13 +1643,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n_exact",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.call_function(
-                "div",
-                F.coalesce("n_hits", F.lit(0)) * F.lit(1_000_000),
-                F.lit(TOP_K),
-            )
-            .cast("long")
-            .alias("recall_ppm"),
+            exact_ppm(F.coalesce("n_hits", F.lit(0)), F.lit(TOP_K)).alias(
+                "recall_ppm"
+            ),
         )
         .orderBy("query_id")
     )

@@ -1382,15 +1382,33 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ANALYZE TABLE: canonical string image per profiled column — integer
-# columns zero-pad to width 20 so lexicographic MIN/MAX equals numeric
-# order; the double measure goes through the exact fixed-point image.
+# ANALYZE TABLE: canonical string image per profiled column. Integer
+# images are SIGN-SPLIT so lexicographic MIN/MAX equals numeric order
+# over the full int64 domain: '1' + zero-padded magnitude for x >= 0,
+# '0' + zero-padded (x + 2^63) for x < 0. The bias is computed as
+# x & MAX_LONG — the two's-complement identity (clears the sign bit,
+# equals x + 2^63 for negative x) — because Spark's ANSI mode hoists
+# branch arithmetic out of CASE and an explicit add overflows; AND
+# never can. The double measure goes through the exact fixed-point
+# image first.
+_MAXLONG = (1 << 63) - 1
+
+
+def _canon_int_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" WHEN {col} < 0 THEN '0' || lpad(CAST(({col}) & {_MAXLONG}"
+        f" AS VARCHAR), 19, '0')"
+        f" ELSE '1' || lpad(CAST({col} AS VARCHAR), 19, '0') END"
+    )
+
+
 _ANALYZE_COLS_SQL = {
-    "event_id": "lpad(CAST(event_id AS VARCHAR), 20, '0')",
+    "event_id": _canon_int_sql("event_id"),
     "ts": "strftime(ts, '%Y-%m-%d %H:%M:%S')",
-    "user_id": "lpad(CAST(user_id AS VARCHAR), 20, '0')",
+    "user_id": _canon_int_sql("user_id"),
     "event_type": "event_type",
-    "value": "lpad(CAST(CAST(FLOOR(value * 10000) AS BIGINT) AS VARCHAR), 20, '0')",
+    "value": _canon_int_sql("CAST(FLOOR(value * 10000) AS BIGINT)"),
     "props": "props",
 }
 
@@ -1447,10 +1465,10 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact NDV, a MERGEABLE HLL NDV estimate (the one a 100 TB
     system actually persists — the exact COUNT(DISTINCT) rides along
     as the calibration witness, same discipline as q_hll_distinct),
-    and min/max over a canonical string image (integers zero-padded so
-    lexicographic order IS numeric order; the double measure goes
-    through the exact fixed-point image first — no float rendering in
-    any hashed cell).
+    and min/max over a canonical string image (integers sign-split +
+    zero-padded so lexicographic order IS numeric order over the full
+    signed domain; the double measure goes through the exact
+    fixed-point image first — no float rendering in any hashed cell).
 
     Scale shape: the column stack explodes each row into |columns|
     (col, val) pairs — the standard ANALYZE trade: one scan, ~|cols|×
@@ -1459,14 +1477,27 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     register max as partitions are appended, so the nightly stats
     refresh is incremental exactly like q_zone_map_merge."""
     e = load_table(spark, sf_dir, "events")
+
+    def canon_int(x):
+        x = x.cast("long")
+        return F.when(x.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(
+                x < 0,
+                F.concat(
+                    F.lit("0"),
+                    F.lpad(
+                        x.bitwiseAND(F.lit(_MAXLONG)).cast("string"), 19, "0"
+                    ),
+                ),
+            ).otherwise(F.concat(F.lit("1"), F.lpad(x.cast("string"), 19, "0")))
+        )
+
     canon = {
-        "event_id": F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        "event_id": canon_int(F.col("event_id")),
         "ts": F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-        "user_id": F.lpad(F.col("user_id").cast("string"), 20, "0"),
+        "user_id": canon_int(F.col("user_id")),
         "event_type": F.col("event_type"),
-        "value": F.lpad(
-            F.floor(F.col("value") * 10000).cast("long").cast("string"), 20, "0"
-        ),
+        "value": canon_int(F.floor(F.col("value") * 10000)),
         "props": F.col("props"),
     }
     base = e.select(

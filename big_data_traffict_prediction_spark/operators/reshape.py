@@ -155,6 +155,17 @@ _ZK_SQL = (
 )
 
 
+def zkey_col():
+    """The Morton (camera, hour) clustering key — ONE definition shared
+    by q_zorder_key and q_clustering_depth so the measured layout is
+    always the shipped layout (must stay bit-identical to _ZK_SQL)."""
+    from ..compat import epoch_s
+
+    cam16 = (F.col("camera_id").cast("long") % 65536).cast("long")
+    hour16 = (F.floor(epoch_s("ts") / 3600).cast("long") % 65536).cast("long")
+    return _spread_bits(cam16).bitwiseOR(F.shiftleft(_spread_bits(hour16), 1))
+
+
 def _zorder_oracle() -> str:
     from ..tables import with_traffic
 
@@ -183,15 +194,12 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import traffic_history
 
     h = traffic_history(spark, sf_dir)
-    cam16 = (F.col("camera_id").cast("long") % 65536).cast("long")
-    hour16 = (F.floor(epoch_s("ts") / 3600).cast("long") % 65536).cast("long")
-    zkey = _spread_bits(cam16).bitwiseOR(F.shiftleft(_spread_bits(hour16), 1))
     return (
         h.select(
             "id",
             "camera_id",
             F.floor(epoch_s("ts") / 3600).cast("long").alias("epoch_hour"),
-            zkey.cast("long").alias("zkey"),
+            zkey_col().cast("long").alias("zkey"),
         )
         .orderBy("zkey", "id")
         .limit(ZORDER_LIMIT)
@@ -381,18 +389,15 @@ def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); per-file stats are one hash aggregation at file grain;
     the probe joins the camera dimension against the 2×CLUSTER_FILES
     broadcast files frame (bounded non-equi join by construction)."""
-    from ..compat import epoch_s, global_rank
+    from ..compat import global_rank
     from ..tables import traffic_history
 
     h = traffic_history(spark, sf_dir)
-    cam16 = (F.col("camera_id").cast("long") % 65536).cast("long")
-    hour16 = (F.floor(epoch_s("ts") / 3600).cast("long") % 65536).cast("long")
-    zkey = _spread_bits(cam16).bitwiseOR(F.shiftleft(_spread_bits(hour16), 1))
     base = h.select(
         F.col("camera_id").cast("long").alias("cam"),
         "ts",
         "id",
-        zkey.cast("long").alias("zkey"),
+        zkey_col().cast("long").alias("zkey"),
     )
 
     def layout_files(order_cols, name):

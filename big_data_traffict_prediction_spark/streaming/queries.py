@@ -48,12 +48,13 @@ _WM_CTE = "wm AS (SELECT MAX(ts) - INTERVAL '30 minutes' AS w FROM traffic)"
 
 
 # Staged input is a pure function of (Spark application, sf_dir): the
-# same deterministic detection frame cut into the same 4 time-ordered
-# chunks. Staging it once and replaying the SAME files for all ~12
-# streaming queries saves a count + global sort + 4 parquet writes per
-# query (the input is read-only; every query still gets a FRESH
-# checkpoint + sink scratch in `base`, which is what must not be
-# shared). Replay order is modification-time order, fixed at staging.
+# same deterministic detection frame cut into the same time-ordered
+# chunks (count set below). Staging it once and replaying the SAME
+# files for all streaming queries saves a count + global sort + the
+# chunk parquet writes per query (the input is read-only; every query
+# still gets a FRESH checkpoint + sink scratch in `base`, which is
+# what must not be shared). Replay order is modification-time order,
+# fixed at staging.
 _STAGE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -868,9 +869,11 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SZM_BLOOM_SQL = """CAST(BIT_OR(1::BIGINT << CAST(
+from ..operators.scans import ZM_BLOOM_BITS  # noqa: E402  (shared width)
+
+_SZM_BLOOM_SQL = f"""CAST(BIT_OR(1::BIGINT << CAST(
              CAST(('0x' || substr(md5('zm#' || camera_id), 1, 15)) AS BIGINT)
-               % 62 AS INT)) AS BIGINT)"""
+               % {ZM_BLOOM_BITS} AS INT)) AS BIGINT)"""
 
 
 @register(
@@ -915,7 +918,7 @@ def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long"),
-        F.lit(62),
+        F.lit(ZM_BLOOM_BITS),
     ).cast("int")
     zm = (
         rows.select(

@@ -177,6 +177,7 @@ def test_analyze_table_counts_planted_nulls(spark, tmp_path):
         (9, datetime(2024, 1, 1, 8), None, "click", 1.5, "{}"),
         (10, datetime(2024, 1, 2, 9), 7, "view", 0.25, None),
         (11, datetime(2024, 1, 3, 10), 7, "view", 490.02, "{}"),
+        (12, datetime(2024, 1, 4, 11), -3, "view", -2.5, "{}"),
     ]
     spark.createDataFrame(
         rows,
@@ -185,15 +186,19 @@ def test_analyze_table_counts_planted_nulls(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/events.parquet")
     out = {r.col_name: r for r in q_analyze_table(spark, str(tmp_path)).collect()}
     assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
-    assert all(r.n_rows == 3 for r in out.values())
-    assert out["user_id"].n_null == 1 and out["user_id"].ndv_exact == 1
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["user_id"].n_null == 1 and out["user_id"].ndv_exact == 2
     assert out["props"].n_null == 1 and out["props"].ndv_exact == 1
-    # zero-padding: numeric order survives the string min/max
+    # sign-split zero-padding: numeric order survives the string min/max
     assert out["event_id"].min_val.endswith("9")
-    assert out["event_id"].max_val.endswith("11")
+    assert out["event_id"].max_val.endswith("12")
     assert out["event_id"].min_val < out["event_id"].max_val
-    assert out["value"].min_val.endswith("2500")  # 0.25 * 10000
-    assert out["value"].ndv_exact == 3
+    # negatives sort BELOW every non-negative ('0' prefix vs '1')
+    assert out["user_id"].min_val.startswith("0")  # -3 is the minimum
+    assert out["user_id"].max_val.endswith("7")
+    assert out["value"].min_val.startswith("0")  # -2.5 * 10000 = -25000
+    assert out["value"].max_val.endswith("4900200")  # 490.02 * 10000
+    assert out["value"].ndv_exact == 4
 
 
 def test_ann_recall_eval_is_informative(spark, oracle_sf_dir):

@@ -924,6 +924,10 @@ def test_stream_zone_map_chunking_invariant(spark, sf_dir):
         stage = simulate.stage_stream_dir(
             spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
         )
+        from big_data_traffict_prediction_spark.operators.scans import (
+            ZM_BLOOM_BITS,
+        )
+
         rows = simulate.read_stream(spark, stage)
         bit = F.pmod(
             F.conv(
@@ -933,7 +937,7 @@ def test_stream_zone_map_chunking_invariant(spark, sf_dir):
                 16,
                 10,
             ).cast("long"),
-            F.lit(62),
+            F.lit(ZM_BLOOM_BITS),
         ).cast("int")
         zm = (
             rows.select(
