@@ -187,6 +187,7 @@ EXTENDED = [
     "q_dedup_recall_eval",
     "q_selectivity_estimate",
     "q_clustering_depth",
+    "q_cc_delta",
 ]
 
 

@@ -230,3 +230,198 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_lat", "cell_lng")
     )
+
+
+# Incremental connectivity: a tighter radius than the kNN query so the
+# map breaks into many zones, and a deterministic "today's deployment"
+# slot of new cameras to fold in.
+GEO_CC_R2 = 0.000009  # (0.003 deg)^2 ~ 330 m connectivity radius
+GEO_CC_DELTA_MOD, GEO_CC_DELTA_SLOT = 10, 3
+
+
+def radius_pairs(g: DataFrame, r2: float) -> DataFrame:
+    """All camera pairs (a < b) within sqrt(r2) degrees — grid-blocked
+    via the same coincident-point collapse as q_camera_neighbors: the
+    radius join runs at POINT level (every point pair appears once:
+    lexicographic point order keeps one side, the self-point pair
+    comes only from its own (0,0) offset), then expands each surviving
+    point pair's camera key lists. Pair volume ∝ points × local
+    density, never cameras²."""
+    pts = g.groupBy("lat", "lng").agg(
+        F.sort_array(F.collect_list("cam_key")).alias("keys")
+    ).select(
+        "lat",
+        "lng",
+        "keys",
+        F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
+        F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
+    )
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    )
+    probe = pts.select("lat", "lng", "keys", "ci", "cj", offsets.alias("o")).select(
+        "lat",
+        "lng",
+        "keys",
+        (F.col("ci") + F.col("o.di")).alias("bi"),
+        (F.col("cj") + F.col("o.dj")).alias("bj"),
+    )
+    build = pts.select(
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        F.col("keys").alias("b_keys"),
+        F.col("ci").alias("bi"),
+        F.col("cj").alias("bj"),
+    )
+    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lng") - F.col("b_lng")
+    ) * (F.col("lng") - F.col("b_lng"))
+    ppairs = (
+        probe.join(build, ["bi", "bj"])
+        .filter(d2 <= F.lit(r2))
+        .filter(
+            (F.col("lat") < F.col("b_lat"))
+            | ((F.col("lat") == F.col("b_lat")) & (F.col("lng") <= F.col("b_lng")))
+        )
+    )
+    same_pt = (F.col("lat") == F.col("b_lat")) & (F.col("lng") == F.col("b_lng"))
+    # same-point pairs: i < j inside one key list; cross-point pairs:
+    # full cross of the two lists, emitted id-ordered
+    n = F.size("keys")
+    within = F.flatten(
+        F.transform(
+            "keys",
+            lambda a, i: F.transform(
+                F.slice("keys", i + F.lit(2), n - i - F.lit(1)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    across = F.flatten(
+        F.transform(
+            "keys",
+            lambda a: F.transform(
+                "b_keys",
+                lambda b: F.struct(
+                    F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                ),
+            ),
+        )
+    )
+    return ppairs.select(
+        F.explode(F.when(same_pt, within).otherwise(across)).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def _cc_delta_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_COORD_CTE},
+pairs AS (
+  SELECT a.cam_key AS a, b.cam_key AS b
+  FROM camera_geo a JOIN camera_geo b ON a.cam_key < b.cam_key
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lng - b.lng) * (a.lng - b.lng) <= {GEO_CC_R2}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lab AS (SELECT a AS cam_key, LEAST(a, MIN(b)) AS zone FROM reach GROUP BY a),
+allc AS (
+  SELECT g.cam_key, COALESCE(l.zone, g.cam_key) AS zone
+  FROM camera_geo g LEFT JOIN lab l USING (cam_key)
+),
+sizes AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n FROM allc GROUP BY 1)
+SELECT c.cam_key, CAST(c.zone AS BIGINT) AS zone, s.n AS zone_size
+FROM allc c JOIN sizes s USING (zone)
+ORDER BY c.cam_key
+"""
+
+
+@register("q_cc_delta", oracle=_cc_delta_oracle())
+def q_cc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CONNECTED COMPONENTS — graph maintenance in the same
+    family as q_scd2_apply / q_mv_refresh / q_ann_ivf_delta: the stored
+    connectivity zones of the camera map (components of the ~330 m
+    radius graph) are updated with today's deployment (cameras in the
+    delta slot) WITHOUT rerunning CC on the whole graph. New edges can
+    only merge existing zones or attach new cameras, so the update
+    runs CC on the QUOTIENT graph — delta edges with endpoints mapped
+    through the stored labels — whose size is bounded by the delta and
+    the zones it touches, never by the full graph. Min-id labels make
+    the composition exact (min of zone-mins = the global min), so the
+    FULL-REBUILD oracle's hash equality is the incremental-equals-
+    rebuild theorem for graph connectivity.
+
+    Scale shape: radius pairs come from the coincident-point-collapsed
+    3×3 cell grid (never cameras²); the stored base labels stand in
+    for the persisted zone table; the quotient CC's pointer-doubling
+    rounds (see ``connected_components``) run on delta-sized frames.
+    Output is the camera-grain zone assignment with zone sizes."""
+    from ..functions.dedup import connected_components
+
+    g = camera_geo(spark, sf_dir)
+    pairs = radius_pairs(g, GEO_CC_R2).localCheckpoint(eager=True)
+    is_delta = lambda c: F.col(c) % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT  # noqa: E731
+
+    def sym(p):
+        return p.select(F.col("a").alias("d1"), F.col("b").alias("d2")).union(
+            p.select(F.col("b").alias("d1"), F.col("a").alias("d2"))
+        ).localCheckpoint(eager=True)
+
+    base_pairs = pairs.filter(~is_delta("a") & ~is_delta("b"))
+    # the "stored" zone table: labels of the base graph
+    base_labels = connected_components(sym(base_pairs))
+    delta_pairs = pairs.filter(is_delta("a") | is_delta("b"))
+    bl_a = base_labels.select(
+        F.col("doc_id").alias("a"), F.col("label").alias("la")
+    )
+    bl_b = base_labels.select(
+        F.col("doc_id").alias("b"), F.col("label").alias("lb")
+    )
+    qedges = (
+        delta_pairs.join(bl_a, "a", "left")
+        .join(bl_b, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("qa"),
+            F.coalesce("lb", F.col("b")).alias("qb"),
+        )
+        .filter(F.col("qa") != F.col("qb"))
+        .select(
+            F.least("qa", "qb").alias("a"), F.greatest("qa", "qb").alias("b")
+        )
+        .distinct()
+    )
+    qlabels = connected_components(sym(qedges)).select(
+        F.col("doc_id").alias("bzone"), F.col("label").alias("qzone")
+    )
+    cams = g.select("cam_key")
+    final = (
+        cams.join(
+            base_labels.select(
+                F.col("doc_id").alias("cam_key"), F.col("label").alias("bl")
+            ),
+            "cam_key",
+            "left",
+        )
+        .select(
+            "cam_key", F.coalesce("bl", F.col("cam_key")).alias("bzone")
+        )
+        .join(F.broadcast(qlabels), "bzone", "left")
+        .select(
+            "cam_key",
+            F.coalesce("qzone", F.col("bzone")).cast("long").alias("zone"),
+        )
+        .localCheckpoint(eager=True)  # camera-grain; feeds sizes AND output
+    )
+    sizes = final.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("long").alias("zone_size")
+    )
+    return (
+        final.join(F.broadcast(sizes), "zone")
+        .select("cam_key", "zone", "zone_size")
+        .orderBy("cam_key")
+    )

@@ -68,3 +68,38 @@ def test_neighbors_point_collapse_matches_bruteforce(spark, sf_dir):
     for r in q_camera_neighbors(spark, sf_dir).collect():
         got.setdefault(r.cam_key, []).append((r.neighbor_key, r.d2, r.rank))
     assert got == {k: v for k, v in expected.items() if v}
+
+
+def test_cc_delta_planted_transitions(spark):
+    """The three incremental-CC transitions, planted: a delta camera
+    BRIDGES two stored zones (their labels merge to the global min), a
+    delta camera ATTACHES to one zone, and isolated delta/base cameras
+    keep singleton zones."""
+    from big_data_traffict_prediction_spark.operators import geo as G
+
+    coords = {
+        4: (0.000, 0.0), 5: (0.002, 0.0),       # base zone A
+        8: (0.0055, 0.0), 9: (0.0075, 0.0),     # base zone B (gap 0.0035)
+        13: (0.004, 0.0),                        # delta: bridges A and B
+        16: (1.0, 1.0), 17: (1.002, 1.0),        # base zone C
+        23: (1.0, 1.002),                        # delta: attaches to C
+        33: (2.0, 2.0),                          # delta: isolated
+        20: (3.0, 3.0),                          # base: isolated
+    }
+    df = spark.createDataFrame(
+        [(k, lat, lng) for k, (lat, lng) in coords.items()],
+        "cam_key long, lat double, lng double",
+    )
+    orig = G.camera_geo
+    G.camera_geo = lambda s, d: df
+    try:
+        out = {r.cam_key: r for r in G.q_cc_delta(spark, "ignored").collect()}
+    finally:
+        G.camera_geo = orig
+    assert {k: r.zone for k, r in out.items()} == {
+        4: 4, 5: 4, 8: 4, 9: 4, 13: 4,  # bridged: min id across both zones
+        16: 16, 17: 16, 23: 16,
+        33: 33, 20: 20,
+    }
+    assert out[13].zone_size == 5 and out[23].zone_size == 3
+    assert out[33].zone_size == 1 and out[20].zone_size == 1
