@@ -188,6 +188,7 @@ EXTENDED = [
     "q_selectivity_estimate",
     "q_clustering_depth",
     "q_cc_delta",
+    "q_trending_decay",
 ]
 
 

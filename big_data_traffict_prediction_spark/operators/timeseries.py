@@ -776,3 +776,77 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# Time-decayed trending: 1-day half-life over a bounded lookback, so
+# the per-row weight 2^(window-1-age) stays exact int64.
+TREND_DAYS = 14
+TREND_TOP = 25
+
+
+@register(
+    "q_trending_decay",
+    oracle=with_traffic(f"""
+, rows_w AS (
+  SELECT camera_id, new_count,
+         ({NOW_EPOCH} - epoch_us(ts) // 1000000) // 86400 AS age
+  FROM traffic
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - TREND_DAYS * 86400} AS BIGINT)
+                             * 1000000)
+)
+SELECT camera_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT age) AS BIGINT) AS n_days,
+       CAST(SUM(new_count) AS BIGINT) AS total_count,
+       CAST(SUM(new_count * (1::BIGINT << CAST({TREND_DAYS} - 1 - age AS INT)))
+            AS BIGINT) AS decay_score
+FROM rows_w
+GROUP BY camera_id
+ORDER BY decay_score DESC, camera_id
+LIMIT {TREND_TOP}
+"""),
+)
+def q_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending ranking — the feed/leaderboard operator:
+    each observation contributes its count weighted by 2^(−age_days)
+    (a one-day half-life), so yesterday counts double tomorrow's
+    nothing and a recently-busy camera outranks a historically-busy
+    one. The weight is computed as an int64 SHIFT against the window
+    bound (2^(TREND_DAYS−1−age)) — exact integer arithmetic, no
+    pow() floats — which is what makes a decayed score hash-checkable
+    at all; dividing by 2^(TREND_DAYS−1) recovers the conventional
+    half-life units downstream.
+
+    Scale shape: the lookback predicate pushes to the scan; ONE
+    conditional aggregation (weight computed per row map-side) reduces
+    the window to |cameras| rows; top movers plan as
+    TakeOrderedAndProject. Decayed scores are also mergeable across
+    partitions (weighted sums add) — the same property the zone-map /
+    MV maintenance operators exploit."""
+    from ..compat import epoch_s
+
+    h = traffic_history(spark, sf_dir)
+    start = F.timestamp_seconds(F.lit(NOW_EPOCH - TREND_DAYS * 86400))
+    age = F.call_function(
+        "div", F.lit(NOW_EPOCH) - epoch_s("ts"), F.lit(86400)
+    )
+    weight = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(TREND_DAYS) - 1 - age).cast("int"),
+    )
+    return (
+        h.filter(F.col("ts") >= start)
+        .select("camera_id", "new_count", age.alias("age"), weight.alias("w"))
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("age").cast("long").alias("n_days"),
+            F.sum("new_count").cast("long").alias("total_count"),
+            F.sum(F.col("new_count") * F.col("w")).cast("long").alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(F.desc("decay_score"), "camera_id")
+        .limit(TREND_TOP)
+    )

@@ -175,3 +175,43 @@ def test_markov_transitions_hand_counts(spark, tmp_path):
         ("click", "click"): (1, 500_000),
         ("click", "view"): (1, 500_000),
     }
+
+
+def test_trending_decay_recency_beats_history(spark):
+    """A camera with all its volume yesterday must outrank a camera
+    with more TOTAL volume spread over old days — the decay property
+    itself — and the shift-weight algebra must match a hand fold."""
+    import datetime
+
+    from big_data_traffict_prediction_spark.compat import NOW_EPOCH
+    from big_data_traffict_prediction_spark.operators import timeseries as TS
+
+    def at_age(days):
+        return datetime.datetime.utcfromtimestamp(
+            NOW_EPOCH - days * 86400 - 3600
+        )
+
+    rows = [
+        # "fresh": 10 vehicles at age 0 (score 10 * 2^13)
+        (1, "fresh", at_age(0), 10),
+        # "stale": 60 vehicles at age 12 (score 60 * 2^1) — 6x total,
+        # far below fresh after decay
+        (2, "stale", at_age(12), 60),
+        (3, "both", at_age(0), 1),
+        (4, "both", at_age(12), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, camera_id string, ts timestamp, new_count long"
+    )
+    orig = TS.traffic_history
+    TS.traffic_history = lambda s, d: df
+    try:
+        out = {r.camera_id: r for r in TS.q_trending_decay(spark, "x").collect()}
+    finally:
+        TS.traffic_history = orig
+    D = TS.TREND_DAYS
+    assert out["fresh"].decay_score == 10 * (1 << (D - 1))
+    assert out["stale"].decay_score == 60 * (1 << (D - 13))
+    assert out["fresh"].decay_score > out["stale"].decay_score
+    assert out["both"].decay_score == (1 << (D - 1)) + (1 << (D - 13))
+    assert out["both"].n_days == 2 and out["both"].total_count == 2
