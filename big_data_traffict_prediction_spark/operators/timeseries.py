@@ -791,8 +791,11 @@ TREND_TOP = 25
   SELECT camera_id, new_count,
          ({NOW_EPOCH} - epoch_us(ts) // 1000000) // 86400 AS age
   FROM traffic
-  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - TREND_DAYS * 86400} AS BIGINT)
-                             * 1000000)
+  -- the window's FIRST second is excluded: an event there floors to
+  -- age = TREND_DAYS, whose shift amount would be -1 (both engines
+  -- fault on negative shifts); ages run 0..TREND_DAYS-1 exactly
+  WHERE ts >= make_timestamp(CAST({NOW_EPOCH - TREND_DAYS * 86400 + 1}
+                             AS BIGINT) * 1000000)
 )
 SELECT camera_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -826,7 +829,10 @@ def q_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..compat import epoch_s
 
     h = traffic_history(spark, sf_dir)
-    start = F.timestamp_seconds(F.lit(NOW_EPOCH - TREND_DAYS * 86400))
+    # start+1s: the boundary second would floor to age TREND_DAYS and a
+    # NEGATIVE shift (Spark masks shiftleft(1,-1) to 2^63 then ANSI-
+    # overflows; DuckDB rejects the shift) — ages are 0..TREND_DAYS-1
+    start = F.timestamp_seconds(F.lit(NOW_EPOCH - TREND_DAYS * 86400 + 1))
     age = F.call_function(
         "div", F.lit(NOW_EPOCH) - epoch_s("ts"), F.lit(86400)
     )

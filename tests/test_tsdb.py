@@ -215,3 +215,34 @@ def test_trending_decay_recency_beats_history(spark):
     assert out["fresh"].decay_score > out["stale"].decay_score
     assert out["both"].decay_score == (1 << (D - 1)) + (1 << (D - 13))
     assert out["both"].n_days == 2 and out["both"].total_count == 2
+
+
+def test_trending_decay_boundary_second_is_excluded(spark):
+    """An event in the window's FIRST second would floor to age ==
+    TREND_DAYS and a negative shift (both engines fault); the filter
+    must exclude it while keeping the next second (age 13)."""
+    import datetime
+
+    from big_data_traffict_prediction_spark.compat import NOW_EPOCH
+    from big_data_traffict_prediction_spark.operators import timeseries as TS
+
+    D = TS.TREND_DAYS
+    start = NOW_EPOCH - D * 86400
+    rows = [
+        # inside the boundary second -> would be age D, must be dropped
+        (1, "edge", datetime.datetime.utcfromtimestamp(start) +
+         datetime.timedelta(microseconds=500_000), 5),
+        # first full second of the window -> age D-1, weight 2^0
+        (2, "edge", datetime.datetime.utcfromtimestamp(start + 1), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, camera_id string, ts timestamp, new_count long"
+    )
+    orig = TS.traffic_history
+    TS.traffic_history = lambda s, d: df
+    try:
+        out = {r.camera_id: r for r in TS.q_trending_decay(spark, "x").collect()}
+    finally:
+        TS.traffic_history = orig
+    assert out["edge"].n_events == 1  # the boundary row is excluded
+    assert out["edge"].decay_score == 7  # age D-1 -> weight 2^0
