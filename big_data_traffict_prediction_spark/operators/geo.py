@@ -356,64 +356,131 @@ def q_cc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL-REBUILD oracle's hash equality is the incremental-equals-
     rebuild theorem for graph connectivity.
 
-    Scale shape: radius pairs come from the coincident-point-collapsed
-    3×3 cell grid (never cameras²); the stored base labels stand in
-    for the persisted zone table; the quotient CC's pointer-doubling
-    rounds (see ``connected_components``) run on delta-sized frames.
-    Output is the camera-grain zone assignment with zone sizes."""
+    Scale shape — POINT-COLLAPSED base labeling: coincident cameras
+    share a zone by construction (d2 = 0 < r²), so the stored-side CC
+    runs on the POINT graph — each point labeled with its minimum base
+    camera key (which makes point-component minima EQUAL camera-
+    component minima, preserving the labels exactly) — a 15× node
+    reduction at sf0.1 (11 250 cameras on 750 points). Camera-level
+    pair expansion happens only on the delta side; the quotient CC's
+    pointer-doubling rounds (see ``connected_components``) run on
+    delta-sized frames. Output is the camera-grain zone assignment
+    with zone sizes."""
     from ..functions.dedup import connected_components
 
     g = camera_geo(spark, sf_dir)
-    pairs = radius_pairs(g, GEO_CC_R2).localCheckpoint(eager=True)
-    is_delta = lambda c: F.col(c) % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT  # noqa: E731
+    is_delta = F.col("cam_key") % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT
+    gb = g.filter(~is_delta)
+    gd = g.filter(is_delta)
 
     def sym(p):
         return p.select(F.col("a").alias("d1"), F.col("b").alias("d2")).union(
             p.select(F.col("b").alias("d1"), F.col("a").alias("d2"))
         ).localCheckpoint(eager=True)
 
-    base_pairs = pairs.filter(~is_delta("a") & ~is_delta("b"))
-    # the "stored" zone table: labels of the base graph
-    base_labels = connected_components(sym(base_pairs))
-    delta_pairs = pairs.filter(is_delta("a") | is_delta("b"))
-    bl_a = base_labels.select(
-        F.col("doc_id").alias("a"), F.col("label").alias("la")
+    def with_cells(df):
+        return df.select(
+            "*",
+            F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
+            F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
+        )
+
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
     )
-    bl_b = base_labels.select(
-        F.col("doc_id").alias("b"), F.col("label").alias("lb")
+    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lng") - F.col("b_lng")
+    ) * (F.col("lng") - F.col("b_lng"))
+
+    # --- stored side at POINT grain: pid = min base camera per point
+    bpts = with_cells(
+        gb.groupBy("lat", "lng").agg(F.min("cam_key").alias("pid"))
+    ).localCheckpoint(eager=True)  # point-grain; probe, build AND map
+    bbuild = bpts.select(
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        F.col("pid").alias("b_pid"),
+        F.col("ci").alias("bi"),
+        F.col("cj").alias("bj"),
+    )
+    bprobe = bpts.select("lat", "lng", "pid", "ci", "cj", offsets.alias("o")).select(
+        "lat",
+        "lng",
+        "pid",
+        (F.col("ci") + F.col("o.di")).alias("bi"),
+        (F.col("cj") + F.col("o.dj")).alias("bj"),
+    )
+    bedges = (
+        bprobe.join(bbuild, ["bi", "bj"])
+        .filter(d2 <= F.lit(GEO_CC_R2))
+        .filter(
+            (F.col("lat") < F.col("b_lat"))
+            | ((F.col("lat") == F.col("b_lat")) & (F.col("lng") < F.col("b_lng")))
+        )
+        .select(F.col("pid").alias("a"), F.col("b_pid").alias("b"))
+    )
+    base_plabels = connected_components(sym(bedges))
+    bmap = bpts.join(
+        base_plabels.select(F.col("doc_id").alias("pid"), "label"),
+        "pid",
+        "left",
+    ).select(
+        "lat",
+        "lng",
+        "ci",
+        "cj",
+        F.coalesce("label", F.col("pid")).alias("bzone"),
+    ).localCheckpoint(eager=True)  # feeds the delta probe AND the final map
+
+    # --- delta edges at CAMERA grain: delta↔delta pairs plus each
+    # delta camera's links into base POINT zones
+    dd = radius_pairs(gd, GEO_CC_R2)
+    dprobe = with_cells(gd).select(
+        "cam_key", "lat", "lng", "ci", "cj", offsets.alias("o")
+    ).select(
+        "cam_key",
+        "lat",
+        "lng",
+        (F.col("ci") + F.col("o.di")).alias("bi"),
+        (F.col("cj") + F.col("o.dj")).alias("bj"),
+    )
+    db = (
+        dprobe.join(
+            bmap.select(
+                F.col("lat").alias("b_lat"),
+                F.col("lng").alias("b_lng"),
+                F.col("ci").alias("bi"),
+                F.col("cj").alias("bj"),
+                "bzone",
+            ),
+            ["bi", "bj"],
+        )
+        .filter(d2 <= F.lit(GEO_CC_R2))
+        .select(F.col("cam_key").alias("qa"), F.col("bzone").alias("qb"))
     )
     qedges = (
-        delta_pairs.join(bl_a, "a", "left")
-        .join(bl_b, "b", "left")
-        .select(
-            F.coalesce("la", F.col("a")).alias("qa"),
-            F.coalesce("lb", F.col("b")).alias("qb"),
-        )
+        dd.select(F.col("a").alias("qa"), F.col("b").alias("qb"))
+        .unionByName(db)
         .filter(F.col("qa") != F.col("qb"))
-        .select(
-            F.least("qa", "qb").alias("a"), F.greatest("qa", "qb").alias("b")
-        )
+        .select(F.least("qa", "qb").alias("a"), F.greatest("qa", "qb").alias("b"))
         .distinct()
     )
     qlabels = connected_components(sym(qedges)).select(
-        F.col("doc_id").alias("bzone"), F.col("label").alias("qzone")
+        F.col("doc_id").alias("node"), F.col("label").alias("qzone")
     )
-    cams = g.select("cam_key")
+
+    # --- final camera-grain assignment
+    base_final = gb.join(
+        F.broadcast(bmap.select("lat", "lng", "bzone")), ["lat", "lng"]
+    ).select("cam_key", F.col("bzone").alias("node"))
+    delta_final = gd.select("cam_key", F.col("cam_key").alias("node"))
     final = (
-        cams.join(
-            base_labels.select(
-                F.col("doc_id").alias("cam_key"), F.col("label").alias("bl")
-            ),
-            "cam_key",
-            "left",
-        )
-        .select(
-            "cam_key", F.coalesce("bl", F.col("cam_key")).alias("bzone")
-        )
-        .join(F.broadcast(qlabels), "bzone", "left")
+        base_final.unionByName(delta_final)
+        .join(F.broadcast(qlabels), "node", "left")
         .select(
             "cam_key",
-            F.coalesce("qzone", F.col("bzone")).cast("long").alias("zone"),
+            F.coalesce("qzone", F.col("node")).cast("long").alias("zone"),
         )
         .localCheckpoint(eager=True)  # camera-grain; feeds sizes AND output
     )
