@@ -186,6 +186,9 @@ EXTENDED = [
     "q_ann_recall_eval",
     "q_dedup_recall_eval",
     "q_selectivity_estimate",
+    "q_histogram_stats",
+    "q_selectivity_histogram",
+    "q_stream_interval_join_binned",
     "q_clustering_depth",
     "q_cc_delta",
     "q_trending_decay",

@@ -342,6 +342,98 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id", "alert_id", "id")
 
 
+# The lookback length IS the bin length (see q_interval_join_binned):
+# every alert window spans exactly two consecutive bins.
+_SJ_BIN_S = 15 * 60
+
+
+@register(
+    "q_stream_interval_join_binned",
+    oracle=with_traffic(
+        f"""
+SELECT t.camera_id, a.alert_id, a.alert_ts, a.alert_count, t.id, t.ts, t.new_count
+FROM traffic t
+JOIN (SELECT camera_id AS a_camera, ts AS alert_ts, id AS alert_id,
+             new_count AS alert_count
+      FROM traffic WHERE new_count >= {ALERT_THRESHOLD}) a
+  ON t.camera_id = a.a_camera
+ AND t.ts >= a.alert_ts - INTERVAL {ALERT_LOOKBACK}
+ AND t.ts <= a.alert_ts
+ORDER BY t.camera_id, a.alert_id, t.id
+"""
+    ),
+)
+def q_stream_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-blocked stream-stream interval join — the streaming twin of
+    q_interval_join_binned (operators/joins.py): the alert side
+    explodes each alert into its TWO lookback-length time bins and the
+    join key becomes (camera_id, bin), so the event-time range is a
+    post-join filter over candidates that already share a bin. Same
+    drained rows as q_stream_stream_join (every matched pair is
+    produced exactly once — the obs bin is unique), so the SAME batch
+    oracle hash-checks the rewrite end to end.
+
+    Why it exists in the streaming registry too: Structured Streaming
+    partitions join STATE by the equi-key — with camera-only keys one
+    EXTREME camera concentrates its entire watermark window of state
+    (and every candidate comparison) on a single state-store
+    partition, the streaming analog of the batch hot-reducer. Adding
+    the bin spreads a hot camera's state over watermark/L bins at a
+    constant 2× duplication of the (rare, pre-filtered) alert side —
+    state per partition is bounded by (bin length × arrival rate),
+    not by the camera's full window. Both sides stay watermarked and
+    both event times stay bounded in the condition, so state eviction
+    works unchanged."""
+    from pyspark.sql import functions as F
+
+    from ..compat import epoch_s
+
+    stage, base = _staged(spark, sf_dir)
+    obs = (
+        simulate.read_stream(spark, stage)
+        .select(
+            "camera_id",
+            "id",
+            "ts",
+            "new_count",
+            F.call_function("div", epoch_s("ts"), F.lit(_SJ_BIN_S)).alias("bin"),
+        )
+        .withWatermark("ts", "30 minutes")
+    )
+    alerts = (
+        simulate.read_stream(spark, stage)
+        .filter(F.col("new_count") >= ALERT_THRESHOLD)
+        .select(
+            F.col("camera_id").alias("a_camera"),
+            F.col("ts").alias("alert_ts"),
+            F.col("id").alias("alert_id"),
+            F.col("new_count").alias("alert_count"),
+            F.explode(
+                F.array(
+                    F.call_function("div", epoch_s("ts"), F.lit(_SJ_BIN_S)) - 1,
+                    F.call_function("div", epoch_s("ts"), F.lit(_SJ_BIN_S)),
+                )
+            ).alias("a_bin"),
+        )
+        .withWatermark("alert_ts", "30 minutes")
+    )
+    joined = obs.join(
+        alerts,
+        (F.col("camera_id") == F.col("a_camera"))
+        & (F.col("bin") == F.col("a_bin"))
+        & (F.col("ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {ALERT_LOOKBACK}"))
+        & (F.col("ts") <= F.col("alert_ts")),
+    ).select("camera_id", "alert_id", "alert_ts", "alert_count", "id", "ts", "new_count")
+    out = windows.run_to_memory(
+        spark,
+        joined,
+        f"q_stream_interval_binned_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return out.orderBy("camera_id", "alert_id", "id")
+
+
 def _outer_join_rows(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
     """Drained row-level output of the watermarked stream-stream
     interval join in the given outer mode — the shared body of the

@@ -103,3 +103,29 @@ def test_cc_delta_planted_transitions(spark):
     }
     assert out[13].zone_size == 5 and out[23].zone_size == 3
     assert out[33].zone_size == 1 and out[20].zone_size == 1
+
+
+def test_cc_delta_runs_cc_only_on_quotient(spark, sf_dir):
+    """The round-12 incremental contract: with the stored zone table in
+    place, q_cc_delta must invoke connected_components exactly ONCE —
+    the delta-bounded quotient CC — and take the base labels from the
+    persisted parquet store (a scan, not hooking rounds)."""
+    from big_data_traffict_prediction_spark.functions import dedup as D
+    from big_data_traffict_prediction_spark.operators import geo as G
+
+    stored = G.stored_zone_labels(spark, sf_dir)  # builds at most once
+    assert stored.inputFiles(), "stored zone labels must be a parquet scan"
+    calls: list[int] = []
+    orig = D.connected_components
+
+    def counting(edges):
+        calls.append(1)
+        return orig(edges)
+
+    D.connected_components = counting
+    try:
+        rows = G.q_cc_delta(spark, sf_dir).collect()
+    finally:
+        D.connected_components = orig
+    assert len(calls) == 1, f"expected ONLY the quotient CC, saw {len(calls)}"
+    assert rows and all(r.zone_size >= 1 for r in rows)

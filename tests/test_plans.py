@@ -954,3 +954,72 @@ def test_ann_ivf_delta_is_broadcast_only(spark, sf_dir):
     a = explain.audit(df)
     assert a["sort_merge_joins"] == 0, explain.formatted_plan(df)
     assert a["shuffles"] <= 4, explain.formatted_plan(df)
+
+
+def test_aqe_splits_skewed_camera_join(spark, sf_dir):
+    """SURVEY §7 hard-part 7, witnessed: a sort-merge join whose fact
+    side is dominated by one EXTREME camera must come out of AQE with
+    the skewed partition SPLIT (the final adaptive plan marks the join
+    skew=true). Thresholds are scaled down so the small fixture
+    exhibits the production shape (one shuffle partition >> median);
+    at 100 TB the same conf defaults fire on real sizes."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        # keep the shuffle partition layout so the hot partition stands
+        # against a many-partition median instead of being coalesced away
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from big_data_traffict_prediction_spark.tables import load_table
+
+        h = traffic_history(spark, sf_dir).select("camera_id", "id", "new_count")
+        hot = h.groupBy("camera_id").count().orderBy(F.desc("count")).first()[0]
+        # Amplify the hottest camera 512x — the EXTREME-profile shape.
+        # The repartition matters: a skewed reduce partition splits at
+        # MAPPER boundaries, so the fact shuffle needs >1 map task (the
+        # sf0.001 parquet is a single input split — at 100 TB the many
+        # input files provide this for free).
+        fact = h.withColumn(
+            "rep",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("camera_id") == hot, 512).otherwise(1),
+                )
+            ),
+        ).repartition(16)
+        # Dim side must be pattern-clean (Sort over the shuffle stage,
+        # no aggregate in between) or OptimizeSkewedJoin can't match —
+        # the same reason production skew-splits want the dim side
+        # pre-materialized rather than derived in the same stage.
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("string").alias("camera_id"),
+            F.col("c_name").alias("cam_name"),
+        )
+        joined = fact.join(dim, "camera_id").select(
+            "camera_id", "id", "new_count", "rep", "cam_name"
+        )
+        joined.collect()  # finalizes THIS plan (count() would plan anew)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:2000]}"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

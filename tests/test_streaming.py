@@ -973,3 +973,41 @@ def test_stream_zone_map_chunking_invariant(spark, sf_dir):
 
     a, b = drained(2), drained(5)
     assert a and a == b
+
+
+def test_stream_interval_join_binned_matches_batch(spark, sf_dir):
+    """The bin-blocked stream-stream interval join must drain EXACTLY
+    the theta-join pairs (each produced once — the obs bin is unique),
+    full column tuples compared so a bin-boundary duplicate or a
+    missed cross-bin pair cannot hide."""
+    from big_data_traffict_prediction_spark.streaming.queries import (
+        ALERT_THRESHOLD,
+        q_stream_interval_join_binned,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in q_stream_interval_join_binned(spark, sf_dir).collect()
+    )
+    d = simulate.detections_frame(spark, sf_dir)
+    alerts = d.filter(F.col("new_count") >= ALERT_THRESHOLD).select(
+        F.col("camera_id").alias("a_camera"),
+        F.col("ts").alias("alert_ts"),
+        F.col("id").alias("alert_id"),
+        F.col("new_count").alias("alert_count"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in d.join(
+            alerts,
+            (F.col("camera_id") == F.col("a_camera"))
+            & (F.col("ts") >= F.col("alert_ts") - F.expr("INTERVAL 15 minutes"))
+            & (F.col("ts") <= F.col("alert_ts")),
+        )
+        .select(
+            "camera_id", "alert_id", "alert_ts", "alert_count",
+            "id", "ts", "new_count",
+        )
+        .collect()
+    )
+    assert got and got == batch
