@@ -729,13 +729,21 @@ def _hist_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is one map-side-combined aggregation + domain-sized algebra."""
     from pyspark.sql import Window
 
+    from ..compat import constant_key
+
     h = traffic_history(spark, sf_dir)
     vf = (
         h.filter(F.col("new_count").isNotNull())
         .groupBy(F.col("new_count").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one window partition over the value-DOMAIN-sized frame is
+    # correct by design (see compat.constant_key)
+    w = (
+        Window.partitionBy(constant_key(F.col("v")))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = vf.select("v", "f", F.sum("f").over(w).alias("c_hi"))
     tot = vf.agg(F.sum("f").cast("long").alias("n"))
     bk = (
