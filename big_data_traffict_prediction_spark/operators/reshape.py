@@ -297,17 +297,22 @@ def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
     that fix cost 0.97→1.28 s idle at sf0.1, this form wins it back)."""
     from pyspark.sql import Window
 
-    order = Window.partitionBy("d").orderBy(F.col("camera_id").cast("long"))
+    # Materialize the numeric order key ONCE: re-deriving the cast in
+    # each select makes Spark extract a fresh `_wN` sort attribute per
+    # Window node and EnsureRequirements re-sorts between them.
+    keyed = chunks.withColumn("_ck", F.col("camera_id").cast("long"))
+    order = Window.partitionBy("d").orderBy("_ck")
     cum_before = F.coalesce(
         F.sum("chunk_bytes").over(
             order.rowsBetween(Window.unboundedPreceding, -1)
         ),
         F.lit(0),
     )
-    floored = chunks.select(
+    floored = keyed.select(
         "d",
         "camera_id",
         "chunk_bytes",
+        "_ck",
         F.call_function(
             "div", cum_before, F.lit(COMPACT_TARGET_BYTES)
         ).alias("bin_floor"),
@@ -321,6 +326,7 @@ def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
         "d",
         "camera_id",
         "chunk_bytes",
+        "_ck",
         F.sum(
             F.when(
                 F.col("prev_floor").isNull()
@@ -332,14 +338,19 @@ def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
         .alias("bin_id"),
     )
     day = Window.partitionBy("d")
-    return packed.select(
-        "d",
-        "camera_id",
-        "chunk_bytes",
-        F.col("bin_id").cast("long").alias("bin_id"),
-        (F.max("bin_id").over(day) + 1).cast("long").alias("day_bins"),
-        F.sum("chunk_bytes").over(day).cast("long").alias("day_bytes"),
-    ).orderBy("d", F.col("camera_id").cast("long"))
+    return (
+        packed.select(
+            "d",
+            "camera_id",
+            "chunk_bytes",
+            "_ck",
+            F.col("bin_id").cast("long").alias("bin_id"),
+            (F.max("bin_id").over(day) + 1).cast("long").alias("day_bins"),
+            F.sum("chunk_bytes").over(day).cast("long").alias("day_bytes"),
+        )
+        .orderBy("d", "_ck")
+        .drop("_ck")
+    )
 
 
 # Clustering-depth probe: files per layout; probe = one camera lookup.
