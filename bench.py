@@ -187,8 +187,10 @@ EXTENDED = [
     "q_dedup_recall_eval",
     "q_selectivity_estimate",
     "q_histogram_stats",
+    "q_histogram_merge",
     "q_selectivity_histogram",
     "q_stream_interval_join_binned",
+    "q_stream_histogram",
     "q_clustering_depth",
     "q_cc_delta",
     "q_trending_decay",

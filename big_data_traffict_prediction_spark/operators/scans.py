@@ -682,7 +682,7 @@ def q_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BUCKETS = 32
 
 # Value-frequency + cumulative-rank CTEs shared by both histogram
-# queries (the Spark twin is _hist_buckets below).
+# queries (the Spark twin is hist_buckets_from_vf below).
 _HIST_CTES = f"""
 vf AS (
   SELECT new_count AS v, CAST(COUNT(*) AS BIGINT) AS f
@@ -714,16 +714,29 @@ hist AS (
 """.strip()
 
 
-def _hist_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth bucket frame (bucket, lo, hi, n_rows, ndv) over
-    traffic.new_count — the Spark twin of the _HIST_CTES pipeline.
+def hist_value_freq(h: DataFrame) -> DataFrame:
+    """Value-frequency table (v, f) of traffic.new_count — the
+    MERGEABLE sufficient statistic behind the equi-depth histogram:
+    the histogram itself (rank-quantile bounds) is not mergeable, but
+    vf counts ADD across arbitrary slices, so incremental stats
+    refresh maintains vf and re-derives buckets (q_histogram_merge)."""
+    return (
+        h.filter(F.col("new_count").isNotNull())
+        .groupBy(F.col("new_count").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
 
-    Built WITHOUT a row-level global sort: the measure is first
-    reduced to its value-frequency table (|distinct values| rows —
+
+def hist_buckets_from_vf(spark: SparkSession, vf: DataFrame) -> DataFrame:
+    """Equi-depth bucket frame (bucket, lo, hi, n_rows, ndv) derived
+    from a value-frequency table — the Spark twin of the _HIST_CTES
+    pipeline.
+
+    Built WITHOUT a row-level global sort: the vf frame is
     value-DOMAIN-sized, not data-sized, so the single cumulative
-    window over it is bounded at any fact scale, same license as the
-    vocabulary windows in functions/text.py), then bucket boundaries
-    at ranks k*n/B come from an interval-overlap join of value rank
+    window over it is bounded at any fact scale (same license as the
+    vocabulary windows in functions/text.py); bucket boundaries at
+    ranks k*n/B come from an interval-overlap join of value rank
     ranges [c_hi-f, c_hi) against the broadcast {HIST_BUCKETS}-row
     bucket spine. Classic equi-depth construction sorts all n rows;
     this is one map-side-combined aggregation + domain-sized algebra."""
@@ -731,12 +744,6 @@ def _hist_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..compat import constant_key
 
-    h = traffic_history(spark, sf_dir)
-    vf = (
-        h.filter(F.col("new_count").isNotNull())
-        .groupBy(F.col("new_count").alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
     # one window partition over the value-DOMAIN-sized frame is
     # correct by design (see compat.constant_key)
     w = (
@@ -798,7 +805,7 @@ def q_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew by 1/B regardless of the distribution shape).
 
     Bucket boundaries are exact rank quantiles computed WITHOUT a
-    global sort of the fact — see _hist_buckets: one hash aggregation
+    global sort of the fact — see hist_buckets_from_vf: one hash aggregation
     to the value-frequency table, a domain-sized cumulative window,
     and an overlap join against the broadcast bucket spine. Ties are
     a non-issue by construction: ranks are assigned to (value,
@@ -809,7 +816,61 @@ def q_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB everything after the value-frequency reduction is
     value-domain-sized. No reference analog (SQLite has sqlite_stat4
     sampling; SURVEY.md §2 notes the engine owns its stats)."""
-    return _hist_buckets(spark, sf_dir).orderBy("bucket")
+    return hist_buckets_from_vf(
+        spark, hist_value_freq(traffic_history(spark, sf_dir))
+    ).orderBy("bucket")
+
+
+# Incremental stats-refresh slot (distinct from the zone-map delta so
+# the two maintenance ops exercise different delta shapes).
+HG_DELTA_MOD = 16
+HG_DELTA_SLOT = 5
+
+
+@register(
+    "q_histogram_merge",
+    oracle=with_traffic(f"""
+, {_HIST_CTES}
+SELECT bucket, lo, hi, n_rows, ndv FROM hist ORDER BY bucket
+"""),
+)
+def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HISTOGRAM refresh — the stats-maintenance leg next
+    to q_zone_map_merge (index) and q_mv_refresh (aggregate): a new
+    ingest batch updates the stored equi-depth histogram WITHOUT
+    re-scanning history. The trick is choosing the right stored
+    artifact: equi-depth bucket bounds are rank quantiles and do NOT
+    merge, but the value-frequency table they derive from is a
+    mergeable sufficient statistic (counts ADD) — so the refresh
+    merges vf(base) ⊕ vf(delta) via a co-partitioned full-outer join
+    and re-derives the buckets with domain-sized algebra only. This is
+    exactly how engines with incremental ANALYZE maintain histograms:
+    keep the frequency sketch, rebuild the quantile view.
+
+    The oracle is the FULL-REBUILD histogram SQL, so the driver hash
+    check is the incremental-equals-rebuild theorem (the
+    q_mv_refresh / q_scd2_apply discipline).
+
+    Scale shape: two map-side-combined aggregations (base stands in
+    for reading the stored vf — value-domain-sized rows, not a
+    re-scan), one co-partitioned merge join on v, then the same
+    broadcast-spine bucket derivation as q_histogram_stats. Nightly
+    cost is O(delta + |value domain|), never O(history)."""
+    h = traffic_history(spark, sf_dir)
+    is_delta = F.pmod(F.col("id"), F.lit(HG_DELTA_MOD)) == HG_DELTA_SLOT
+    vf_base = hist_value_freq(h.filter(~is_delta))
+    vf_delta = hist_value_freq(h.filter(is_delta))
+    merged = (
+        vf_base.select("v", F.col("f").alias("b_f"))
+        .join(vf_delta.select("v", F.col("f").alias("d_f")), "v", "full_outer")
+        .select(
+            "v",
+            (F.coalesce("b_f", F.lit(0)) + F.coalesce("d_f", F.lit(0)))
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    return hist_buckets_from_vf(spark, merged).orderBy("bucket")
 
 
 @register(
@@ -932,7 +993,9 @@ def q_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_rows"),
     )
 
-    hb = _hist_buckets(spark, sf_dir)
+    hb = hist_buckets_from_vf(
+        spark, hist_value_freq(traffic_history(spark, sf_dir))
+    )
     ov = F.greatest(
         F.lit(0),
         F.least(F.lit(SEL_C2), F.col("hi"))

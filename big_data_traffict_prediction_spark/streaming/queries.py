@@ -1119,3 +1119,52 @@ def q_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera_id")
     )
+
+
+from ..operators.scans import _HIST_CTES as _HIST_CTES_SHARED  # noqa: E402
+
+
+@register(
+    "q_stream_histogram",
+    oracle=with_traffic(f"""
+, {_HIST_CTES_SHARED}
+SELECT bucket, lo, hi, n_rows, ndv FROM hist ORDER BY bucket
+"""),
+)
+def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING equi-depth histogram: the value-frequency table — the
+    MERGEABLE sufficient statistic of the histogram (see
+    q_histogram_merge) — accumulates as complete-mode aggregation
+    state while files land (counts are additive, so the drained vf is
+    chunking-invariant), and the rank-quantile bucket view is derived
+    once from the drained domain-sized frame. Hash-checked against
+    the SAME oracle as the batch q_histogram_stats: streaming
+    ingestion and batch rebuild produce the identical histogram — and
+    the split of labor IS the design lesson: the stream maintains
+    what merges (frequencies), the read derives what doesn't
+    (quantile bounds).
+
+    Scale shape: state is |value domain| counts — partition-grain
+    sketch state like the streaming HLL/zone-map/DDSketch twins; the
+    post-drain bucket derivation is the broadcast-spine overlap join
+    of hist_buckets_from_vf, value-domain-sized at any fact scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scans import hist_buckets_from_vf
+
+    stage, base = _staged(spark, sf_dir)
+    rows = simulate.read_stream(spark, stage)
+    vf = (
+        rows.filter(F.col("new_count").isNotNull())
+        .groupBy(F.col("new_count").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    out = windows.run_to_memory(
+        spark,
+        vf,
+        f"q_stream_histogram_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return hist_buckets_from_vf(spark, out).orderBy("bucket")

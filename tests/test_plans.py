@@ -1023,3 +1023,39 @@ def test_aqe_splits_skewed_camera_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_histogram_merge_is_copartitioned(spark, sf_dir):
+    from big_data_traffict_prediction_spark.operators.scans import (
+        q_histogram_merge,
+        q_histogram_stats,
+    )
+
+    import re
+
+    # Both vf aggregations hash-partition on exactly v, so each side of
+    # the full-outer merge must feed its SMJ Sort STRAIGHT from its
+    # aggregation — a re-shuffled "incremental" path would plan an
+    # Exchange directly under a join-side Sort. Concretely: the only
+    # Sort-fed Exchanges allowed in the whole plan are the window
+    # re-key (constant partition key) and the final orderBy; every
+    # join-side Sort sits on a HashAggregate. (The merged frame is
+    # referenced twice — cum + tot — so the static tree shows the join
+    # twice; AQE stage reuse dedups the identical vf exchanges at run.)
+    df = q_histogram_merge(spark, sf_dir)
+    tree = explain.formatted_plan(df).split("\n\n")[0].splitlines()
+    sort_over_exchange = sum(
+        1
+        for a, b in zip(tree, tree[1:])
+        if re.search(r"\bSort \(\d+\)", a) and re.search(r"\bExchange \(\d+\)", b)
+    )
+    assert sort_over_exchange == 2, "\n".join(tree)  # window re-key + orderBy
+    sort_over_agg = sum(
+        1
+        for a, b in zip(tree, tree[1:])
+        if re.search(r"\bSort \(\d+\)", a) and "HashAggregate" in b
+    )
+    assert sort_over_agg >= 2, "\n".join(tree)  # the co-partitioned join sides
+    assert explain.audit(df)["shuffles"] <= explain.audit(
+        q_histogram_stats(spark, sf_dir)
+    )["shuffles"] + 2

@@ -1011,3 +1011,42 @@ def test_stream_interval_join_binned_matches_batch(spark, sf_dir):
         .collect()
     )
     assert got and got == batch
+
+
+def test_stream_histogram_chunking_invariant(spark, sf_dir):
+    """Value-frequency counts are additive, so the drained streaming
+    vf — and hence the histogram derived from it — must be identical
+    at any micro-batch chunking (the property licensing the batch-SQL
+    oracle of q_stream_histogram)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"hginv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        rows = simulate.read_stream(spark, stage)
+        vf = (
+            rows.filter(F.col("new_count").isNotNull())
+            .groupBy(F.col("new_count").alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        out = windows.run_to_memory(
+            spark,
+            vf,
+            f"hginv_{n_chunks}_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+            output_mode="complete",
+        )
+        got = {(r.v, r.f) for r in out.collect()}
+        shutil.rmtree(base, ignore_errors=True)
+        return got
+
+    one, three = drained(1), drained(3)
+    assert one and one == three
