@@ -363,7 +363,38 @@ def _source_stamp(sf_dir: str) -> str:
     return "|".join(parts)
 
 
-_CC_STORE_VERSION = 1  # bump when the base build's semantics change
+_CC_STORE_VERSION = 1  # bump for semantic changes the source hash can't see
+
+
+def cc_is_delta():
+    """The deployment-slot predicate — ONE definition shared by the
+    stored-side build and q_cc_delta so base/delta stay exact
+    complements (its source is part of the store cache key)."""
+    return F.col("cam_key") % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT
+
+
+def cc_with_cells(df: DataFrame) -> DataFrame:
+    """Attach the CELL_DEG grid-cell keys (ci, cj)."""
+    return df.select(
+        "*",
+        F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
+        F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
+    )
+
+
+def cc_offsets():
+    """The 3x3 cell-neighborhood explode shared by every radius join."""
+    return F.explode(
+        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    )
+
+
+def cc_d2():
+    """Squared planar distance between (lat, lng) and (b_lat, b_lng)."""
+    return (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lng") - F.col("b_lng")
+    ) * (F.col("lng") - F.col("b_lng"))
 
 
 def _build_base_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,26 +404,12 @@ def _build_base_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components
 
     g = camera_geo(spark, sf_dir)
-    gb = g.filter(~(F.col("cam_key") % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT))
-    offsets = F.explode(
-        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
-                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
-    )
-    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
-        F.col("lng") - F.col("b_lng")
-    ) * (F.col("lng") - F.col("b_lng"))
-    bpts = (
-        gb.groupBy("lat", "lng")
-        .agg(F.min("cam_key").alias("pid"))
-        .select(
-            "lat",
-            "lng",
-            "pid",
-            F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
-            F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
-        )
-        .localCheckpoint(eager=True)  # probe, build AND map
-    )
+    gb = g.filter(~cc_is_delta())
+    offsets = cc_offsets()
+    d2 = cc_d2()
+    bpts = cc_with_cells(
+        gb.groupBy("lat", "lng").agg(F.min("cam_key").alias("pid"))
+    ).localCheckpoint(eager=True)  # probe, build AND map
     bbuild = bpts.select(
         F.col("lat").alias("b_lat"),
         F.col("lng").alias("b_lng"),
@@ -438,13 +455,19 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     here made literal because the base side is an ITERATIVE job, not a
     single aggregation: re-running CC per query would be exactly the
     O(history) work incremental maintenance exists to avoid). The key
-    fingerprints the source parquet (size+mtime) and every connectivity
-    parameter, so a regenerated testdata tree or a parameter change
-    rebuilds instead of serving stale labels; concurrent builders race
-    benignly via write-to-temp + atomic rename. When the source has no
-    stat-able parquet (tests plant a synthetic camera_geo), nothing is
-    persisted — the build is materialized in-memory instead, standing
-    in for the stored read without a cache key to go stale."""
+    fingerprints the source parquet (size+mtime), every connectivity
+    parameter AND the build's own source text (predicate + geometry
+    drift auto-invalidates), so a regenerated testdata tree, a
+    parameter change or an edited build rebuilds instead of serving
+    stale labels; concurrent builders — threads or processes — each
+    write a private tmp dir and race benignly via atomic rename. When
+    the source has no stat-able parquet (tests plant a synthetic
+    camera_geo), nothing is persisted — the build is materialized
+    in-memory instead, standing in for the stored read without a cache
+    key to go stale."""
+    import inspect
+    import uuid
+
     stamp = _source_stamp(sf_dir)
     if not stamp:
         return _build_base_zone_labels(spark, sf_dir).localCheckpoint(eager=True)
@@ -457,20 +480,41 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 repr(GEO_CC_R2),
                 f"{GEO_CC_DELTA_MOD}.{GEO_CC_DELTA_SLOT}",
                 repr(CELL_DEG),
+                # semantic fingerprint: any edit to the build or its
+                # shared predicate/geometry helpers changes the key
+                *(
+                    inspect.getsource(f)
+                    for f in (
+                        _build_base_zone_labels,
+                        camera_geo,
+                        cc_is_delta,
+                        cc_with_cells,
+                        cc_offsets,
+                        cc_d2,
+                    )
+                ),
             ]
         ).encode()
     ).hexdigest()[:16]
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stored", f"cc_zones_{key}"
+        tempfile.gettempdir(),
+        f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
+        else "spark_graft_stored",
+        f"cc_zones_{key}",
     )
     if not os.path.isdir(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
+        # pid alone is not unique across THREADS of one driver — a
+        # shared tmp dir would let one builder clobber the other
+        # mid-write and publish a torn store under the immutable key
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         _build_base_zone_labels(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # a concurrent build won
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # not a lost race — real failure
+                raise
     return spark.read.parquet(path)
 
 
@@ -502,37 +546,24 @@ def q_cc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components
 
     g = camera_geo(spark, sf_dir)
-    is_delta = F.col("cam_key") % GEO_CC_DELTA_MOD == GEO_CC_DELTA_SLOT
-    gb = g.filter(~is_delta)
-    gd = g.filter(is_delta)
+    gb = g.filter(~cc_is_delta())
+    gd = g.filter(cc_is_delta())
 
     def sym(p):
         return p.select(F.col("a").alias("d1"), F.col("b").alias("d2")).union(
             p.select(F.col("b").alias("d1"), F.col("a").alias("d2"))
         ).localCheckpoint(eager=True)
 
-    def with_cells(df):
-        return df.select(
-            "*",
-            F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
-            F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
-        )
-
-    offsets = F.explode(
-        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
-                  for di in (-1, 0, 1) for dj in (-1, 0, 1)])
-    )
-    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
-        F.col("lng") - F.col("b_lng")
-    ) * (F.col("lng") - F.col("b_lng"))
+    offsets = cc_offsets()
+    d2 = cc_d2()
 
     # --- stored side: READ the persisted point-grain zone labels
-    bmap = with_cells(stored_zone_labels(spark, sf_dir))
+    bmap = cc_with_cells(stored_zone_labels(spark, sf_dir))
 
     # --- delta edges at CAMERA grain: delta↔delta pairs plus each
     # delta camera's links into base POINT zones
     dd = radius_pairs(gd, GEO_CC_R2)
-    dprobe = with_cells(gd).select(
+    dprobe = cc_with_cells(gd).select(
         "cam_key", "lat", "lng", "ci", "cj", offsets.alias("o")
     ).select(
         "cam_key",

@@ -280,8 +280,10 @@ def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("camera_id")
 
 
+from ..operators.joins import ALERT_LOOKBACK_MIN  # noqa: E402
+
 ALERT_THRESHOLD = 300
-ALERT_LOOKBACK = "15 minutes"
+ALERT_LOOKBACK = f"{ALERT_LOOKBACK_MIN} minutes"
 
 
 @register(
@@ -343,8 +345,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The lookback length IS the bin length (see q_interval_join_binned):
-# every alert window spans exactly two consecutive bins.
-_SJ_BIN_S = 15 * 60
+# every alert window spans exactly two consecutive bins. Derived from
+# the SAME constant as the join condition — the 2-bin completeness
+# proof requires bin length >= lookback.
+_SJ_BIN_S = ALERT_LOOKBACK_MIN * 60
 
 
 @register(
@@ -1148,17 +1152,12 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch state like the streaming HLL/zone-map/DDSketch twins; the
     post-drain bucket derivation is the broadcast-spine overlap join
     of hist_buckets_from_vf, value-domain-sized at any fact scale."""
-    from pyspark.sql import functions as F
-
-    from ..operators.scans import hist_buckets_from_vf
+    from ..operators.scans import hist_buckets_from_vf, hist_value_freq
 
     stage, base = _staged(spark, sf_dir)
-    rows = simulate.read_stream(spark, stage)
-    vf = (
-        rows.filter(F.col("new_count").isNotNull())
-        .groupBy(F.col("new_count").alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
+    # the SAME vf statistic as the batch/merge queries — reusing the
+    # helper keeps the streaming twin in lock-step with its oracle
+    vf = hist_value_freq(simulate.read_stream(spark, stage))
     out = windows.run_to_memory(
         spark,
         vf,
