@@ -189,6 +189,7 @@ EXTENDED = [
     "q_histogram_stats",
     "q_histogram_merge",
     "q_selectivity_histogram",
+    "q_selectivity_zone_sketch",
     "q_stream_interval_join_binned",
     "q_stream_histogram",
     "q_clustering_depth",
