@@ -786,3 +786,42 @@ def test_selectivity_sketch_beats_uniform(spark, oracle_sf_dir):
     r0 = q_selectivity_estimate(spark, oracle_sf_dir).first()
     assert r.exact_rows == r0.exact_rows
     assert r.est_uniform == r0.est_rows
+
+
+def test_zone_sketch_bounds_match_dds_upper(spark):
+    """q_selectivity_zone_sketch derives bucket bounds with clamped
+    shifts (the ANSI-hoisting workaround); over every REAL bucket id
+    (0..3 and >= 8) they must equal pipeline's dds_upper tiling:
+    up(b) == dds_upper(b) and lo(b) == dds_upper(b-1) + 1 (lo(0) = 0)."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        dds_bucket,
+        dds_upper,
+    )
+
+    # real bucket ids are exactly the image of dds_bucket
+    xs = spark.range(0, 300000).select(F.col("id").alias("x"))
+    buckets = xs.select(dds_bucket(F.col("x")).alias("bucket")).distinct()
+    b = F.col("bucket")
+    o2 = F.greatest(F.call_function("div", b, F.lit(4)), F.lit(2)).cast("int")
+    s = F.pmod(b, F.lit(4))
+    base = F.call_function("shiftleft", F.lit(1).cast("long"), o2)
+    width = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (o2 - 2).cast("int")
+    )
+    lo = F.when(b <= 3, b.cast("long")).otherwise(base + s * width)
+    up = F.when(b <= 3, b.cast("long")).otherwise(base + (s + 1) * width - 1)
+    rows = buckets.select("bucket", lo.alias("lo"), up.alias("up")).collect()
+    uppers = {
+        r.bucket: r.up
+        for r in buckets.select("bucket", dds_upper(b).alias("up")).collect()
+    }
+    assert len(rows) > 20
+    prev_by_bucket = {}
+    for r in sorted(rows, key=lambda r: r.bucket):
+        assert r.up == uppers[r.bucket], (r.bucket, r.up, uppers[r.bucket])
+        prev_by_bucket[r.bucket] = r.lo
+    ordered = sorted(uppers)
+    for a, c in zip(ordered, ordered[1:]):
+        # lo of the NEXT real bucket continues exactly after this upper
+        assert prev_by_bucket[c] == uppers[a] + 1, (a, c)
+    assert prev_by_bucket[ordered[0]] == 0
