@@ -471,6 +471,17 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = _source_stamp(sf_dir)
     if not stamp:
         return _build_base_zone_labels(spark, sf_dir).localCheckpoint(eager=True)
+    from ..functions.dedup import connected_components
+
+    def _src(f) -> str:
+        # stable fallback for source-less deployments (pyc/zipimport) —
+        # same contract as registry._fingerprint; _CC_STORE_VERSION is
+        # the manual invalidation lever in that mode
+        try:
+            return inspect.getsource(f)
+        except (OSError, TypeError):
+            return f"{f.__module__}.{f.__qualname__}"
+
     key = hashlib.md5(
         "|".join(
             [
@@ -480,10 +491,11 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 repr(GEO_CC_R2),
                 f"{GEO_CC_DELTA_MOD}.{GEO_CC_DELTA_SLOT}",
                 repr(CELL_DEG),
-                # semantic fingerprint: any edit to the build or its
-                # shared predicate/geometry helpers changes the key
+                # semantic fingerprint: any edit to the build, its
+                # shared predicate/geometry helpers, OR the CC
+                # algorithm itself changes the key
                 *(
-                    inspect.getsource(f)
+                    _src(f)
                     for f in (
                         _build_base_zone_labels,
                         camera_geo,
@@ -491,19 +503,25 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cc_with_cells,
                         cc_offsets,
                         cc_d2,
+                        connected_components,
                     )
                 ),
             ]
         ).encode()
     ).hexdigest()[:16]
-    path = os.path.join(
+    store_root = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
         else "spark_graft_stored",
-        f"cc_zones_{key}",
     )
+    # the source dir rides in the name so GC can scope to ONE source
+    # (each sf_dir keeps its own live store; only superseded keys of
+    # the SAME source are reclaimed)
+    src_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    prefix = f"cc_zones_{src_tag}_"
+    path = os.path.join(store_root, f"{prefix}{key}")
     if not os.path.isdir(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(store_root, exist_ok=True)
         # pid alone is not unique across THREADS of one driver — a
         # shared tmp dir would let one builder clobber the other
         # mid-write and publish a torn store under the immutable key
@@ -515,6 +533,16 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(path):  # not a lost race — real failure
                 raise
+        else:
+            # best-effort GC: superseded keys of THIS source (old
+            # params/source text/regenerated data) would otherwise
+            # accumulate one base-label table per edit
+            for d in os.listdir(store_root):
+                # never touch .tmp. dirs — a concurrent builder may be
+                # mid-write (orphans from killed processes linger, but
+                # best-effort GC must not turn into a race)
+                if d.startswith(prefix) and ".tmp." not in d and d != f"{prefix}{key}":
+                    shutil.rmtree(os.path.join(store_root, d), ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -556,11 +556,11 @@ SEL_T1 = _NOW_EPOCH - 14 * 86400  # NOW - 14d (midnight => hour-aligned)
 SEL_T2 = _NOW_EPOCH - 7 * 86400
 SEL_C1, SEL_C2 = 100, 250
 
-
-@register(
-    "q_selectivity_estimate",
-    oracle=with_traffic(f"""
-, zm AS (
+# ONE definition of the zone-map pass, the predicate window and the
+# uniform interpolation, shared by all three selectivity rungs
+# (q_selectivity_estimate / _histogram / _zone_sketch) in BOTH engines
+# — the cross-estimator witness agreement holds by construction.
+_SEL_ZM_SQL = f"""zm AS (
   SELECT epoch_us(ts) // 1000000 // 3600 AS hour_epoch,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(MIN(new_count) AS BIGINT) AS mn,
@@ -568,15 +568,74 @@ SEL_C1, SEL_C2 = 100, 250
          CAST(SUM(CASE WHEN new_count BETWEEN {SEL_C1} AND {SEL_C2}
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_match
   FROM traffic GROUP BY 1
-),
-rng AS (
+)"""
+
+_SEL_RNG_SQL = f"""rng AS (
   SELECT *,
          hour_epoch >= {SEL_T1 // 3600} AND hour_epoch < {SEL_T2 // 3600}
            AS in_range,
          GREATEST(0, LEAST({SEL_C2}, mx) - GREATEST({SEL_C1}, mn) + 1)
            AS overlap
   FROM zm
-)
+)"""
+
+
+def sel_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour-zone stats frame (n_rows, mn, mx, n_match) — the Spark
+    twin of _SEL_ZM_SQL; n_match is the exact witness riding along."""
+    from ..compat import epoch_s
+
+    return (
+        traffic_history(spark, sf_dir)
+        .select(
+            F.call_function("div", epoch_s("ts"), F.lit(3600)).alias("hour_epoch"),
+            "new_count",
+        )
+        .groupBy("hour_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("new_count").cast("long").alias("mn"),
+            F.max("new_count").cast("long").alias("mx"),
+            F.sum(F.col("new_count").between(SEL_C1, SEL_C2).cast("long"))
+            .cast("long")
+            .alias("n_match"),
+        )
+    )
+
+
+def sel_in_range():
+    """hour_epoch ∈ [T1, T2) — the (hour-aligned ⇒ exact) time window."""
+    return (F.col("hour_epoch") >= SEL_T1 // 3600) & (
+        F.col("hour_epoch") < SEL_T2 // 3600
+    )
+
+
+def sel_overlap():
+    """Width of [C1, C2] ∩ [mn, mx] per zone (0 when disjoint)."""
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(SEL_C2), F.col("mx"))
+        - F.greatest(F.lit(SEL_C1), F.col("mn"))
+        + 1,
+    )
+
+
+def sel_est_zone():
+    """Uniform-within-zone interpolation of the matching rows."""
+    ov = sel_overlap()
+    return F.when(
+        sel_in_range() & (ov > 0),
+        F.call_function(
+            "div", F.col("n_rows") * ov, F.col("mx") - F.col("mn") + 1
+        ),
+    ).otherwise(0)
+
+
+@register(
+    "q_selectivity_estimate",
+    oracle=with_traffic(f"""
+, {_SEL_ZM_SQL},
+{_SEL_RNG_SQL}
 SELECT CAST(COUNT(*) AS BIGINT) AS zones_total,
        CAST(SUM(CASE WHEN in_range THEN 1 ELSE 0 END) AS BIGINT)
          AS zones_in_range,
@@ -615,41 +674,10 @@ def q_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, then a scalar fold — at 100 TB the estimator reads the
     STORED index (zone-map rows), never the fact; the in-query build
     stands in for that read exactly as in q_zone_map_merge."""
-    from ..compat import epoch_s
-
-    h = traffic_history(spark, sf_dir)
-    zm = (
-        h.select(
-            F.call_function("div", epoch_s("ts"), F.lit(3600)).alias("hour_epoch"),
-            "new_count",
-        )
-        .groupBy("hour_epoch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("new_count").cast("long").alias("mn"),
-            F.max("new_count").cast("long").alias("mx"),
-            F.sum(
-                F.col("new_count").between(SEL_C1, SEL_C2).cast("long")
-            )
-            .cast("long")
-            .alias("n_match"),
-        )
-    )
-    in_range = (F.col("hour_epoch") >= SEL_T1 // 3600) & (
-        F.col("hour_epoch") < SEL_T2 // 3600
-    )
-    overlap = F.greatest(
-        F.lit(0),
-        F.least(F.lit(SEL_C2), F.col("mx"))
-        - F.greatest(F.lit(SEL_C1), F.col("mn"))
-        + 1,
-    )
-    est_zone = F.when(
-        in_range & (overlap > 0),
-        F.call_function(
-            "div", F.col("n_rows") * overlap, F.col("mx") - F.col("mn") + 1
-        ),
-    ).otherwise(0)
+    zm = sel_zone_map(spark, sf_dir)
+    in_range = sel_in_range()
+    overlap = sel_overlap()
+    est_zone = sel_est_zone()
     agg = zm.agg(
         F.count(F.lit(1)).cast("long").alias("zones_total"),
         F.sum(in_range.cast("long")).cast("long").alias("zones_in_range"),
@@ -876,23 +904,8 @@ def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_selectivity_histogram",
     oracle=with_traffic(f"""
-, zm AS (
-  SELECT epoch_us(ts) // 1000000 // 3600 AS hour_epoch,
-         CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(MIN(new_count) AS BIGINT) AS mn,
-         CAST(MAX(new_count) AS BIGINT) AS mx,
-         CAST(SUM(CASE WHEN new_count BETWEEN {SEL_C1} AND {SEL_C2}
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-  FROM traffic GROUP BY 1
-),
-rng AS (
-  SELECT *,
-         hour_epoch >= {SEL_T1 // 3600} AND hour_epoch < {SEL_T2 // 3600}
-           AS in_range,
-         GREATEST(0, LEAST({SEL_C2}, mx) - GREATEST({SEL_C1}, mn) + 1)
-           AS overlap
-  FROM zm
-),
+, {_SEL_ZM_SQL},
+{_SEL_RNG_SQL},
 zs AS (
   SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
          CAST(SUM(CASE WHEN in_range THEN n_rows ELSE 0 END) AS BIGINT)
@@ -949,45 +962,13 @@ def q_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB both are READS of stored statistics — the zone-map table
     and the ANALYZE histogram this query's twin builds), then pure
     scalar algebra on broadcast one-row frames."""
-    from ..compat import epoch_s
-
-    h = traffic_history(spark, sf_dir)
-    zm = (
-        h.select(
-            F.call_function("div", epoch_s("ts"), F.lit(3600)).alias("hour_epoch"),
-            "new_count",
-        )
-        .groupBy("hour_epoch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("new_count").cast("long").alias("mn"),
-            F.max("new_count").cast("long").alias("mx"),
-            F.sum(F.col("new_count").between(SEL_C1, SEL_C2).cast("long"))
-            .cast("long")
-            .alias("n_match"),
-        )
-    )
-    in_range = (F.col("hour_epoch") >= SEL_T1 // 3600) & (
-        F.col("hour_epoch") < SEL_T2 // 3600
-    )
-    overlap = F.greatest(
-        F.lit(0),
-        F.least(F.lit(SEL_C2), F.col("mx"))
-        - F.greatest(F.lit(SEL_C1), F.col("mn"))
-        + 1,
-    )
-    est_zone = F.when(
-        in_range & (overlap > 0),
-        F.call_function(
-            "div", F.col("n_rows") * overlap, F.col("mx") - F.col("mn") + 1
-        ),
-    ).otherwise(0)
-    zs = zm.agg(
+    in_range = sel_in_range()
+    zs = sel_zone_map(spark, sf_dir).agg(
         F.sum("n_rows").cast("long").alias("total_rows"),
         F.sum(F.when(in_range, F.col("n_rows")).otherwise(0))
         .cast("long")
         .alias("rows_in_window"),
-        F.sum(est_zone).cast("long").alias("est_uniform"),
+        F.sum(sel_est_zone()).cast("long").alias("est_uniform"),
         F.sum(F.when(in_range, F.col("n_match")).otherwise(0))
         .cast("long")
         .alias("exact_rows"),
@@ -1047,6 +1028,31 @@ def q_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zone_sketch_bounds():
+    """(lo, up) inclusive value bounds of the sketch bucket column —
+    computed with CLAMPED shifts instead of pipeline.dds_upper:
+    Spark's subexpression hoisting evaluates the otherwise-branch
+    arithmetic for b <= 3 rows too (the r11 ANSI trap), where o-2 < 0
+    becomes a masked 62-bit shift and (s+1)*width overflows. Real
+    sketch buckets are 0..3 or >= 8 (octave o >= 2), so greatest(o, 2)
+    changes nothing on the taken branch while keeping every shift
+    non-negative. For b >= 8: lo = 2^o + s*width == dds_upper(b-1) + 1
+    (octave-boundary case included: upper(4(o-1)+3) = 2^o - 1),
+    up == dds_upper(b). Shared by q_selectivity_zone_sketch and the
+    equivalence test (test_zone_sketch_bounds_match_dds_upper), so the
+    pin covers the production expression itself."""
+    b = F.col("bucket")
+    o2 = F.greatest(F.call_function("div", b, F.lit(4)), F.lit(2)).cast("int")
+    s = F.pmod(b, F.lit(4))
+    base = F.call_function("shiftleft", F.lit(1).cast("long"), o2)
+    width = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (o2 - 2).cast("int")
+    )
+    lo = F.when(b <= 3, b.cast("long")).otherwise(base + s * width)
+    up = F.when(b <= 3, b.cast("long")).otherwise(base + (s + 1) * width - 1)
+    return lo, up
+
+
 def _zone_sketch_oracle() -> str:
     from .pipeline import _DDS_BUCKET_SQL, _DDS_UPPER_SQL
 
@@ -1083,27 +1089,15 @@ sk AS (
                  AS ov
         FROM bounds)
 ),
-zm AS (
-  SELECT epoch_us(ts) // 1000000 // 3600 AS hour_epoch,
-         CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(MIN(new_count) AS BIGINT) AS mn,
-         CAST(MAX(new_count) AS BIGINT) AS mx,
-         CAST(SUM(CASE WHEN new_count BETWEEN {SEL_C1} AND {SEL_C2}
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-  FROM traffic GROUP BY 1
-),
+{_SEL_ZM_SQL},
+{_SEL_RNG_SQL},
 zs AS (
   SELECT CAST(SUM(CASE WHEN in_range AND overlap > 0
                   THEN n_rows * overlap // (mx - mn + 1) ELSE 0 END) AS BIGINT)
            AS est_uniform,
          CAST(SUM(CASE WHEN in_range THEN n_match ELSE 0 END) AS BIGINT)
            AS exact_rows
-  FROM (SELECT *,
-               hour_epoch >= {SEL_T1 // 3600} AND hour_epoch < {SEL_T2 // 3600}
-                 AS in_range,
-               GREATEST(0, LEAST({SEL_C2}, mx) - GREATEST({SEL_C1}, mn) + 1)
-                 AS overlap
-        FROM zm)
+  FROM rng
 )
 SELECT zs.exact_rows, zs.est_uniform, sk.est_sketch, sk.sketch_cells,
        CAST(ABS(zs.est_uniform - zs.exact_rows) * 1000000
@@ -1156,25 +1150,8 @@ def q_selectivity_zone_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_epoch", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    in_range = (F.col("hour_epoch") >= SEL_T1 // 3600) & (
-        F.col("hour_epoch") < SEL_T2 // 3600
-    )
-    # Bucket bounds computed with CLAMPED shifts instead of
-    # pipeline.dds_upper: Spark's subexpression hoisting evaluates the
-    # otherwise-branch arithmetic for b <= 3 rows too (the r11 ANSI
-    # trap), where o-2 < 0 becomes a masked 62-bit shift and
-    # (s+1)*width overflows. Real sketch buckets are 0..3 or >= 8
-    # (octave o >= 2), so greatest(o, 2) changes nothing on the taken
-    # branch while keeping every shift non-negative. For b >= 8:
-    # lo = 2^o + s*width == dds_upper(b-1) + 1 (octave-boundary case
-    # included: upper(4(o-1)+3) = 2^o - 1), up == dds_upper(b).
-    b = F.col("bucket")
-    o2 = F.greatest(F.call_function("div", b, F.lit(4)), F.lit(2)).cast("int")
-    s = F.pmod(b, F.lit(4))
-    base = F.call_function("shiftleft", F.lit(1).cast("long"), o2)
-    width = F.call_function("shiftleft", F.lit(1).cast("long"), (o2 - 2).cast("int"))
-    lo = F.when(b <= 3, b.cast("long")).otherwise(base + s * width)
-    up = F.when(b <= 3, b.cast("long")).otherwise(base + (s + 1) * width - 1)
+    in_range = sel_in_range()
+    lo, up = zone_sketch_bounds()
     ov = F.greatest(
         F.lit(0),
         F.least(F.lit(SEL_C2), up) - F.greatest(F.lit(SEL_C1), lo) + 1,
@@ -1191,35 +1168,8 @@ def q_selectivity_zone_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_sketch"),
     )
 
-    zm = (
-        h.select(hour.alias("hour_epoch"), "new_count")
-        .groupBy("hour_epoch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("new_count").cast("long").alias("mn"),
-            F.max("new_count").cast("long").alias("mx"),
-            F.sum(F.col("new_count").between(SEL_C1, SEL_C2).cast("long"))
-            .cast("long")
-            .alias("n_match"),
-        )
-    )
-    overlap = F.greatest(
-        F.lit(0),
-        F.least(F.lit(SEL_C2), F.col("mx"))
-        - F.greatest(F.lit(SEL_C1), F.col("mn"))
-        + 1,
-    )
-    zs = zm.agg(
-        F.sum(
-            F.when(
-                in_range & (overlap > 0),
-                F.call_function(
-                    "div", F.col("n_rows") * overlap, F.col("mx") - F.col("mn") + 1
-                ),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("est_uniform"),
+    zs = sel_zone_map(spark, sf_dir).agg(
+        F.sum(sel_est_zone()).cast("long").alias("est_uniform"),
         F.sum(F.when(in_range, F.col("n_match")).otherwise(0))
         .cast("long")
         .alias("exact_rows"),

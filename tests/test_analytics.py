@@ -797,19 +797,15 @@ def test_zone_sketch_bounds_match_dds_upper(spark):
         dds_bucket,
         dds_upper,
     )
+    from big_data_traffict_prediction_spark.operators.scans import (
+        zone_sketch_bounds,
+    )
 
     # real bucket ids are exactly the image of dds_bucket
     xs = spark.range(0, 300000).select(F.col("id").alias("x"))
     buckets = xs.select(dds_bucket(F.col("x")).alias("bucket")).distinct()
     b = F.col("bucket")
-    o2 = F.greatest(F.call_function("div", b, F.lit(4)), F.lit(2)).cast("int")
-    s = F.pmod(b, F.lit(4))
-    base = F.call_function("shiftleft", F.lit(1).cast("long"), o2)
-    width = F.call_function(
-        "shiftleft", F.lit(1).cast("long"), (o2 - 2).cast("int")
-    )
-    lo = F.when(b <= 3, b.cast("long")).otherwise(base + s * width)
-    up = F.when(b <= 3, b.cast("long")).otherwise(base + (s + 1) * width - 1)
+    lo, up = zone_sketch_bounds()  # the query's OWN expressions
     rows = buckets.select("bucket", lo.alias("lo"), up.alias("up")).collect()
     uppers = {
         r.bucket: r.up

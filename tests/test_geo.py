@@ -118,6 +118,13 @@ def test_cc_delta_runs_cc_only_on_quotient(spark, sf_dir):
     calls: list[int] = []
     orig = D.connected_components
 
+    # wraps() sets __wrapped__, which inspect.getsource follows — the
+    # store's semantic cache key (it hashes connected_components'
+    # source) must see the ORIGINAL function, or the patch itself
+    # would invalidate the store and force a rebuild mid-count
+    import functools
+
+    @functools.wraps(orig)
     def counting(edges):
         calls.append(1)
         return orig(edges)
