@@ -514,12 +514,10 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
         else "spark_graft_stored",
     )
-    # the source dir rides in the name so GC can scope to ONE source
-    # (each sf_dir keeps its own live store; only superseded keys of
-    # the SAME source are reclaimed)
+    # the source dir rides in the name so different sources never
+    # collide even when their parameter keys would
     src_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    prefix = f"cc_zones_{src_tag}_"
-    path = os.path.join(store_root, f"{prefix}{key}")
+    path = os.path.join(store_root, f"cc_zones_{src_tag}_{key}")
     if not os.path.isdir(path):
         os.makedirs(store_root, exist_ok=True)
         # pid alone is not unique across THREADS of one driver — a
@@ -534,16 +532,42 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.isdir(path):  # not a lost race — real failure
                 raise
         else:
-            # best-effort GC: superseded keys of THIS source (old
-            # params/source text/regenerated data) would otherwise
-            # accumulate one base-label table per edit
-            for d in os.listdir(store_root):
-                # never touch .tmp. dirs — a concurrent builder may be
-                # mid-write (orphans from killed processes linger, but
-                # best-effort GC must not turn into a race)
-                if d.startswith(prefix) and ".tmp." not in d and d != f"{prefix}{key}":
-                    shutil.rmtree(os.path.join(store_root, d), ignore_errors=True)
+            _gc_stale_stores(store_root, keep=path)
+    else:
+        # refresh the active store's mtime so the age-based GC below
+        # can never reap a key some process still reads
+        try:
+            os.utime(path)
+        except OSError:
+            pass
     return spark.read.parquet(path)
+
+
+_CC_STORE_TTL_S = 7 * 86400
+
+
+def _gc_stale_stores(store_root: str, keep: str) -> None:
+    """Best-effort reclaim of ABANDONED store dirs (any layout,
+    orphaned .tmp. dirs included) older than the TTL. Age-based rather
+    than key-based on purpose: a key-based sweep would delete a store
+    some other live process still reads (different checkout or a
+    mid-run testdata regeneration produce different keys for the same
+    source), breaking its in-flight scans — while active stores have
+    their mtime refreshed on every read, so only truly dead keys age
+    past the TTL. Edit churn is therefore bounded at one label table
+    per abandoned key per week instead of forever."""
+    import time
+
+    cutoff = time.time() - _CC_STORE_TTL_S
+    for d in os.listdir(store_root):
+        full = os.path.join(store_root, d)
+        if not d.startswith("cc_zones_") or full == keep:
+            continue
+        try:
+            if os.stat(full).st_mtime < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # raced with another GC / builder — fine
 
 
 @register("q_cc_delta", oracle=_cc_delta_oracle())
