@@ -183,6 +183,7 @@ EXTENDED = [
     "q_ddsketch_quantiles",
     "q_stream_ddsketch",
     "q_analyze_table",
+    "q_constraint_profile",
     "q_ann_recall_eval",
     "q_dedup_recall_eval",
     "q_selectivity_estimate",

@@ -1556,3 +1556,138 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# Constraint discovery candidates: uniqueness of the surrogate key, a
+# dependency that genuinely HOLDS (calendar: day determines weekday)
+# and one that genuinely fails (a user emits many event types).
+# Discovery REPORTS violation rates either way — the profiler's job is
+# measurement, not assertion.
+
+
+@register(
+    "q_constraint_profile",
+    oracle=f"""
+WITH ek AS (
+  SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_groups,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS extra_rows,
+         CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating
+  FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY 1)
+),
+ug AS (
+  SELECT user_id,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_type
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+us AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN d_type > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_type
+  FROM ug
+),
+dg AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(COUNT(DISTINCT dayofweek(ts)) AS BIGINT) AS d_dow
+  FROM events GROUP BY 1
+),
+ds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN d_dow > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_dow
+  FROM dg
+)
+SELECT * FROM (
+  SELECT 'unique' AS kind, 'event_id' AS lhs, '' AS rhs,
+         ek.n_groups, ek.violating,
+         CAST(ek.violating * 1000000 // GREATEST(ek.n_groups, 1) AS BIGINT)
+           AS violation_ppm,
+         ek.violating = 0 AS holds
+  FROM ek
+  UNION ALL
+  SELECT 'fd', 'user_id', 'event_type', us.n_groups, us.v_type,
+         CAST(us.v_type * 1000000 // GREATEST(us.n_groups, 1) AS BIGINT),
+         us.v_type = 0
+  FROM us
+  UNION ALL
+  SELECT 'fd', 'day', 'dow', ds.n_groups, ds.v_dow,
+         CAST(ds.v_dow * 1000000 // GREATEST(ds.n_groups, 1) AS BIGINT),
+         ds.v_dow = 0
+  FROM ds
+)
+ORDER BY kind, lhs, rhs
+""",
+)
+def q_constraint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRAINT DISCOVERY — the inference pass next to
+    q_analyze_table's column stats: instead of asserting declared
+    constraints, profile the data for candidate UNIQUE keys and
+    functional dependencies and report each candidate's violation
+    rate (a constraint "holds" only when zero left-hand-side groups
+    violate it). This is the profiling feature schema-inference and
+    CBO layers actually consume: a discovered key unlocks
+    distinct-elimination and join-cardinality bounds, a discovered FD
+    licenses GROUP BY reduction — and a NEAR-dependency's
+    violation_ppm is the data-quality signal (here user_id → event_type
+    violates in every group — "not a dependency" — while day → dow
+    holds exactly: a real discovered calendar FD; a key candidate at
+    3 ppm would say "duplicate ingestion, investigate").
+    NULL left-hand sides are excluded per SQL FD semantics.
+
+    Scale shape: ONE hash aggregation per distinct LHS (same-LHS
+    candidates would fuse into one groupBy with several
+    COUNT(DISTINCT)s — the standard expand + two-phase partial
+    aggregation); every output is a constant-width frame. At 100 TB
+    the documented high-cardinality swap is the HLL register family
+    (ndv-per-group sketches) at the same plan shape."""
+    e = load_table(spark, sf_dir, "events")
+
+    ek = (
+        e.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("c") > 1).cast("long")).cast("long").alias("violating"),
+        )
+    )
+    us = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("d_type") > 1).cast("long")).cast("long").alias("v_type"),
+        )
+    )
+    from ..compat import dow0
+
+    ds = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), dow0("ts").alias("dw"))
+        .groupBy("d")
+        .agg(F.countDistinct("dw").alias("d_dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("d_dow") > 1).cast("long")).cast("long").alias("v_dow"),
+        )
+    )
+
+    def row(src, kind, lhs, rhs, violating_col):
+        ppm = F.call_function(
+            "div",
+            F.col(violating_col) * F.lit(1_000_000),
+            F.greatest(F.col("n_groups"), F.lit(1)),
+        )
+        return src.select(
+            F.lit(kind).alias("kind"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.col("n_groups"),
+            F.col(violating_col).alias("violating"),
+            ppm.cast("long").alias("violation_ppm"),
+            (F.col(violating_col) == 0).alias("holds"),
+        )
+
+    return (
+        row(ek, "unique", "event_id", "", "violating")
+        .unionByName(row(us, "fd", "user_id", "event_type", "v_type"))
+        .unionByName(row(ds, "fd", "day", "dow", "v_dow"))
+        .orderBy("kind", "lhs", "rhs")
+    )

@@ -252,3 +252,39 @@ def test_ddsketch_bucket_laws_exhaustive(spark):
         assert uppers[a] < uppers[b], (a, b)
     # relative error law: upper <= x + x // 4 + 1 for every x
     assert all(r.up <= r.x + r.x // 4 + 1 for r in rows)
+
+
+def test_constraint_profile_planted_violations(spark, tmp_path):
+    """Planted duplicate surrogate keys must fail the unique candidate
+    with an exact violation_ppm; a single-type user keeps the fd
+    holding; day → dow holds by calendar construction."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        q_constraint_profile,
+    )
+
+    rows = [
+        # event_id 7 appears twice (one violating key group of 4)
+        (7, datetime(2024, 1, 1, 8), 1, "click", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 9), 1, "click", 2.0, "{}"),
+        (8, datetime(2024, 1, 2, 8), 1, "click", 3.0, "{}"),
+        (9, datetime(2024, 1, 3, 8), 2, "view", 4.0, "{}"),
+        (10, datetime(2024, 1, 3, 9), 2, "click", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.kind, r.lhs, r.rhs): r
+        for r in q_constraint_profile(spark, str(tmp_path)).collect()
+    }
+    key = out[("unique", "event_id", "")]
+    assert key.n_groups == 4 and key.violating == 1 and not key.holds
+    assert key.violation_ppm == 1_000_000 // 4
+    fd = out[("fd", "user_id", "event_type")]
+    assert fd.n_groups == 2 and fd.violating == 1 and not fd.holds  # user 2 mixes
+    cal = out[("fd", "day", "dow")]
+    assert cal.n_groups == 3 and cal.violating == 0 and cal.holds
