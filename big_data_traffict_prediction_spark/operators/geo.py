@@ -514,10 +514,12 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
         else "spark_graft_stored",
     )
-    # the source dir rides in the name so different sources never
-    # collide even when their parameter keys would
+    # the source tag rides in the name so the GC below can scope to
+    # THIS source's superseded keys (and for human debuggability —
+    # the full key already hashes the source path)
     src_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    path = os.path.join(store_root, f"cc_zones_{src_tag}_{key}")
+    prefix = f"cc_zones_{src_tag}_"
+    path = os.path.join(store_root, f"{prefix}{key}")
     if not os.path.isdir(path):
         os.makedirs(store_root, exist_ok=True)
         # pid alone is not unique across THREADS of one driver — a
@@ -532,7 +534,7 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.isdir(path):  # not a lost race — real failure
                 raise
         else:
-            _gc_stale_stores(store_root, keep=path)
+            _gc_stale_stores(store_root, prefix, keep=path)
     else:
         # refresh the active store's mtime so the age-based GC below
         # can never reap a key some process still reads
@@ -546,22 +548,25 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_STORE_TTL_S = 7 * 86400
 
 
-def _gc_stale_stores(store_root: str, keep: str) -> None:
-    """Best-effort reclaim of ABANDONED store dirs (any layout,
-    orphaned .tmp. dirs included) older than the TTL. Age-based rather
-    than key-based on purpose: a key-based sweep would delete a store
-    some other live process still reads (different checkout or a
+def _gc_stale_stores(store_root: str, prefix: str, keep: str) -> None:
+    """Best-effort reclaim of ABANDONED store dirs of THIS source
+    (orphaned .tmp. dirs included) older than the TTL. Age-based AND
+    source-scoped on purpose: a key-based sweep would delete a store
+    some other live process still reads (a different checkout or a
     mid-run testdata regeneration produce different keys for the same
-    source), breaking its in-flight scans — while active stores have
-    their mtime refreshed on every read, so only truly dead keys age
-    past the TTL. Edit churn is therefore bounded at one label table
-    per abandoned key per week instead of forever."""
+    source), and an unscoped sweep would let one source's build reap
+    another source's store; active stores also refresh mtime on every
+    stored_zone_labels() call, so within the TTL a concurrently-read
+    key is never touched. Residual accepted risk, documented: a frame
+    HELD lazily for longer than the TTL without any re-call can lose
+    its files to a later build — edit churn is bounded at one label
+    table per abandoned key per week instead of forever."""
     import time
 
     cutoff = time.time() - _CC_STORE_TTL_S
     for d in os.listdir(store_root):
         full = os.path.join(store_root, d)
-        if not d.startswith("cc_zones_") or full == keep:
+        if not d.startswith(prefix) or full == keep:
             continue
         try:
             if os.stat(full).st_mtime < cutoff:

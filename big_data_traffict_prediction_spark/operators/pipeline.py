@@ -22,7 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import constant_key, global_rank
+from ..compat import constant_key, dow0, global_rank
 from ..registry import register
 from ..tables import load_table
 from ..functions.text import EN_MARKERS, NORM_SQL, _in_list_sql, norm_col
@@ -1569,10 +1569,10 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_constraint_profile",
     oracle=f"""
 WITH ek AS (
-  SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_groups,
-         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS extra_rows,
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
          CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating
-  FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY 1)
+  FROM (SELECT event_id, COUNT(*) AS c FROM events
+        WHERE event_id IS NOT NULL GROUP BY 1)
 ),
 ug AS (
   SELECT user_id,
@@ -1641,7 +1641,8 @@ def q_constraint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     ek = (
-        e.groupBy("event_id")
+        e.filter(F.col("event_id").isNotNull())
+        .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_groups"),
@@ -1657,8 +1658,6 @@ def q_constraint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("d_type") > 1).cast("long")).cast("long").alias("v_type"),
         )
     )
-    from ..compat import dow0
-
     ds = (
         e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), dow0("ts").alias("dw"))
         .groupBy("d")
