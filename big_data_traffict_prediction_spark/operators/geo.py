@@ -464,7 +464,14 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source has no stat-able parquet (tests plant a synthetic
     camera_geo), nothing is persisted — the build is materialized
     in-memory instead, standing in for the stored read without a cache
-    key to go stale."""
+    key to go stale.
+
+    LOCAL-MODE assumption, explicit: the store lives on the DRIVER's
+    filesystem (system temp dir), which executors can only resolve in
+    local mode — the deployment this repo targets (see bench.py). On a
+    real cluster the store root must be a spark-visible shared path
+    (set SPARK_GRAFT_CC_STORE to e.g. an HDFS/S3-fuse mount); the env
+    override below is that lever."""
     import inspect
     import uuid
 
@@ -509,11 +516,12 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).encode()
     ).hexdigest()[:16]
-    store_root = os.path.join(
+    store_root = os.environ.get("SPARK_GRAFT_CC_STORE") or os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
         else "spark_graft_stored",
     )
+    _ensure_private_dir(store_root)
     # the source tag rides in the name so the GC below can scope to
     # THIS source's superseded keys (and for human debuggability —
     # the full key already hashes the source path)
@@ -521,7 +529,6 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = f"cc_zones_{src_tag}_"
     path = os.path.join(store_root, f"{prefix}{key}")
     if not os.path.isdir(path):
-        os.makedirs(store_root, exist_ok=True)
         # pid alone is not unique across THREADS of one driver — a
         # shared tmp dir would let one builder clobber the other
         # mid-write and publish a torn store under the immutable key
@@ -543,6 +550,31 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     return spark.read.parquet(path)
+
+
+def _ensure_private_dir(root: str) -> None:
+    """Create the store root 0o700 and refuse to use a root another
+    user could have planted: on a multi-user host the default temp dir
+    is world-writable, so a predictable path created with default
+    permissions would let a local attacker pre-create it (or a
+    symlink) and poison the labels q_cc_delta reads as truth. Checked
+    every call, not just at creation — the dir must be a NON-SYMLINK
+    directory owned by the current uid."""
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"cc label store root is not a directory: {root}")
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"cc label store root {root} is owned by uid {st.st_uid}, "
+            f"not the current uid {os.getuid()} — refusing a store "
+            "another user could poison"
+        )
+    # tighten a pre-existing loose root (exist_ok skips the mode arg)
+    if _stat.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(root, 0o700)
 
 
 _CC_STORE_TTL_S = 7 * 86400

@@ -1588,7 +1588,7 @@ us AS (
 dg AS (
   SELECT strftime(ts, '%Y-%m-%d') AS d,
          CAST(COUNT(DISTINCT dayofweek(ts)) AS BIGINT) AS d_dow
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 ds AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -1659,7 +1659,8 @@ def q_constraint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ds = (
-        e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), dow0("ts").alias("dw"))
+        e.filter(F.col("ts").isNotNull())
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"), dow0("ts").alias("dw"))
         .groupBy("d")
         .agg(F.countDistinct("dw").alias("d_dow"))
         .agg(
