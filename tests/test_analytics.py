@@ -477,6 +477,45 @@ def test_join_size_sketch_never_underestimates(spark, oracle_sf_dir):
     assert r.over_ppm < 600_000, r  # < 60% over — collisions, not junk
 
 
+def test_join_size_mcv_beats_uniform_on_skew(spark, oracle_sf_dir):
+    """The MCV estimator's reason to exist: testdata cameras are
+    near-uniform (uniform stats already land within ~1%), so the
+    ordering that matters is pinned on a PLANTED skewed fleet — one
+    camera amplified 512x (the AQE skew fixture shape). There the
+    uniform estimate collapses (it spreads the hot key's mass over
+    every key: err > 50%) while the end-biased histogram keeps the hot
+    key as an exact singleton bucket and stays ppm-accurate."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.tsdb import (
+        am_pm_sides,
+        join_size_estimates,
+    )
+
+    pk = (
+        am_pm_sides(spark, oracle_sf_dir)
+        .groupBy("camera_id")
+        .agg(F.sum("am").alias("na"), F.sum("pm").alias("npm"))
+    )
+    c0 = pk.agg(F.min("camera_id")).collect()[0][0]
+    hot = F.col("camera_id") == c0
+    skewed = pk.select(
+        "camera_id",
+        F.when(hot, F.col("na") * 512).otherwise(F.col("na")).alias("na"),
+        F.when(hot, F.col("npm") * 512).otherwise(F.col("npm")).alias("npm"),
+    )
+    r = join_size_estimates(skewed).collect()[0]
+    assert r.exact_pairs > 0
+    err_u = abs(r.est_uniform - r.exact_pairs) / r.exact_pairs
+    err_m = abs(r.est_mcv - r.exact_pairs) / r.exact_pairs
+    assert err_u > 0.5, (err_u, r)  # uniform misses the skewed mass
+    assert err_m < 0.001, (err_m, r)  # MCV keeps the hot key exact
+    # and on the UNSKEWED fleet both estimators sit within ~1%
+    u = join_size_estimates(pk).collect()[0]
+    assert abs(u.est_uniform - u.exact_pairs) <= u.exact_pairs * 0.01
+    assert abs(u.est_mcv - u.exact_pairs) <= u.exact_pairs * 0.01
+
+
 def test_zone_map_merge_equals_full_rebuild(spark, oracle_sf_dir):
     """The incremental-equals-rebuild theorem for zone maps: merging
     the base index with the late-batch delta must reproduce the full
