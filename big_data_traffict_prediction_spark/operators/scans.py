@@ -1190,3 +1190,256 @@ def q_selectivity_zone_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         err_ppm("est_uniform").alias("err_uniform_ppm"),
         err_ppm("est_sketch").alias("err_sketch_ppm"),
     )
+
+
+def _zsk_cells_sql() -> str:
+    """zsk + zbounds CTE text: the 2-D zone×measure sketch cells with
+    (lo, up, in_range) attached — the same cells as _zone_sketch_oracle
+    builds inline (kept separate so that settled oracle's text, and with
+    it q_selectivity_zone_sketch's fingerprint, stays stable)."""
+    from .pipeline import _DDS_BUCKET_SQL, _DDS_UPPER_SQL
+
+    lo_sql = """CASE WHEN bucket <= 3 THEN bucket
+         ELSE (1 << (bucket // 4))
+              + (bucket % 4) * (1 << (bucket // 4 - 2)) END"""
+    return f"""zsk AS (
+  SELECT hour_epoch, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT epoch_us(ts) // 1000000 // 3600 AS hour_epoch,
+               {_DDS_BUCKET_SQL} AS bucket
+        FROM (SELECT ts, new_count AS x FROM traffic))
+  GROUP BY 1, 2
+),
+zbounds AS (
+  SELECT hour_epoch, bucket, n,
+         {lo_sql} AS lo,
+         {_DDS_UPPER_SQL} AS up,
+         hour_epoch >= {SEL_T1 // 3600} AND hour_epoch < {SEL_T2 // 3600}
+           AS in_range
+  FROM zsk
+)"""
+
+
+_ZSK_CELLS_SQL = _zsk_cells_sql()
+
+
+# Third conjunct for the correlation rung: the traffic-class whitelist
+# (tables.CAR_EVENT_TYPES), a categorical attribute whose marginal an
+# ANALYZE frequency table stores exactly.
+SEL_TYPES = ("click", "view")
+
+
+def conj_sel_estimates(spark: SparkSession, h: DataFrame) -> DataFrame:
+    """One-row conjunctive-selectivity comparison over a traffic-shaped
+    frame (needs ts, new_count, event_type): estimate
+    |ts ∈ [T1,T2) AND new_count ∈ [C1,C2] AND event_type ∈ SEL_TYPES|
+    two ways against the exact witness —
+
+    - est_avi: attribute-value independence, the default every CBO
+      starts from: n · sel_time · sel_value · sel_type with each
+      marginal from its own single-column statistic (time exact from
+      hour-zone row counts, value interpolated from the equi-depth
+      histogram, type exact from the categorical frequency table).
+    - est_corr: the time×value AVI term REPLACED by the 2-D zone×measure
+      sketch cells (the per-hour DDSketch histograms
+      q_selectivity_zone_sketch persists) — the joint distribution is
+      read, not assumed — with only the measured-independent type
+      attribute still composed multiplicatively.
+
+    Factored out of q_selectivity_conjunction so tests can feed a
+    PLANTED time×value-correlated frame (testdata's correlation is
+    mild; see the registered query's docstring). Cell building is kept
+    separate from q_selectivity_zone_sketch's inline twin so that
+    settled query's fingerprint stays stable."""
+    from ..compat import epoch_s
+    from .pipeline import dds_bucket
+
+    hour = F.call_function("div", epoch_s("ts"), F.lit(3600))
+    in_time = sel_in_range()
+    in_val = F.col("new_count").between(SEL_C1, SEL_C2)
+    is_type = F.col("event_type").isin(*SEL_TYPES)
+
+    base = h.select(
+        hour.alias("hour_epoch"), "new_count", is_type.alias("is_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(in_time.cast("long")).cast("long").alias("n_time"),
+        F.sum(F.col("is_type").cast("long")).cast("long").alias("n_type"),
+        F.sum((in_time & in_val & F.col("is_type")).cast("long"))
+        .cast("long")
+        .alias("exact_rows"),
+    )
+
+    # value marginal from the equi-depth histogram (q_selectivity_histogram's
+    # boundary-interpolated window match, same integer algebra)
+    hb = hist_buckets_from_vf(spark, hist_value_freq(h))
+    h_ov = F.greatest(
+        F.lit(0),
+        F.least(F.lit(SEL_C2), F.col("hi"))
+        - F.greatest(F.lit(SEL_C1), F.col("lo"))
+        + 1,
+    )
+    hm = hb.agg(
+        F.sum(
+            F.when(
+                h_ov > 0,
+                F.call_function(
+                    "div", F.col("n_rows") * h_ov, F.col("hi") - F.col("lo") + 1
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("hist_match_all")
+    )
+
+    # 2-D zone×measure cells → joint time×value estimate (the zone-sketch
+    # estimator, cells bounded at ~48/zone, mergeable)
+    zsk = (
+        h.select(hour.alias("hour_epoch"), dds_bucket(F.col("new_count")).alias("bucket"))
+        .groupBy("hour_epoch", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lo, up = zone_sketch_bounds()
+    s_ov = F.greatest(
+        F.lit(0),
+        F.least(F.lit(SEL_C2), up) - F.greatest(F.lit(SEL_C1), lo) + 1,
+    )
+    tv = zsk.agg(
+        F.sum(
+            F.when(
+                sel_in_range() & (s_ov > 0),
+                F.call_function("div", F.col("n") * s_ov, up - lo + 1),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("est_tv")
+    )
+
+    est = base.crossJoin(F.broadcast(hm)).crossJoin(F.broadcast(tv))
+    nt = F.greatest(F.col("n_total"), F.lit(1))
+    est_avi = F.call_function(
+        "div",
+        F.call_function("div", F.col("n_time") * F.col("hist_match_all"), nt)
+        * F.col("n_type"),
+        nt,
+    )
+    est_corr = F.call_function("div", F.col("est_tv") * F.col("n_type"), nt)
+
+    def err_ppm(col: str):
+        return F.call_function(
+            "div",
+            F.abs(F.col(col) - F.col("exact_rows")) * F.lit(1_000_000),
+            F.greatest(F.col("exact_rows"), F.lit(1)),
+        ).cast("long")
+
+    return (
+        est.select(
+            "n_total",
+            "n_time",
+            "n_type",
+            "hist_match_all",
+            "est_tv",
+            "exact_rows",
+            est_avi.cast("long").alias("est_avi"),
+            est_corr.cast("long").alias("est_corr"),
+        )
+        .select(
+            "n_total",
+            "n_time",
+            "n_type",
+            "exact_rows",
+            "est_avi",
+            "est_corr",
+            err_ppm("est_avi").alias("err_avi_ppm"),
+            err_ppm("est_corr").alias("err_corr_ppm"),
+        )
+    )
+
+
+@register(
+    "q_selectivity_conjunction",
+    oracle=with_traffic(f"""
+, base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN in_time THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
+         CAST(SUM(CASE WHEN is_type THEN 1 ELSE 0 END) AS BIGINT) AS n_type,
+         CAST(SUM(CASE WHEN in_time AND new_count BETWEEN {SEL_C1} AND {SEL_C2}
+                       AND is_type THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+  FROM (SELECT new_count,
+               epoch_us(ts) // 1000000 // 3600 >= {SEL_T1 // 3600}
+                 AND epoch_us(ts) // 1000000 // 3600 < {SEL_T2 // 3600}
+                 AS in_time,
+               event_type IN ('click','view') AS is_type
+        FROM traffic)
+),
+{_HIST_CTES},
+hm AS (
+  SELECT CAST(SUM(CASE WHEN ov > 0 THEN n_rows * ov // (hi - lo + 1)
+                  ELSE 0 END) AS BIGINT) AS hist_match_all
+  FROM (SELECT *,
+               GREATEST(0, LEAST({SEL_C2}, hi) - GREATEST({SEL_C1}, lo) + 1)
+                 AS ov
+        FROM hist)
+),
+{_ZSK_CELLS_SQL},
+tv AS (
+  SELECT CAST(SUM(CASE WHEN in_range AND ov > 0
+                  THEN n * ov // (up - lo + 1) ELSE 0 END) AS BIGINT)
+           AS est_tv
+  FROM (SELECT *,
+               GREATEST(0, LEAST({SEL_C2}, up) - GREATEST({SEL_C1}, lo) + 1)
+                 AS ov
+        FROM zbounds)
+),
+ests AS (
+  SELECT b.n_total, b.n_time, b.n_type, b.exact_rows,
+         CAST(((b.n_time * h.hist_match_all // GREATEST(b.n_total, 1))
+               * b.n_type) // GREATEST(b.n_total, 1) AS BIGINT) AS est_avi,
+         CAST((t.est_tv * b.n_type) // GREATEST(b.n_total, 1) AS BIGINT)
+           AS est_corr
+  FROM base b, hm h, tv t
+)
+SELECT n_total, n_time, n_type, exact_rows, est_avi, est_corr,
+       CAST(ABS(est_avi - exact_rows) * 1000000
+            // GREATEST(exact_rows, 1) AS BIGINT) AS err_avi_ppm,
+       CAST(ABS(est_corr - exact_rows) * 1000000
+            // GREATEST(exact_rows, 1) AS BIGINT) AS err_corr_ppm
+FROM ests
+"""),
+)
+def q_selectivity_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE-predicate selectivity under correlation — the honest
+    next error source after the r12 single-predicate ladder: a 3-way
+    conjunction (time range AND measure range AND traffic-class
+    whitelist) estimated WITH the attribute-value-independence
+    assumption (est_avi — each conjunct's marginal from its own
+    single-column statistic, multiplied) and WITHOUT it for the
+    time×value pair (est_corr — the joint read from the 2-D
+    zone×measure sketch cells q_selectivity_zone_sketch persists, only
+    the type attribute still composed multiplicatively), both against
+    the exact witness in ONE row. AVI is the assumption every CBO
+    defaults to and the one q_constraint_profile's discovered
+    dependencies exist to flag: when a dependency/correlation holds
+    between conjuncts, the product of marginals under-counts by up to
+    the correlation strength, unboundedly at scale.
+
+    Honest result on this corpus (pinned by test): time×value
+    correlation is MILD here (the r12 zone-sketch row measured the
+    same), so the estimators roughly tie — at sf0.01 est_avi errs
+    22.7% and est_corr 25.8% (the correlation saved is about what the
+    sketch's 25%-wide boundary buckets cost), exactly like the
+    histogram/sketch tie on the single predicate. The planted-correlation test
+    (tests/test_analytics.py::test_conjunction_corr_beats_avi_on_planted)
+    is where the story bites: values concentrated inside the time
+    window make sel_value ≈ sel_time, est_avi collapses to ~half the
+    true count (err > 40%) while the 2-D cells keep est_corr within
+    the sketch's boundary error (< 5%) — the unbounded-AVI-error
+    regime a 100 TB planner meets on correlated columns (hour × load
+    is THE canonical pair in traffic data).
+
+    Scale shape: three map-side-combined stat passes over the fact
+    (base counts + witness, equi-depth vf, 2-D cells) — at 100 TB all
+    three are READS of stored ANALYZE artifacts (zone rows, histogram,
+    per-zone cells) — then scalar algebra on broadcast one-row
+    frames. No reference analog (SURVEY.md §2: the engine owns its
+    statistics)."""
+    return conj_sel_estimates(spark, traffic_history(spark, sf_dir))

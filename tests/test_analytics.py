@@ -516,6 +516,51 @@ def test_join_size_mcv_beats_uniform_on_skew(spark, oracle_sf_dir):
     assert abs(u.est_mcv - u.exact_pairs) <= u.exact_pairs * 0.01
 
 
+def test_conjunction_corr_beats_avi_on_planted(spark):
+    """The regime q_selectivity_conjunction exists for: values strongly
+    correlated with time (in-window rows carry [100,250], out-of-window
+    rows [0,99]) make sel_value track sel_time, so the AVI product
+    double-counts the restriction and lands near HALF the true count —
+    while the 2-D zone×measure cells read the joint distribution and
+    stay within the sketch's boundary-bucket error."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.scans import (
+        SEL_T1,
+        SEL_T2,
+        conj_sel_estimates,
+    )
+
+    n = 4000
+    week = SEL_T2 - SEL_T1
+    planted = (
+        spark.range(n)
+        .select(
+            F.when(
+                F.col("id") % 2 == 0,
+                F.lit(SEL_T1) + F.pmod(F.col("id") * 3600, F.lit(week)),
+            )
+            .otherwise(
+                F.lit(SEL_T1 - week) + F.pmod(F.col("id") * 3600, F.lit(week))
+            )
+            .alias("es"),
+            F.when(F.col("id") % 2 == 0, F.lit(100) + F.col("id") % 151)
+            .otherwise(F.col("id") % 100)
+            .cast("long")
+            .alias("new_count"),
+            F.lit("click").alias("event_type"),
+        )
+        .select(F.timestamp_seconds("es").alias("ts"), "new_count", "event_type")
+    )
+    r = conj_sel_estimates(spark, planted).collect()[0]
+    assert r.exact_rows == n // 2, r
+    err_avi = abs(r.est_avi - r.exact_rows) / r.exact_rows
+    err_corr = abs(r.est_corr - r.exact_rows) / r.exact_rows
+    assert err_avi > 0.4, r  # AVI halves the count under correlation
+    assert err_corr < 0.1, r  # 2-D cells: boundary-bucket error only
+    assert err_corr * 4 < err_avi, r
+
+
 def test_zone_map_merge_equals_full_rebuild(spark, oracle_sf_dir):
     """The incremental-equals-rebuild theorem for zone maps: merging
     the base index with the late-batch delta must reproduce the full
