@@ -1025,6 +1025,237 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- fixed-point PQ (oracleable)
+
+PQF_SCALE = 1_000_000  # fixed-point image: floor(x * 1e6) per component
+_PQF_SUB_D = 64 // PQ_SUBSPACES
+
+
+def _pqf_fpv(col: Column) -> Column:
+    """array<long> fixed-point image of a float vector — the same
+    floor(x · scale) discipline as _dot_fp, applied per component so
+    SQUARED DISTANCES become exact integer arithmetic both engines
+    reproduce bit-for-bit."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * PQF_SCALE).cast("long")
+    )
+
+
+def _pqf_sub(a: Column, m: int) -> Column:
+    return F.slice(a, m * _PQF_SUB_D + 1, _PQF_SUB_D)
+
+
+def _pqf_d2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pqf_d2_sql(a: str, b: str, m: str) -> str:
+    t = f"({a}[{m} * 8 + i] - {b}[{m} * 8 + i])"
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {_PQF_SUB_D}), "
+        f"i -> {t} * {t})) AS BIGINT)"
+    )
+
+
+@register(
+    "q_ann_pq_fixed",
+    oracle=f"""
+WITH {_VECS_CTE},
+fp AS (
+  SELECT vec_id, label, embedding, norm_fp,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {PQF_SCALE}.0) AS BIGINT)) AS fpv
+  FROM vecs
+),
+cb AS (
+  SELECT vec_id AS j,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS p,
+         fpv
+  FROM fp WHERE vec_id < {PQ_CODES}
+),
+codes AS (
+  SELECT f.vec_id, g.m,
+         MIN({{'d': {_pqf_d2_sql('f.fpv', 'c.fpv', 'g.m')}, 'p': c.p}}) AS mc
+  FROM fp f, cb c,
+       (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS m) g
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+         CAST(SUM({_pqf_d2_sql('q.fpv', 'c.fpv', 'k.m')}) AS BIGINT)
+           AS adc_dist
+  FROM (SELECT vec_id, fpv FROM fp WHERE vec_id < {QUERY_LIMIT}) q,
+       codes k JOIN cb c ON c.p = k.mc.p
+  WHERE k.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS srk
+  FROM adc
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, c.label AS neighbor_label,
+         CAST({_dot_fp_sql("q.embedding", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.norm_fp AS DOUBLE)) * sqrt(CAST(c.norm_fp AS DOUBLE)))
+           AS cosine
+  FROM sl s
+  JOIN fp c ON c.vec_id = s.neighbor_id
+  JOIN fp q ON q.vec_id = s.query_id
+  WHERE s.srk <= {PQ_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM ex
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with a DETERMINISTIC FIXED-POINT codebook —
+    the oracleable twin of q_ann_pq: same two-stage plan (ADC shortlist
+    over compressed codes → exact fixed-point cosine re-rank), but the
+    codebook is the PQ_CODES lowest-vec_id vectors' subvectors (a
+    sample codebook — k-means iteration zero, faiss's own init) held in
+    fixed-point (floor(x·1e6) per component), so code assignment and
+    ADC distances are exact INTEGER arithmetic both engines replicate
+    bit-for-bit and the driver hash check covers the full PQ pipeline
+    end to end (q_ann_pq stays registered as the trained-float-kmeans
+    variant whose model step no SQL engine can mirror — that pair is
+    the documented trade: training quality vs provable reproducibility).
+
+    Codes are codebook ORDINALS (position in vec_id order, not raw
+    ids), so nothing assumes dense vec_ids; ties in code assignment
+    break to the lowest ordinal in both engines (lexicographic
+    struct-min — Spark array_min == DuckDB MIN({{'d',...,'p'...}})).
+
+    Spark shape, all JVM (no Python kernel anywhere): the codebook is
+    ONE collected-free broadcast row (sort_array ∘ collect_list over a
+    64-row filter); ENCODING is per-candidate HOF argmin over that
+    array inside codegen (zero shuffle — candidates never move);
+    per-query ADC lookup tables are built the same in-row way over the
+    bounded query batch; SCORING is the same static 8-term element_at
+    sum as q_ann_pq; the shortlist and exact re-rank reuse the
+    brute-force cosine machinery. At 100 TB the candidate side is a
+    scan of stored codes (6 bits × 8 per vector), queries broadcast,
+    and the only shuffle is the per-query top-k window over
+    queries × PQ_SHORTLIST survivor rows."""
+    fp = _vecs(spark, sf_dir).select(
+        "vec_id", "label", "embedding", "norm_fp",
+        _pqf_fpv(F.col("embedding")).alias("fpv"),
+    )
+    cb_row = (
+        fp.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("j"), "fpv")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "fpv"))).alias("cb"))
+    )
+
+    def code(m: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c, i: F.struct(
+                    _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)).alias(
+                        "d"
+                    ),
+                    i.cast("int").alias("p"),
+                ),
+            )
+        )["p"]
+
+    coded = fp.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        "label",
+        F.array(*[code(m) for m in range(PQ_SUBSPACES)]).alias("codes"),
+    )
+
+    def lut_block(m: int) -> Column:
+        return F.transform(
+            F.col("cb"),
+            lambda c: _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)),
+        )
+
+    luts = (
+        fp.filter(F.col("vec_id") < QUERY_LIMIT)
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.flatten(
+                F.array(*[lut_block(m) for m in range(PQ_SUBSPACES)])
+            ).alias("lut"),
+        )
+    )
+    adc = None
+    for m in range(PQ_SUBSPACES):
+        term = F.element_at(
+            "lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1)
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "neighbor_label")
+    )
+    n_emb = fp.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm_fp").alias("n_norm_fp"),
+    )
+    q_emb = fp.filter(F.col("vec_id") < QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fp").alias("q_norm_fp"),
+    )
+    exact = (
+        shortlist.join(n_emb, "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            _cosine(
+                _dot_fp(F.col("q_emb"), F.col("n_emb")),
+                F.col("q_norm_fp"),
+                F.col("n_norm_fp"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------------- label centroids
 
 CENTROID_SCALE = 1_000_000

@@ -341,6 +341,29 @@ def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"PQ+rerank recall {recall:.3f} below bound"
 
 
+def test_pq_fixed_recall_vs_bruteforce(spark, sf_dir):
+    """The fixed-point sample-codebook PQ (q_ann_pq_fixed) pays a few
+    recall points for exact cross-engine reproducibility — measured
+    ~0.78-0.79 vs the trained codebook's >=0.8 at both small SFs. Pin
+    the floor at 0.7: below that the sample codebook would no longer
+    be a usable quantizer and the oracleable variant would be
+    decorative."""
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        q_ann_bruteforce,
+        q_ann_pq_fixed,
+    )
+
+    bf: dict = {}
+    for r in q_ann_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pf: dict = {}
+    for r in q_ann_pq_fixed(spark, sf_dir).collect():
+        pf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert bf.keys() == pf.keys()
+    recall = sum(len(bf[q] & pf[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= 0.7, f"PQ-fixed recall {recall:.3f} below bound"
+
+
 def test_holt_forecast_matches_numpy_reference(spark, sf_dir):
     """The struct-state Holt fold (not oracle-safe in DuckDB — see
     q_ses_forecast) must match a plain Python reference recurrence on
