@@ -755,6 +755,24 @@ def hist_value_freq(h: DataFrame) -> DataFrame:
     )
 
 
+def merge_vf(a: DataFrame, b: DataFrame) -> DataFrame:
+    """vf(a) ⊕ vf(b): value-frequency counts ADD under a co-partitioned
+    full-outer join on v — the mergeable-sufficient-statistic algebra
+    q_histogram_merge maintains (associative + commutative with the
+    empty frame as identity; pinned under arbitrary K-way splits by
+    tests/test_analytics.py::test_histogram_merge_law_arbitrary_splits)."""
+    return (
+        a.select("v", F.col("f").alias("b_f"))
+        .join(b.select("v", F.col("f").alias("d_f")), "v", "full_outer")
+        .select(
+            "v",
+            (F.coalesce("b_f", F.lit(0)) + F.coalesce("d_f", F.lit(0)))
+            .cast("long")
+            .alias("f"),
+        )
+    )
+
+
 def hist_buckets_from_vf(spark: SparkSession, vf: DataFrame) -> DataFrame:
     """Equi-depth bucket frame (bucket, lo, hi, n_rows, ndv) derived
     from a value-frequency table — the Spark twin of the _HIST_CTES
@@ -886,17 +904,8 @@ def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(delta + |value domain|), never O(history)."""
     h = traffic_history(spark, sf_dir)
     is_delta = F.pmod(F.col("id"), F.lit(HG_DELTA_MOD)) == HG_DELTA_SLOT
-    vf_base = hist_value_freq(h.filter(~is_delta))
-    vf_delta = hist_value_freq(h.filter(is_delta))
-    merged = (
-        vf_base.select("v", F.col("f").alias("b_f"))
-        .join(vf_delta.select("v", F.col("f").alias("d_f")), "v", "full_outer")
-        .select(
-            "v",
-            (F.coalesce("b_f", F.lit(0)) + F.coalesce("d_f", F.lit(0)))
-            .cast("long")
-            .alias("f"),
-        )
+    merged = merge_vf(
+        hist_value_freq(h.filter(~is_delta)), hist_value_freq(h.filter(is_delta))
     )
     return hist_buckets_from_vf(spark, merged).orderBy("bucket")
 

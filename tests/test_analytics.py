@@ -848,6 +848,46 @@ def test_zone_map_merge_law_arbitrary_splits(spark, sf_dir):
         assert got == rebuilt
 
 
+def test_histogram_merge_law_arbitrary_splits(spark, sf_dir):
+    """vf(⊕ of K disjoint slices) == vf(whole) — and therefore the
+    derived equi-depth buckets are IDENTICAL — for arbitrary K and
+    either association order: the algebraic law that lets incremental
+    ANALYZE fold ingest batches into the stored histogram in any order
+    (the zone-map law's twin; q_histogram_merge pins one base/delta
+    split, this pins the general statement)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.operators.scans import (
+        hist_buckets_from_vf,
+        hist_value_freq,
+        merge_vf,
+    )
+    from big_data_traffict_prediction_spark.tables import traffic_history
+
+    h = traffic_history(spark, sf_dir)
+    rebuilt = {
+        r.bucket: (r.lo, r.hi, r.n_rows, r.ndv)
+        for r in hist_buckets_from_vf(spark, hist_value_freq(h)).collect()
+    }
+    assert rebuilt
+    for k in (2, 5):
+        slices = [
+            hist_value_freq(h.filter(F.pmod("id", F.lit(k)) == i))
+            for i in range(k)
+        ]
+        for merged_vf in (
+            reduce(merge_vf, slices),  # left fold
+            reduce(lambda a, b: merge_vf(b, a), reversed(slices)),  # right fold
+        ):
+            got = {
+                r.bucket: (r.lo, r.hi, r.n_rows, r.ndv)
+                for r in hist_buckets_from_vf(spark, merged_vf).collect()
+            }
+            assert got == rebuilt, f"k={k}"
+
+
 def test_selectivity_sketch_beats_uniform(spark, oracle_sf_dir):
     """The zone-grain sketch estimator must beat min/max-uniform on the
     shared predicate by a wide margin (no AVI assumption, per-zone
