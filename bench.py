@@ -196,6 +196,10 @@ EXTENDED = [
     "q_clustering_depth",
     "q_cc_delta",
     "q_trending_decay",
+    # round 13
+    "q_join_size_histogram",
+    "q_selectivity_conjunction",
+    "q_ann_pq_fixed",
 ]
 
 
@@ -389,10 +393,20 @@ def main() -> None:
             name: round(sorted(s[name] for s in ext_sweeps)[1], 3)
             for name in EXTENDED
         }
+        # Per-query FLOOR over the sweeps, recorded alongside: timing
+        # noise is one-sided (spikes only), so even the median-of-3
+        # moved >15% on ~20% of sub-second extended names between two
+        # idle r12 sweeps while the totals stayed flat. The min is the
+        # stable cross-round regression denominator
+        # (scripts/bench_compare.py keys extended diffs to it).
+        extended_min = {
+            name: round(min(s[name] for s in ext_sweeps), 3) for name in EXTENDED
+        }
     else:
         extended = {
             name: round(run_one(spark, queries[name], sf_dir), 3) for name in EXTENDED
         }
+        extended_min = extended
 
     # The driver keeps only the OUTPUT TAIL, so the compact headline
     # line MUST be printed last (round 2's artifact lost every headline
@@ -411,6 +425,7 @@ def main() -> None:
         "queries_min": timings_min,
         "queries_cold": cold,
         "queries_extended": extended,
+        "queries_extended_min": extended_min,
         "sf": sf,
     }
     detail_path = resolve_detail_path(detail, repo_dir)

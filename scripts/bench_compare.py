@@ -59,7 +59,16 @@ def main() -> int:
     ref = json.loads(ref_raw.stdout)
 
     flagged = []
-    for key in ("queries_min", "queries_extended"):
+    # Extended diffs key on the min-of-sweeps floor when both sides
+    # carry it (one-sided timing noise made the median scatter >15% on
+    # sub-second names across idle sweeps); median kept as fallback for
+    # records predating the stat.
+    ext_key = (
+        "queries_extended_min"
+        if "queries_extended_min" in cur and "queries_extended_min" in ref
+        else "queries_extended"
+    )
+    for key in ("queries_min", ext_key):
         old = ref.get(key, {})
         new = cur.get(key, {})
         for name in sorted(set(old) & set(new)):

@@ -101,6 +101,39 @@ def test_guard_diverted_run_still_gates(tmp_path, monkeypatch):
     assert mod.main() == 1, "diverted 2x regression must still flag"
 
 
+def test_extended_keys_on_min_stat_when_present(tmp_path, monkeypatch):
+    """With queries_extended_min on BOTH sides, extended diffs key on
+    the floor stat: a median-only spike (one loaded sweep out of three)
+    must not flag, while a floor regression must."""
+    ref = {
+        "queries_min": {"q_a": 1.0},
+        "queries_extended": {"q_x": 1.0},
+        "queries_extended_min": {"q_x": 1.0},
+        "value_min": 1.0,
+    }
+    spiked = {
+        "queries_min": {"q_a": 1.0},
+        "queries_extended": {"q_x": 2.0},  # median inflated by one sweep
+        "queries_extended_min": {"q_x": 1.0},  # floor unchanged
+        "value_min": 1.0,
+    }
+    assert _run(tmp_path, monkeypatch, ref, spiked) == 0
+    regressed = {
+        "queries_min": {"q_a": 1.0},
+        "queries_extended": {"q_x": 1.0},  # median masked by two fast sweeps
+        "queries_extended_min": {"q_x": 2.0},
+        "value_min": 1.0,
+    }
+    assert _run(tmp_path, monkeypatch, ref, regressed) == 1
+    # fallback: a ref predating the stat still compares on the median
+    old_ref = {
+        "queries_min": {"q_a": 1.0},
+        "queries_extended": {"q_x": 1.0},
+        "value_min": 1.0,
+    }
+    assert _run(tmp_path, monkeypatch, old_ref, spiked) == 1
+
+
 def test_dropped_query_gates_unless_waived(tmp_path, monkeypatch):
     ref = {"queries_min": {"q_a": 1.0, "q_b": 1.0}, "queries_extended": {},
            "value_min": 2.0}
