@@ -200,6 +200,10 @@ EXTENDED = [
     "q_join_size_histogram",
     "q_selectivity_conjunction",
     "q_ann_pq_fixed",
+    "q_stream_join_size_sketch",
+    "q_analyze_sample",
+    "q_join_order_rank",
+    "q_bloom_skipping_eval",
 ]
 
 

@@ -1691,3 +1691,174 @@ def q_constraint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(ds, "fd", "day", "dow", "v_dow"))
         .orderBy("kind", "lhs", "rhs")
     )
+
+
+# Sampled ANALYZE: deterministic Bernoulli sample by row-id hash. 10%
+# at test scale so the sf0.01 sample (~1k rows) has √m concentration
+# tight enough to pin by test; at 100 TB the same knob goes to 0.1-1%.
+SMP_MOD = 1000
+SMP_PERMILLE = 100  # rows with hash % SMP_MOD < 100 → 10% sample
+
+_SMP_H_SQL = (
+    f"CAST(('0x' || substr(md5('smp#' || CAST(event_id AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {SMP_MOD}"
+)
+
+
+@register(
+    "q_analyze_sample",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS cents
+  FROM events
+  WHERE {_SMP_H_SQL} < {SMP_PERMILLE}
+  GROUP BY 1
+),
+smp AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS sample_rows,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sample_cents,
+         CAST(COUNT(user_id) AS BIGINT) AS d_obs,
+         CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND cnt = 1
+                                THEN 1 END), 0) AS BIGINT) AS f1,
+         CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND cnt = 2
+                                THEN 1 END), 0) AS BIGINT) AS f2
+  FROM pu
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_exact_cents,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+  FROM events
+),
+est AS (
+  SELECT s.sample_rows,
+         CAST(s.sample_rows * {SMP_MOD} // {SMP_PERMILLE} AS BIGINT) AS n_est,
+         CAST(s.sample_cents * {SMP_MOD} // {SMP_PERMILLE} AS BIGINT)
+           AS sum_est_cents,
+         CAST(s.d_obs + s.f1 * (s.f1 - 1) // (2 * (s.f2 + 1)) AS BIGINT)
+           AS ndv_chao,
+         x.n_exact, x.sum_exact_cents, x.ndv_exact
+  FROM smp s, ex x
+)
+SELECT n_exact, n_est,
+       CAST(ABS(n_est - n_exact) * 1000000 // GREATEST(n_exact, 1) AS BIGINT)
+         AS err_rows_ppm,
+       sum_exact_cents, sum_est_cents,
+       CAST(ABS(sum_est_cents - sum_exact_cents) * 1000000
+            // GREATEST(ABS(sum_exact_cents), 1) AS BIGINT) AS err_sum_ppm,
+       ndv_exact, ndv_chao,
+       CAST(ABS(ndv_chao - ndv_exact) * 1000000 // GREATEST(ndv_exact, 1)
+         AS BIGINT) AS err_ndv_ppm,
+       sample_rows
+FROM est
+""",
+)
+def q_analyze_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED ANALYZE — the statistics pass as a 100 TB system must
+    actually run it: a deterministic 10% Bernoulli sample (row-id hash
+    threshold, so the sample is reproducible, pushes down to the scan
+    as an ordinary predicate, and needs no shuffle or reservoir state)
+    scaled up to table statistics, next to the exact witnesses and an
+    err_ppm per statistic — the same honest-comparison discipline as
+    the selectivity/join-size estimator rungs.
+
+    Three statistics, three honesty grades (pinned by test at sf0.01):
+    row count and fixed-point SUM inflate by 1/q and land within a few
+    percent at the test sample size (Bernoulli sampling is unbiased
+    with √m concentration for linear statistics); NDV is the famous
+    hard case — a scaled-up
+    distinct count has no unbiased sample estimator (Charikar et al.'s
+    lower bound), so this uses the Chao1 bias-corrected estimator
+    d_obs + f1(f1−1)/(2(f2+1)) from the sample's singleton/doubleton
+    counts, integer-exact in both engines, and reports its real error
+    instead of pretending linear scaling works.
+
+    Scale shape: ONE sample-selectivity scan aggregated in two map-side-
+    combined levels (per-user counts → frequency-of-frequency row);
+    the exact witnesses are test-scale calibration only — at 100 TB
+    the sample pass is the whole cost, which is exactly why warehouses
+    ANALYZE from samples. Extends q_analyze_table (full-scan NDV/HLL
+    stats) with the sampling leg of the stats ladder."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 10000).cast("long")
+    smp_hash = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp#"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SMP_MOD),
+    )
+    pu = (
+        e.filter(smp_hash < SMP_PERMILLE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("cents"))
+    )
+    nn = F.col("user_id").isNotNull()
+    smp = pu.agg(
+        F.sum("cnt").cast("long").alias("sample_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sample_cents"),
+        F.count("user_id").cast("long").alias("d_obs"),
+        F.coalesce(F.sum((nn & (F.col("cnt") == 1)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.sum((nn & (F.col("cnt") == 2)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    ex = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(cents).cast("long").alias("sum_exact_cents"),
+        F.countDistinct("user_id").cast("long").alias("ndv_exact"),
+    )
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    est = smp.crossJoin(F.broadcast(ex)).select(
+        "sample_rows",
+        div(F.col("sample_rows") * F.lit(SMP_MOD), F.lit(SMP_PERMILLE))
+        .cast("long")
+        .alias("n_est"),
+        div(F.col("sample_cents") * F.lit(SMP_MOD), F.lit(SMP_PERMILLE))
+        .cast("long")
+        .alias("sum_est_cents"),
+        (
+            F.col("d_obs")
+            + div(
+                F.col("f1") * (F.col("f1") - F.lit(1)),
+                F.lit(2) * (F.col("f2") + F.lit(1)),
+            )
+        )
+        .cast("long")
+        .alias("ndv_chao"),
+        "n_exact",
+        "sum_exact_cents",
+        "ndv_exact",
+    )
+
+    def err_ppm(est_col: str, exact_col: str, tag: str):
+        return (
+            div(
+                F.abs(F.col(est_col) - F.col(exact_col)) * F.lit(1_000_000),
+                F.greatest(F.abs(F.col(exact_col)), F.lit(1)),
+            )
+            .cast("long")
+            .alias(f"err_{tag}_ppm")
+        )
+
+    return est.select(
+        "n_exact",
+        "n_est",
+        err_ppm("n_est", "n_exact", "rows"),
+        "sum_exact_cents",
+        "sum_est_cents",
+        err_ppm("sum_est_cents", "sum_exact_cents", "sum"),
+        "ndv_exact",
+        "ndv_chao",
+        err_ppm("ndv_chao", "ndv_exact", "ndv"),
+        "sample_rows",
+    )

@@ -475,3 +475,191 @@ def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+def _bloom_skip_oracle() -> str:
+    from ..tables import with_traffic
+    from .scans import ZM_BLOOM_BITS
+
+    n = CLUSTER_FILES
+    bit = (
+        "CAST(CAST(('0x' || substr(md5('zm#' || CAST(cam AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {ZM_BLOOM_BITS} AS INT)"
+    )
+    return with_traffic(f"""
+, base AS (
+  SELECT CAST(camera_id AS BIGINT) AS cam, id,
+         CAST(('0x' || substr(md5('f#' || camera_id), 1, 15)) AS BIGINT)
+           % {n} AS bf
+  FROM traffic
+),
+lay AS (
+  SELECT 'bucket' AS layout, bf AS f, cam FROM base
+  UNION ALL
+  SELECT 'range' AS layout,
+         ((ROW_NUMBER() OVER (ORDER BY cam, id) - 1) * {n})
+           // (SELECT COUNT(*) FROM base) AS f,
+         cam
+  FROM base
+),
+files AS (
+  SELECT layout, f, MIN(cam) AS mn, MAX(cam) AS mx,
+         CAST(BIT_OR(1::BIGINT << {bit}) AS BIGINT) AS bloom
+  FROM lay GROUP BY 1, 2
+),
+pairs AS (SELECT DISTINCT layout, f, cam FROM lay),
+tp AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS true_pairs
+       FROM pairs GROUP BY 1),
+cams AS (SELECT DISTINCT cam FROM base),
+scan AS (
+  SELECT fl.layout, idx.idx,
+         CAST(COUNT(*) AS BIGINT) AS scanned_pairs
+  FROM cams c
+  CROSS JOIN (SELECT unnest(['minmax', 'bloom']) AS idx) idx
+  JOIN files fl
+    ON CASE WHEN idx.idx = 'minmax' THEN c.cam BETWEEN fl.mn AND fl.mx
+            ELSE ((fl.bloom >> {bit.replace("cam", "c.cam")}) & 1) = 1 END
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM cams) AS BIGINT) AS n_cameras
+)
+SELECT s.layout, s.idx, CAST({n} AS BIGINT) AS n_files,
+       t.true_pairs, s.scanned_pairs,
+       CAST(s.scanned_pairs - t.true_pairs AS BIGINT) AS fp_pairs,
+       CAST(s.scanned_pairs * 1000000 // (tot.n_cameras * {n}) AS BIGINT)
+         AS scan_ppm,
+       CAST((s.scanned_pairs - t.true_pairs) * 1000000
+            // GREATEST(tot.n_cameras * {n} - t.true_pairs, 1) AS BIGINT)
+         AS fp_ppm
+FROM scan s JOIN tp t ON t.layout = s.layout, tot
+ORDER BY s.layout, s.idx
+""")
+
+
+@register("q_bloom_skipping_eval", oracle=_bloom_skip_oracle())
+def q_bloom_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping INDEX × LAYOUT evaluation — the decision matrix a
+    lakehouse table optimizer works from: q_clustering_depth showed
+    min/max zone maps need range-clustered data; this measures what
+    each index family actually skips, with FALSE-POSITIVE rates, on
+    the two layouts a 100 TB table realistically has:
+
+    - ``bucket`` (hash-bucketed by camera — Hive bucketing / liquid
+      clustering): every camera lives in exactly ONE of the 64 files,
+      but hash order destroys range locality, so each file's [min,max]
+      camera span is a wide random interval and range stats degrade
+      toward scanning everything as the fleet grows — while the
+      per-file BLOOM fingerprint prunes to ~the true file plus a
+      measured fp_ppm of collision false positives (62-bit filter
+      holding |fleet|/64 cameras; measured 6× fewer scanned files
+      than min/max at sf0.01, widening with fleet size).
+    - ``range`` (files cut from the camera-sorted order — the layout
+      OPTIMIZE/compaction produces for a single cluster key): each
+      camera touches only its contiguous file(s), so min/max prunes
+      near-perfectly and bloom merely matches it.
+
+    The matrix is the lesson: min/max is a LAYOUT-dependent index
+    (useless under hashing, perfect under range clustering) while
+    bloom is layout-insensitive — which is why lake formats store
+    both. Every cell is counted against the exact containment witness
+    (true_pairs), same honesty discipline as the estimator ladder;
+    q_clustering_depth covers the ingest-vs-zorder layout axis, this
+    covers the index axis.
+
+    Scale shape: per-file stats are ONE hash aggregation at file
+    grain (count/min/max/bit_or all map-side partial — exactly the
+    stats a lake writer computes per file on ingest); the probe is
+    the camera dimension against a broadcast 2×64-row files frame
+    (bounded non-equi join by construction); range-layout file
+    assignment uses compat.global_rank, never a data-sized window."""
+    from ..compat import global_rank
+    from ..functions.text import hash60
+    from ..tables import traffic_history
+    from .scans import ZM_BLOOM_BITS
+
+    n = CLUSTER_FILES
+    h = traffic_history(spark, sf_dir)
+    base = h.select(
+        F.col("camera_id").cast("long").alias("cam"),
+        "id",
+        F.pmod(
+            hash60(F.concat(F.lit("f#"), F.col("camera_id"))), F.lit(n)
+        ).alias("bf"),
+    )
+    rg = global_rank(base, ["cam", "id"]).select(
+        F.lit("range").alias("layout"),
+        F.call_function("div", (F.col("_rk") - 1) * n, F.col("_n")).alias("f"),
+        "cam",
+    )
+    lay = (
+        base.select(F.lit("bucket").alias("layout"), F.col("bf").alias("f"), "cam")
+        .unionByName(rg)
+        .localCheckpoint(eager=False)  # feeds files, true-pairs AND cams
+    )
+    bloom_bit = F.pmod(
+        hash60(F.concat(F.lit("zm#"), F.col("cam").cast("string"))),
+        F.lit(ZM_BLOOM_BITS),
+    ).cast("int")
+    files = lay.groupBy("layout", "f").agg(
+        F.min("cam").alias("mn"),
+        F.max("cam").alias("mx"),
+        F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), bloom_bit))
+        .cast("long")
+        .alias("bloom"),
+    )
+    tp = (
+        lay.select("layout", "f", "cam")
+        .distinct()
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_pairs"))
+    )
+    cams = lay.filter(F.col("layout") == "bucket").select("cam").distinct()
+    idx = cams.sparkSession.createDataFrame(
+        [("minmax",), ("bloom",)], ["idx"]
+    )
+    probe_bit = F.pmod(
+        hash60(F.concat(F.lit("zm#"), F.col("cam").cast("string"))),
+        F.lit(ZM_BLOOM_BITS),
+    ).cast("int")
+    hit = F.when(
+        F.col("idx") == "minmax",
+        (F.col("cam") >= F.col("mn")) & (F.col("cam") <= F.col("mx")),
+    ).otherwise(
+        F.call_function("shiftright", F.col("bloom"), probe_bit).bitwiseAND(
+            F.lit(1)
+        )
+        == 1
+    )
+    scan = (
+        cams.crossJoin(F.broadcast(idx))
+        .join(F.broadcast(files), hit)
+        .groupBy("layout", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("scanned_pairs"))
+    )
+    tot = cams.agg(F.count(F.lit(1)).cast("long").alias("n_cameras"))
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    return (
+        scan.join(F.broadcast(tp), "layout")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "layout",
+            "idx",
+            F.lit(n).cast("long").alias("n_files"),
+            "true_pairs",
+            "scanned_pairs",
+            (F.col("scanned_pairs") - F.col("true_pairs"))
+            .cast("long")
+            .alias("fp_pairs"),
+            div(F.col("scanned_pairs") * F.lit(1_000_000), F.col("n_cameras") * n)
+            .cast("long")
+            .alias("scan_ppm"),
+            div(
+                (F.col("scanned_pairs") - F.col("true_pairs")) * F.lit(1_000_000),
+                F.greatest(F.col("n_cameras") * n - F.col("true_pairs"), F.lit(1)),
+            )
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+        .orderBy("layout", "idx")
+    )

@@ -646,24 +646,36 @@ est AS (
 """.strip()
 
 
-def am_pm_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SIDES_CTE: per-event AM/PM indicator columns."""
-    return traffic_history(spark, sf_dir).select(
+def am_pm_from(df: DataFrame) -> DataFrame:
+    """Per-event AM/PM indicator columns from any frame carrying
+    (camera_id, ts) — batch table or the detection stream (the
+    streaming twin feeds `read_stream` output through this same
+    projection, keeping both estimators in lock-step with _SIDES_CTE).
+    """
+    return df.select(
         "camera_id",
         F.when(F.hour("ts") < 12, 1).otherwise(0).alias("am"),
         F.when(F.hour("ts") < 12, 0).otherwise(1).alias("pm"),
     )
 
 
-def cm_join_estimate(h: DataFrame) -> DataFrame:
-    """One-row (cm_estimate) CM inner-product join-size estimate from
-    the AM/PM sides frame — the Spark twin of _CM_JOIN_CTES. Both sides
-    stream into the same CM_DEPTH×CM_WIDTH grid in one map-side-combined
-    pass; the estimate is min over depth rows of Σ_b cellA[b]·cellB[b]."""
+def am_pm_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SIDES_CTE: per-event AM/PM indicator columns."""
+    return am_pm_from(traffic_history(spark, sf_dir))
+
+
+def cm_join_grid(h: DataFrame) -> DataFrame:
+    """The CM_DEPTH×CM_WIDTH dual-count grid (d, bucket, ca, cb) from an
+    AM/PM sides frame — the MERGEABLE sufficient statistic of the CM
+    join-size estimate: cells are plain sums, so grids of data slices
+    combine by cell-wise addition (and accumulate as complete-mode
+    streaming state — q_stream_join_size_sketch reuses this builder on
+    the stream). Works on batch and streaming frames alike: one
+    map-side-combined aggregation to 2·CM_DEPTH·CM_WIDTH cells."""
     from ..functions.text import hash60
 
     d_col = F.explode(F.array(*[F.lit(d) for d in range(CM_DEPTH)])).alias("d")
-    grid = (
+    return (
         h.select("camera_id", "am", "pm", d_col)
         .withColumn(
             "bucket",
@@ -680,6 +692,11 @@ def cm_join_estimate(h: DataFrame) -> DataFrame:
             F.sum("pm").cast("long").alias("cb"),
         )
     )
+
+
+def cm_estimate_from_grid(grid: DataFrame) -> DataFrame:
+    """One-row (cm_estimate) from a (d, bucket, ca, cb) grid: min over
+    depth rows of the per-row inner product Σ_b cellA[b]·cellB[b]."""
     return (
         grid.groupBy("d")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
@@ -687,9 +704,17 @@ def cm_join_estimate(h: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_join_size_sketch",
-    oracle=with_traffic(f"""
+def cm_join_estimate(h: DataFrame) -> DataFrame:
+    """One-row (cm_estimate) CM inner-product join-size estimate from
+    the AM/PM sides frame — the Spark twin of _CM_JOIN_CTES."""
+    return cm_estimate_from_grid(cm_join_grid(h))
+
+
+# Shared by the batch estimator and its streaming twin
+# (q_stream_join_size_sketch): the drained streaming grid equals the
+# batch grid cell for cell (counts are additive), so BOTH hash-check
+# against this one text — streaming maintenance == batch rebuild.
+_JOIN_SKETCH_ORACLE = with_traffic(f"""
 , {_SIDES_CTE},
 exact AS (
   SELECT CAST(SUM(na * npm) AS BIGINT) AS exact_pairs,
@@ -705,8 +730,35 @@ SELECT x.exact_pairs, x.n_keys, e.cm_estimate,
        CAST((e.cm_estimate - x.exact_pairs) * 1000000 // x.exact_pairs AS BIGINT)
          AS over_ppm
 FROM exact x, est e
-"""),
-)
+""")
+
+
+def cm_sketch_vs_exact(h: DataFrame, est: DataFrame) -> DataFrame:
+    """One row (exact_pairs, n_keys, cm_estimate, overcount, over_ppm):
+    the exact per-key join size of the AM/PM sides frame ``h`` next to
+    a one-row CM ``est`` (however maintained — batch pass or drained
+    streaming state). Spark twin of _JOIN_SKETCH_ORACLE's final SELECT.
+    """
+    per_key = h.groupBy("camera_id").agg(
+        F.sum("am").alias("na"), F.sum("pm").alias("npm")
+    )
+    exact = per_key.agg(
+        F.sum(F.col("na") * F.col("npm")).cast("long").alias("exact_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    over = (F.col("cm_estimate") - F.col("exact_pairs")).cast("long")
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "n_keys",
+        "cm_estimate",
+        over.alias("overcount"),
+        F.call_function(
+            "div", over * F.lit(1_000_000), F.col("exact_pairs")
+        ).alias("over_ppm"),
+    )
+
+
+@register("q_join_size_sketch", oracle=_JOIN_SKETCH_ORACLE)
 def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation by count-min inner product (the
     AMS / Cormode-Muthukrishnan F2-style estimator every
@@ -724,26 +776,7 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond 2·depth·width cells — while the exact answer
     needs the full per-key count materialization."""
     h = am_pm_sides(spark, sf_dir)
-    per_key = h.groupBy("camera_id").agg(
-        F.sum("am").alias("na"), F.sum("pm").alias("npm")
-    )
-    exact = per_key.agg(
-        F.sum(F.col("na") * F.col("npm")).cast("long").alias("exact_pairs"),
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-    )
-    over = (F.col("cm_estimate") - F.col("exact_pairs")).cast("long")
-    return (
-        exact.crossJoin(F.broadcast(cm_join_estimate(h)))
-        .select(
-            "exact_pairs",
-            "n_keys",
-            "cm_estimate",
-            over.alias("overcount"),
-            F.call_function(
-                "div", over * F.lit(1_000_000), F.col("exact_pairs")
-            ).alias("over_ppm"),
-        )
-    )
+    return cm_sketch_vs_exact(h, cm_join_estimate(h))
 
 
 # End-biased histogram (most-common-values list) size — PostgreSQL's
@@ -910,3 +943,166 @@ def q_join_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         err_ppm("est_mcv", "mcv"),
         err_ppm("cm_estimate", "cm"),
     )
+
+
+# Join-order choice demo: a star on lineitem with two filtered dims.
+JO_DATE = "1998-01-01 00:00:00"  # keeps ~half the orders
+JO_PSIZE = 15  # keeps ~30% of parts
+
+
+def join_order_rank(lf: DataFrame, of: DataFrame, pf: DataFrame) -> DataFrame:
+    """One-row join-order comparison for the star
+    ``lf ⋈ of ON l_orderkey  /  lf ⋈ pf ON l_partkey``: the uniform-
+    containment estimate |A|·|B| / max(ndv_A(k), ndv_B(k)) of each
+    candidate first join, the exact intermediate sizes, err_ppm per
+    estimate, and both picks (estimated vs exact cheapest first join,
+    ties → orders_first in both engines). Factored from
+    q_join_order_rank so tests can feed PLANTED frames — the planted
+    skew test shows the uniform estimator mis-ranking orders that the
+    exact witness ranks the other way (the case histograms/MCVs exist
+    to fix, q_join_size_histogram)."""
+    l = lf.localCheckpoint(eager=False)  # sides feed stats AND witnesses
+    o = of.localCheckpoint(eager=False)
+    p = pf.localCheckpoint(eager=False)
+    ls = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.countDistinct("l_orderkey").cast("long").alias("ndv_lo"),
+        F.countDistinct("l_partkey").cast("long").alias("ndv_lp"),
+    )
+    os_ = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_o"),
+    )
+    ps = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_p"),
+        F.countDistinct("p_partkey").cast("long").alias("ndv_p"),
+    )
+    x1 = l.join(o, l["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_lo")
+    )
+    x2 = l.join(p, l["l_partkey"] == p["p_partkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_lp")
+    )
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    row = (
+        ls.crossJoin(F.broadcast(os_))
+        .crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(x1))
+        .crossJoin(F.broadcast(x2))
+    )
+    est_lo = div(
+        F.col("n_l") * F.col("n_o"),
+        F.greatest(F.greatest(F.col("ndv_lo"), F.col("ndv_o")), F.lit(1)),
+    ).cast("long")
+    est_lp = div(
+        F.col("n_l") * F.col("n_p"),
+        F.greatest(F.greatest(F.col("ndv_lp"), F.col("ndv_p")), F.lit(1)),
+    ).cast("long")
+
+    def err_ppm(est, exact):
+        return div(
+            F.abs(est - F.col(exact)) * F.lit(1_000_000),
+            F.greatest(F.col(exact), F.lit(1)),
+        ).cast("long")
+
+    pick = lambda a, b: F.when(a <= b, F.lit("orders_first")).otherwise(  # noqa: E731
+        F.lit("part_first")
+    )
+    return row.select(
+        est_lo.alias("est_orders_first"),
+        F.col("exact_lo").alias("exact_orders_first"),
+        err_ppm(est_lo, "exact_lo").alias("err_orders_ppm"),
+        est_lp.alias("est_part_first"),
+        F.col("exact_lp").alias("exact_part_first"),
+        err_ppm(est_lp, "exact_lp").alias("err_part_ppm"),
+        pick(est_lo, est_lp).alias("pick_est"),
+        pick(F.col("exact_lo"), F.col("exact_lp")).alias("pick_exact"),
+        (pick(est_lo, est_lp) == pick(F.col("exact_lo"), F.col("exact_lp"))).alias(
+            "agree"
+        ),
+    )
+
+
+@register(
+    "q_join_order_rank",
+    oracle=f"""
+WITH lf AS (SELECT l_orderkey, l_partkey FROM lineitem),
+ofo AS (SELECT o_orderkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '{JO_DATE}'),
+pf AS (SELECT p_partkey FROM part WHERE p_size <= {JO_PSIZE}),
+ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_lo,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_lp
+       FROM lf),
+os AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_o
+       FROM ofo),
+ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_p,
+              CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS ndv_p
+       FROM pf),
+x1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_lo
+       FROM lf JOIN ofo ON l_orderkey = o_orderkey),
+x2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_lp
+       FROM lf JOIN pf ON l_partkey = p_partkey),
+est AS (
+  SELECT CAST(n_l * n_o // GREATEST(ndv_lo, ndv_o, 1) AS BIGINT) AS est_lo,
+         CAST(n_l * n_p // GREATEST(ndv_lp, ndv_p, 1) AS BIGINT) AS est_lp,
+         exact_lo, exact_lp
+  FROM ls, os, ps, x1, x2
+)
+SELECT est_lo AS est_orders_first, exact_lo AS exact_orders_first,
+       CAST(ABS(est_lo - exact_lo) * 1000000 // GREATEST(exact_lo, 1)
+         AS BIGINT) AS err_orders_ppm,
+       est_lp AS est_part_first, exact_lp AS exact_part_first,
+       CAST(ABS(est_lp - exact_lp) * 1000000 // GREATEST(exact_lp, 1)
+         AS BIGINT) AS err_part_ppm,
+       CASE WHEN est_lo <= est_lp THEN 'orders_first'
+            ELSE 'part_first' END AS pick_est,
+       CASE WHEN exact_lo <= exact_lp THEN 'orders_first'
+            ELSE 'part_first' END AS pick_exact,
+       (CASE WHEN est_lo <= est_lp THEN 'orders_first'
+             ELSE 'part_first' END)
+         = (CASE WHEN exact_lo <= exact_lp THEN 'orders_first'
+                 ELSE 'part_first' END) AS agree
+FROM est
+""",
+)
+def q_join_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-ORDER choice from statistics — the decision the whole CBO
+    estimator ladder exists to make: for the star
+    ``lineitem ⋈ orders(filtered) / lineitem ⋈ part(filtered)`` there
+    are two cross-product-free left-deep orders, and the planner must
+    pick which dim to join FIRST so the intermediate stays small. Each
+    candidate's first-join size is estimated with the System-R
+    uniform-containment formula |A|·|B| / max(ndv_A(k), ndv_B(k)) from
+    exactly the statistics ANALYZE stores (side counts + join-key
+    NDVs), then ranked next to the EXACT intermediate sizes — one row
+    with both picks, an agreement flag, and err_ppm per estimate.
+    On this data the filtered part side is ~30% of parts while the
+    filtered orders side is ~half of orders, and both estimates land
+    within ~2% (unique-ish keys), so est and exact agree on
+    part_first; the planted-skew test (tests/test_analytics.py) feeds
+    a 512×-amplified part key where the uniform estimate still says
+    part_first while the exact witness flips to orders_first — the
+    mis-rank that q_join_size_histogram's MCV rung exists to catch.
+
+    Scale shape: statistics are three map-side-combined one-row aggs
+    (at 100 TB these are ANALYZE's stored outputs, not query-time
+    scans) plus scalar algebra on broadcast one-row frames; the exact
+    intermediate counts are test-scale honesty witnesses a production
+    planner never computes. Cites reference scope: SURVEY.md §2 notes
+    the engine owns its planning statistics."""
+    from ..tables import load_table
+
+    lf = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    of = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(JO_DATE).cast("timestamp"))
+        .select("o_orderkey")
+    )
+    pf = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= JO_PSIZE)
+        .select("p_partkey")
+    )
+    return join_order_rank(lf, of, pf)

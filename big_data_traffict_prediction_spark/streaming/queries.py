@@ -1167,3 +1167,50 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return hist_buckets_from_vf(spark, out).orderBy("bucket")
+
+
+from ..operators.tsdb import _JOIN_SKETCH_ORACLE  # noqa: E402  (shared text)
+
+
+@register("q_stream_join_size_sketch", oracle=_JOIN_SKETCH_ORACLE)
+def q_stream_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING join-cardinality sketch: the CM_DEPTH×CM_WIDTH dual
+    grid of q_join_size_sketch maintained as complete-mode aggregation
+    state while detection files land — the planner statistic that
+    answers "how big would AM-events ⋈ PM-events be?" WITHOUT ever
+    re-scanning the fact. Grid cells are plain sums (additive across
+    micro-batches), so the drained grid equals the batch rebuild cell
+    for cell and the whole pipeline hash-checks against the SAME
+    oracle as the batch estimator — streaming maintenance == rebuild,
+    the discipline every mergeable statistic in this repo follows
+    (HLL, zone map, DDSketch, histogram vf, now the join-size grid).
+    The estimate (min over depth rows of the inner product) and the
+    exact witness run POST-DRAIN: min is not additive, so the stream
+    maintains what merges (cells) and the read derives what doesn't.
+
+    Scale shape: state is 2·CM_DEPTH·CM_WIDTH (4×512) cells per grid —
+    fixed-size whatever the fact rate; at 100 TB/day this is how join
+    stats stay CURRENT (the alternative, nightly ANALYZE re-scans, is
+    a full-fact read). The exact witness is test-scale honesty, never
+    computed by a production planner."""
+    from ..operators.tsdb import (
+        am_pm_from,
+        am_pm_sides,
+        cm_estimate_from_grid,
+        cm_join_grid,
+        cm_sketch_vs_exact,
+    )
+
+    stage, base = _staged(spark, sf_dir)
+    grid = cm_join_grid(am_pm_from(simulate.read_stream(spark, stage)))
+    out = windows.run_to_memory(
+        spark,
+        grid,
+        f"q_stream_join_size_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return cm_sketch_vs_exact(
+        am_pm_sides(spark, sf_dir), cm_estimate_from_grid(out)
+    )

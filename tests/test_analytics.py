@@ -945,3 +945,99 @@ def test_zone_sketch_bounds_match_dds_upper(spark):
         # lo of the NEXT real bucket continues exactly after this upper
         assert prev_by_bucket[c] == uppers[a] + 1, (a, c)
     assert prev_by_bucket[ordered[0]] == 0
+
+
+def test_join_order_uniform_misranks_on_planted_skew(spark):
+    """The System-R uniform estimate can pick the WRONG join order
+    under key skew: a hot part key makes lineitem⋈part explode while
+    the per-NDV formula still divides by the full key domain — the
+    mis-rank q_join_size_histogram's MCV rung exists to catch."""
+    from big_data_traffict_prediction_spark.operators.tsdb import join_order_rank
+
+    # 1000 lineitem rows: orderkeys uniform over 100; partkey 1 holds
+    # 900 rows, parts 2..101 one row each (ndv_lp = 101).
+    lf = spark.range(0, 1000).select(
+        (F.col("id") % 100 + 1).alias("l_orderkey"),
+        F.when(F.col("id") < 900, F.lit(1))
+        .otherwise(F.col("id") - 900 + 2)
+        .alias("l_partkey"),
+    )
+    of = spark.range(1, 51).select(F.col("id").alias("o_orderkey"))
+    pf = spark.range(1, 2).select(F.col("id").alias("p_partkey"))
+    r = join_order_rank(lf, of, pf).first()
+    # uniform: est_lp = 1000*1/101 = 9 rows << est_lo = 1000*50/100 = 500
+    assert r.pick_est == "part_first"
+    # reality: the hot part key joins 900 rows >> the 500 order rows
+    assert r.exact_part_first == 900 and r.exact_orders_first == 500
+    assert r.pick_exact == "orders_first"
+    assert not r.agree
+
+
+def test_join_order_agrees_on_real_data(spark, oracle_sf_dir):
+    """On the near-uniform testdata both estimates land within ~5% and
+    est/exact agree on joining the filtered part dim first."""
+    from big_data_traffict_prediction_spark.operators.tsdb import q_join_order_rank
+
+    r = q_join_order_rank(spark, oracle_sf_dir).first()
+    assert r.agree and r.pick_est == "part_first"
+    assert r.err_orders_ppm < 50_000 and r.err_part_ppm < 50_000
+
+
+def test_analyze_sample_calibration_grades(spark, oracle_sf_dir):
+    """The three sampled statistics have three honesty grades: linear
+    stats (count, fixed-point sum) land within a few percent at a 2%
+    sample; NDV from a sample is the documented hard case — Chao1 must
+    at least beat naive linear scaling (d_obs/q) and never fall below
+    what the sample directly witnessed."""
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        SMP_MOD,
+        SMP_PERMILLE,
+        q_analyze_sample,
+    )
+
+    r = q_analyze_sample(spark, oracle_sf_dir).first()
+    assert r.sample_rows > 0 and r.n_exact > r.sample_rows
+    assert r.err_rows_ppm < 100_000, f"count err {r.err_rows_ppm} ppm"
+    assert r.err_sum_ppm < 100_000, f"sum err {r.err_sum_ppm} ppm"
+    # Chao1 is a lower-bound-style estimator: above what the sample
+    # directly witnessed, not wildly above the truth
+    assert r.ndv_chao <= r.ndv_exact * 2
+    err_chao = abs(r.ndv_chao - r.ndv_exact)
+    assert err_chao * 1_000_000 // max(r.ndv_exact, 1) == r.err_ndv_ppm
+    assert SMP_MOD // SMP_PERMILLE == 10  # 10% sample wiring
+
+
+def test_bloom_skipping_matrix(spark, oracle_sf_dir):
+    """The index-x-layout decision matrix: min/max degrades on the
+    hash-bucketed layout (wide random [min,max] spans) where bloom
+    prunes hard; on the camera-sorted range layout min/max is exact
+    (zero false positives). No index ever produces a false negative
+    (scanned >= true everywhere)."""
+    from big_data_traffict_prediction_spark.operators.reshape import (
+        q_bloom_skipping_eval,
+    )
+
+    rows = {
+        (r.layout, r.idx): r
+        for r in q_bloom_skipping_eval(spark, oracle_sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("bucket", "minmax"),
+        ("bucket", "bloom"),
+        ("range", "minmax"),
+        ("range", "bloom"),
+    }
+    for r in rows.values():
+        assert r.scanned_pairs >= r.true_pairs, r  # no false negatives
+        assert r.fp_pairs == r.scanned_pairs - r.true_pairs
+    # hash layout: range stats degrade, bloom is the working index
+    assert (
+        rows[("bucket", "bloom")].scan_ppm * 4
+        < rows[("bucket", "minmax")].scan_ppm
+    )
+    # range-clustered layout: min/max is exact and beats bloom's FPs
+    assert rows[("range", "minmax")].fp_pairs == 0
+    assert (
+        rows[("range", "minmax")].scan_ppm
+        <= rows[("range", "bloom")].scan_ppm
+    )

@@ -1050,3 +1050,44 @@ def test_stream_histogram_chunking_invariant(spark, sf_dir):
 
     one, three = drained(1), drained(3)
     assert one and one == three
+
+
+def test_stream_join_size_grid_chunking_invariant_and_matches_batch(spark, sf_dir):
+    """The CM join grid's cells are plain sums, so the drained streaming
+    grid must equal the batch-built grid cell for cell at ANY chunking —
+    the property licensing q_stream_join_size_sketch's reuse of the
+    batch estimator's oracle text."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_traffict_prediction_spark.operators.tsdb import (
+        am_pm_from,
+        am_pm_sides,
+        cm_join_grid,
+    )
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"cminv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        grid = cm_join_grid(am_pm_from(simulate.read_stream(spark, stage)))
+        out = windows.run_to_memory(
+            spark,
+            grid,
+            f"cminv_{n_chunks}_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+            output_mode="complete",
+        )
+        got = {(r.d, r.bucket, r.ca, r.cb) for r in out.collect()}
+        shutil.rmtree(base, ignore_errors=True)
+        return got
+
+    batch = {
+        (r.d, r.bucket, r.ca, r.cb)
+        for r in cm_join_grid(am_pm_sides(spark, sf_dir)).collect()
+    }
+    one, three = drained(1), drained(3)
+    assert batch and one == batch and three == batch
