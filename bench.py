@@ -204,6 +204,7 @@ EXTENDED = [
     "q_analyze_sample",
     "q_join_order_rank",
     "q_bloom_skipping_eval",
+    "q_ann_ivf_pq_fixed",
 ]
 
 

@@ -428,6 +428,57 @@ IVF_CELLS = 8
 IVF_PROBES = 2
 
 
+def _ivf_centers_row(vecs: DataFrame) -> DataFrame:
+    """ONE row holding the deterministic coarse quantizer: IVF_CELLS
+    centers seeded from evenly-strided data points (k-means++ step-0,
+    faiss's init). Broadcast so per-vector assignment is a
+    shuffle-free HOF. Shared by q_ann_ivf and the IVF-PQ composition."""
+    params = vecs.agg(
+        F.greatest(F.floor((F.max("vec_id") + 1) / IVF_CELLS), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    centers = (
+        vecs.crossJoin(F.broadcast(params))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * IVF_CELLS)
+        )
+        .select(
+            F.floor(F.col("vec_id") / F.col("stride")).cast("int").alias("cell"),
+            F.col("embedding").alias("center"),
+        )
+    )
+    return centers.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("cs")
+    )
+
+
+def _ivf_scores() -> Column:
+    """Per-row center scores over the broadcast `cs` column; struct
+    (d, negcell) so lexicographic max/sort = dot DESC, cell ASC."""
+    return F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _dot_fp(F.col("embedding"), c["center"]).alias("d"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+
+
+def _ivf_cell() -> Column:
+    """Assigned cell = argmax-dot center (expects the `scores` column)."""
+    return (-F.array_max("scores")["negcell"]).cast("int")
+
+
+def _ivf_probe_cells() -> Column:
+    """The IVF_PROBES nearest cells of a query row (expects `scores`)."""
+    return F.transform(
+        F.slice(F.reverse(F.array_sort("scores")), 1, IVF_PROBES),
+        lambda s: (-s["negcell"]).cast("int"),
+    )
+
+
 @register(
     "q_ann_ivf",
     oracle=f"""
@@ -496,52 +547,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed-point dots make assignment, probing, and ranking
     bit-identical in DuckDB — hash-checked against the oracle."""
     vecs = _vecs(spark, sf_dir)
-    params = vecs.agg(
-        F.greatest(
-            F.floor((F.max("vec_id") + 1) / IVF_CELLS), F.lit(1)
-        ).cast("long").alias("stride")
-    )
-    centers = (
-        vecs.crossJoin(F.broadcast(params))
-        .filter(
-            (F.col("vec_id") % F.col("stride") == 0)
-            & (F.col("vec_id") < F.col("stride") * IVF_CELLS)
-        )
-        .select(
-            F.floor(F.col("vec_id") / F.col("stride")).cast("int").alias("cell"),
-            F.col("embedding").alias("center"),
-        )
-    )
     # one row holding all centers, broadcast: per-vector scoring is a
     # HOF over ≤ IVF_CELLS structs — executor-local, shuffle-free
-    centers_row = centers.agg(
-        F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("cs")
+    scored = vecs.crossJoin(F.broadcast(_ivf_centers_row(vecs))).withColumn(
+        "scores", _ivf_scores()
     )
-    # struct (d, negcell): lexicographic max/sort = dot DESC, cell ASC
-    scores = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            _dot_fp(F.col("embedding"), c["center"]).alias("d"),
-            (-c["cell"]).alias("negcell"),
-        ),
-    )
-    scored = vecs.crossJoin(F.broadcast(centers_row)).withColumn("scores", scores)
     assigned = scored.select(
         "vec_id",
         "label",
         "embedding",
         "norm_fp",
-        (-F.array_max("scores")["negcell"]).cast("int").alias("cell"),
-    )
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort("scores")), 1, IVF_PROBES),
-        lambda s: (-s["negcell"]).cast("int"),
+        _ivf_cell().alias("cell"),
     )
     probes = scored.filter(F.col("vec_id") < QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_fp").alias("qn"),
-        F.explode(probe_cells).alias("cell"),
+        F.explode(_ivf_probe_cells()).alias("cell"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1061,6 +1083,65 @@ def _pqf_d2_sql(a: str, b: str, m: str) -> str:
     )
 
 
+def _pqf_codebook_row(fp: DataFrame) -> DataFrame:
+    """ONE row holding the deterministic sample codebook (the PQ_CODES
+    lowest-vec_id fixed-point vectors, position = code ordinal) —
+    broadcast so encoding/LUT building are shuffle-free HOFs. Shared
+    by q_ann_pq_fixed and the IVF-PQ composition."""
+    return (
+        fp.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("j"), "fpv")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "fpv"))).alias("cb"))
+    )
+
+
+def _pqf_code(m: int) -> Column:
+    """Subspace-m code (codebook ordinal) of the row's `fpv` against
+    the broadcast `cb` column: HOF argmin of exact integer d², ties to
+    the lowest ordinal (lexicographic struct-min, both engines)."""
+    return F.array_min(
+        F.transform(
+            F.col("cb"),
+            lambda c, i: F.struct(
+                _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)).alias("d"),
+                i.cast("int").alias("p"),
+            ),
+        )
+    )["p"]
+
+
+def _pqf_codes() -> Column:
+    return F.array(*[_pqf_code(m) for m in range(PQ_SUBSPACES)])
+
+
+def _pqf_lut() -> Column:
+    """Per-query flattened ADC lookup table: d²(query_sub_m, code_sub_m)
+    for every (m, code) pair, over the broadcast `cb` column.
+
+    `m` binds via an inner function, NOT a lambda default parameter —
+    F.transform counts parameters, so `lambda c, _m=m:` becomes the
+    two-arg (element, index) form and the array INDEX silently
+    overwrites the bound subspace."""
+
+    def block(m: int) -> Column:
+        return F.transform(
+            F.col("cb"),
+            lambda c: _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)),
+        )
+
+    return F.flatten(F.array(*[block(m) for m in range(PQ_SUBSPACES)]))
+
+
+def _pqf_adc() -> Column:
+    """Static PQ_SUBSPACES-term ADC distance: element_at the per-query
+    `lut` by the candidate's `codes` ordinals."""
+    adc = None
+    for m in range(PQ_SUBSPACES):
+        term = F.element_at("lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1))
+        adc = term if adc is None else adc + term
+    return adc
+
+
 @register(
     "q_ann_pq_fixed",
     oracle=f"""
@@ -1154,53 +1235,17 @@ def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding", "norm_fp",
         _pqf_fpv(F.col("embedding")).alias("fpv"),
     )
-    cb_row = (
-        fp.filter(F.col("vec_id") < PQ_CODES)
-        .select(F.col("vec_id").cast("int").alias("j"), "fpv")
-        .agg(F.sort_array(F.collect_list(F.struct("j", "fpv"))).alias("cb"))
-    )
-
-    def code(m: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col("cb"),
-                lambda c, i: F.struct(
-                    _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)).alias(
-                        "d"
-                    ),
-                    i.cast("int").alias("p"),
-                ),
-            )
-        )["p"]
-
+    cb_row = _pqf_codebook_row(fp)
     coded = fp.crossJoin(F.broadcast(cb_row)).select(
         "vec_id",
         "label",
-        F.array(*[code(m) for m in range(PQ_SUBSPACES)]).alias("codes"),
+        _pqf_codes().alias("codes"),
     )
-
-    def lut_block(m: int) -> Column:
-        return F.transform(
-            F.col("cb"),
-            lambda c: _pqf_d2(_pqf_sub(F.col("fpv"), m), _pqf_sub(c["fpv"], m)),
-        )
-
     luts = (
         fp.filter(F.col("vec_id") < QUERY_LIMIT)
         .crossJoin(F.broadcast(cb_row))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.flatten(
-                F.array(*[lut_block(m) for m in range(PQ_SUBSPACES)])
-            ).alias("lut"),
-        )
+        .select(F.col("vec_id").alias("query_id"), _pqf_lut().alias("lut"))
     )
-    adc = None
-    for m in range(PQ_SUBSPACES):
-        term = F.element_at(
-            "lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1)
-        )
-        adc = term if adc is None else adc + term
     scored = (
         coded.crossJoin(F.broadcast(luts))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1208,9 +1253,17 @@ def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            adc.alias("adc_dist"),
+            _pqf_adc().alias("adc_dist"),
         )
     )
+    return _pqf_shortlist_rerank(scored, fp)
+
+
+def _pqf_shortlist_rerank(scored: DataFrame, fp: DataFrame) -> DataFrame:
+    """ADC shortlist (top PQ_SHORTLIST by compressed distance) → exact
+    fixed-point cosine re-rank → top TOP_K. Shared by q_ann_pq_fixed
+    and the IVF-PQ composition; `scored` carries (query_id,
+    neighbor_id, neighbor_label, adc_dist)."""
     w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     shortlist = (
         scored.withColumn("srk", F.row_number().over(w_adc))
@@ -1254,6 +1307,157 @@ def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q_ann_ivf_pq_fixed",
+    oracle=f"""
+WITH {_VECS_CTE},
+fp AS (
+  SELECT vec_id, label, embedding, norm_fp,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {PQF_SCALE}.0) AS BIGINT)) AS fpv
+  FROM vecs
+),
+params AS (
+  SELECT GREATEST((MAX(vec_id) + 1) // {IVF_CELLS}, 1) AS stride FROM vecs
+),
+centers AS (
+  SELECT CAST(v.vec_id // p.stride AS INT) AS cell, v.embedding AS center
+  FROM vecs v, params p
+  WHERE v.vec_id % p.stride = 0 AND v.vec_id < p.stride * {IVF_CELLS}
+),
+cscored AS (
+  SELECT v.vec_id, c.cell,
+         {_dot_fp_sql("v.embedding", "c.center")} AS d
+  FROM vecs v CROSS JOIN centers c
+),
+cranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM cscored
+),
+assigned AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM cranked WHERE rn <= {IVF_PROBES} AND vec_id < {QUERY_LIMIT}
+),
+cb AS (
+  SELECT vec_id AS j,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS p,
+         fpv
+  FROM fp WHERE vec_id < {PQ_CODES}
+),
+codes AS (
+  SELECT f.vec_id, g.m,
+         MIN({{'d': {_pqf_d2_sql('f.fpv', 'c.fpv', 'g.m')}, 'p': c.p}}) AS mc
+  FROM fp f, cb c,
+       (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS m) g
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT p.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM({_pqf_d2_sql('q.fpv', 'c.fpv', 'k.m')}) AS BIGINT)
+           AS adc_dist
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN cb c ON c.p = k.mc.p
+  JOIN fp q ON q.vec_id = p.query_id
+  WHERE k.vec_id <> p.query_id
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS srk
+  FROM adc
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, c.label AS neighbor_label,
+         CAST({_dot_fp_sql("q.embedding", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.norm_fp AS DOUBLE)) * sqrt(CAST(c.norm_fp AS DOUBLE)))
+           AS cosine
+  FROM sl s
+  JOIN fp c ON c.vec_id = s.neighbor_id
+  JOIN fp q ON q.vec_id = s.query_id
+  WHERE s.srk <= {PQ_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM ex
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def q_ann_ivf_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the billion-scale ANN architecture (faiss
+    IVFPQ): the coarse quantizer PARTITIONS the corpus so a query
+    touches only IVF_PROBES of IVF_CELLS inverted lists, and product
+    quantization COMPRESSES what it touches so the touched bytes are
+    codes, not vectors. Both stages are this repo's deterministic
+    oracleable variants (strided-seed centers from q_ann_ivf, the
+    fixed-point sample codebook from q_ann_pq_fixed; codes on raw
+    vectors, i.e. faiss's by_residual=False mode — residual encoding
+    needs per-cell codebook arithmetic the exact-integer image cannot
+    mirror without per-cell LUT tables), so the ENTIRE composed
+    pipeline hash-checks end to end: assignment, probing, encoding,
+    ADC shortlist, exact re-rank.
+
+    What the composition buys over its parents (pinned by test): the
+    ADC scoring universe shrinks from every coded vector
+    (q_ann_pq_fixed) to the probed cells' posting lists — at 100 TB
+    the difference between scanning the full code table and reading
+    probes/cells of it — while recall vs the brute-force baseline
+    stays within the shortlist's reach because the exact re-rank
+    repairs ADC quantization error inside the probed universe.
+
+    Spark shape, all JVM: both quantizers ride broadcast one-row
+    frames (centers, codebook); assignment + encoding are per-row
+    HOFs inside codegen (candidates never shuffle); the probe is a
+    cell-id equi-join of the broadcast query batch against the coded
+    posting lists; the only data-sized shuffle is the per-query
+    shortlist window over probed survivors."""
+    vecs = _vecs(spark, sf_dir)
+    fp = vecs.select(
+        "vec_id", "label", "embedding", "norm_fp",
+        _pqf_fpv(F.col("embedding")).alias("fpv"),
+    )
+    scored = fp.crossJoin(F.broadcast(_ivf_centers_row(vecs))).withColumn(
+        "scores", _ivf_scores()
+    )
+    cb_row = _pqf_codebook_row(fp)
+    coded = scored.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        "label",
+        _ivf_cell().alias("cell"),
+        _pqf_codes().alias("codes"),
+    )
+    probe_luts = (
+        scored.filter(F.col("vec_id") < QUERY_LIMIT)
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_ivf_probe_cells()).alias("cell"),
+            _pqf_lut().alias("lut"),
+        )
+    )
+    pairs = (
+        F.broadcast(probe_luts)
+        .join(coded, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _pqf_adc().alias("adc_dist"),
+        )
+    )
+    return _pqf_shortlist_rerank(pairs, fp)
 
 
 # ------------------------------------------------- label centroids

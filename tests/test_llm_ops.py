@@ -732,3 +732,64 @@ def test_dedup_recall_eval_invariants(spark, oracle_sf_dir):
     assert r.n_verified <= r.n_true and r.n_verified <= r.n_cand
     assert r.recall_ppm == r.n_verified * 1_000_000 // max(r.n_true, 1)
     assert r.precision_ppm == r.n_verified * 1_000_000 // max(r.n_cand, 1)
+
+
+def test_ann_ivf_pq_composition_restricts_and_recalls(spark, sf_dir):
+    """The IVF+PQ composition must (a) only ever return neighbors from
+    the query's probed cells — the posting-list restriction that IS the
+    IVF stage (verified against an independent reconstruction of the
+    assignment), and (b) keep usable recall vs brute force inside that
+    restriction. The recall floor sits well below q_ann_pq_fixed's 0.7
+    because the probe restriction dominates: measured 0.434 composed vs
+    0.445 for IVF alone at sf0.001 (0.418 vs 0.433 at sf0.01) — the PQ
+    stage costs ~1 recall point inside the probed universe (the exact
+    re-rank repairs ADC error there), so (c) pins the composition to
+    within 0.05 of plain IVF; the rest is q_ann_recall_eval's measured
+    IVF probes/cells trade, not a bug."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        _ivf_cell,
+        _ivf_centers_row,
+        _ivf_probe_cells,
+        _ivf_scores,
+        _vecs,
+        q_ann_bruteforce,
+        q_ann_ivf,
+        q_ann_ivf_pq_fixed,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    scored = vecs.crossJoin(F.broadcast(_ivf_centers_row(vecs))).withColumn(
+        "scores", _ivf_scores()
+    )
+    cell_of = {
+        r.vec_id: r.cell
+        for r in scored.select("vec_id", _ivf_cell().alias("cell")).collect()
+    }
+    probes_of = {
+        r.vec_id: set(r.cells)
+        for r in scored.select(
+            "vec_id", _ivf_probe_cells().alias("cells")
+        ).collect()
+    }
+    out: dict = {}
+    for r in q_ann_ivf_pq_fixed(spark, sf_dir).collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert cell_of[r.neighbor_id] in probes_of[r.query_id], (
+            f"neighbor {r.neighbor_id} (cell {cell_of[r.neighbor_id]}) "
+            f"outside query {r.query_id}'s probes {probes_of[r.query_id]}"
+        )
+    bf: dict = {}
+    for r in q_ann_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert bf.keys() == out.keys()
+    recall = sum(len(bf[q] & out[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.3f} below bound"
+    ivf: dict = {}
+    for r in q_ann_ivf(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_recall = sum(len(bf[q] & ivf[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= ivf_recall - 0.05, (
+        f"PQ stage cost {ivf_recall - recall:.3f} recall inside probes"
+    )
