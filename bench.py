@@ -205,6 +205,7 @@ EXTENDED = [
     "q_join_order_rank",
     "q_bloom_skipping_eval",
     "q_ann_ivf_pq_fixed",
+    "q_stream_analyze",
 ]
 
 

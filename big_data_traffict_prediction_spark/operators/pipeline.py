@@ -1415,15 +1415,27 @@ _ANALYZE_COLS_SQL = {
 _ANALYZE_H_SQL = "CAST(('0x' || substr(md5('ant#' || val), 1, 10)) AS BIGINT)"
 
 
-def _analyze_oracle() -> str:
-    unpivot = "\n  UNION ALL\n".join(
-        f"  SELECT '{c}' AS col, {expr} AS val FROM events"
-        for c, expr in _ANALYZE_COLS_SQL.items()
+def _analyze_stack_sql(cols: dict[str, str], source: str) -> str:
+    """The UNION-ALL column stack of an ANALYZE oracle: one (col, val)
+    arm per profiled column. Shared with the streaming twin, which
+    stacks traffic columns instead of events."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col, {expr} AS val FROM {source}"
+        for c, expr in cols.items()
     )
+
+
+def _analyze_oracle() -> str:
     return f"""
 WITH base AS (
-{unpivot}
-),
+{_analyze_stack_sql(_ANALYZE_COLS_SQL, "events")}
+){ANALYZE_TAIL_SQL}"""
+
+
+# Everything after the column stack — profile, HLL registers, estimate,
+# final SELECT — is source-agnostic (reads only `base`), so the batch
+# events ANALYZE and the streaming traffic twin share it verbatim.
+ANALYZE_TAIL_SQL = f""",
 prof AS (
   SELECT col, COUNT(*) AS n_rows,
          SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
@@ -1458,6 +1470,59 @@ ORDER BY col_name
 """
 
 
+def canon_int_col(x: Column) -> Column:
+    """Spark twin of _canon_int_sql: sign-split zero-padded string
+    image whose lexicographic order IS numeric order (see the module
+    comment above _MAXLONG for the overflow-free sign bias)."""
+    x = x.cast("long")
+    return F.when(x.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(
+            x < 0,
+            F.concat(
+                F.lit("0"),
+                F.lpad(x.bitwiseAND(F.lit(_MAXLONG)).cast("string"), 19, "0"),
+            ),
+        ).otherwise(F.concat(F.lit("1"), F.lpad(x.cast("string"), 19, "0")))
+    )
+
+
+def analyze_stack(df: DataFrame, canon: dict[str, Column]) -> DataFrame:
+    """(col, val) stack of the canonical column images — the Spark twin
+    of _analyze_stack_sql, shared with the streaming ANALYZE twin."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), v.alias("val"))
+                    for c, v in canon.items()
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.val")
+
+
+def analyze_hash_col() -> Column:
+    """Spark twin of _ANALYZE_H_SQL over the stacked `val` column."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ant#"), F.col("val"))), 1, 10),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+
+def hll_rank_col(h: Column) -> Column:
+    """HLL register rank of a hash column (NULL-safe: NULL hash →
+    NULL rank, which max() then ignores)."""
+    w = h % F.lit(_HLL_WMOD)
+    return F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(1) + F.bit_count(w.bitwiseAND(-w) - 1)
+    )
+
+
 @register("q_analyze_table", oracle=_analyze_oracle())
 def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE — the cost-based-optimizer statistics pass every
@@ -1477,39 +1542,15 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     register max as partitions are appended, so the nightly stats
     refresh is incremental exactly like q_zone_map_merge."""
     e = load_table(spark, sf_dir, "events")
-
-    def canon_int(x):
-        x = x.cast("long")
-        return F.when(x.isNull(), F.lit(None).cast("string")).otherwise(
-            F.when(
-                x < 0,
-                F.concat(
-                    F.lit("0"),
-                    F.lpad(
-                        x.bitwiseAND(F.lit(_MAXLONG)).cast("string"), 19, "0"
-                    ),
-                ),
-            ).otherwise(F.concat(F.lit("1"), F.lpad(x.cast("string"), 19, "0")))
-        )
-
     canon = {
-        "event_id": canon_int(F.col("event_id")),
+        "event_id": canon_int_col(F.col("event_id")),
         "ts": F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-        "user_id": canon_int(F.col("user_id")),
+        "user_id": canon_int_col(F.col("user_id")),
         "event_type": F.col("event_type"),
-        "value": canon_int(F.floor(F.col("value") * 10000)),
+        "value": canon_int_col(F.floor(F.col("value") * 10000)),
         "props": F.col("props"),
     }
-    base = e.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("col"), v.alias("val"))
-                    for c, v in canon.items()
-                ]
-            )
-        ).alias("p")
-    ).select("p.col", "p.val")
+    base = analyze_stack(e, canon)
     prof = base.groupBy("col").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("val").isNull().cast("long")).cast("long").alias("n_null"),
@@ -1517,25 +1558,14 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("ant#"), F.col("val"))), 1, 10),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h")
-    )
-    hb = base.filter(F.col("val").isNotNull()).select(F.col("col").alias("grp"), h)
-    w = F.col("h") % F.lit(_HLL_WMOD)
-    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
-        F.lit(1) + F.bit_count(w.bitwiseAND(-w) - 1)
+    hb = base.filter(F.col("val").isNotNull()).select(
+        F.col("col").alias("grp"), analyze_hash_col()
     )
     regs = (
         hb.select(
             "grp",
             F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)).alias("bucket"),
-            rank.cast("int").alias("rank"),
+            hll_rank_col(F.col("h")).cast("int").alias("rank"),
         )
         .groupBy("grp", "bucket")
         .agg(F.max("rank").alias("reg"))

@@ -1214,3 +1214,130 @@ def q_stream_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_sketch_vs_exact(
         am_pm_sides(spark, sf_dir), cm_estimate_from_grid(out)
     )
+
+
+from ..operators.pipeline import (  # noqa: E402  (shared ANALYZE pieces)
+    ANALYZE_TAIL_SQL,
+    _analyze_stack_sql,
+    _canon_int_sql,
+)
+
+# The detection stream's profiled columns (canonical images identical
+# to the batch ANALYZE discipline: sign-split zero-padded integers,
+# second-truncated timestamps).
+_ST_ANALYZE_COLS_SQL = {
+    "camera_id": "camera_id",
+    "ts": "strftime(ts, '%Y-%m-%d %H:%M:%S')",
+    "new_count": _canon_int_sql("new_count"),
+    "new_cars": _canon_int_sql("new_cars"),
+}
+
+
+@register(
+    "q_stream_analyze",
+    oracle=with_traffic(f""", base AS (
+{_analyze_stack_sql(_ST_ANALYZE_COLS_SQL, "traffic")}
+){ANALYZE_TAIL_SQL}"""),
+)
+def q_stream_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANALYZE — per-column planner statistics maintained as
+    aggregation state while detection files land, so the optimizer's
+    row/null counts, min/max and NDV sketch stay CURRENT without a
+    nightly full-table stats scan. The design lesson is the state
+    GRAIN: one complete-mode aggregation at (column, HLL-bucket) grain
+    — the finest grain at which EVERY kept statistic is a commutative
+    fold (counts add, canonical min/max fold, register ranks max) —
+    then the read rolls up to column grain and derives the HLL
+    estimate post-drain. Exact NDV is the one statistic that cannot
+    stream (state ∝ cardinality — the very reason the HLL column
+    exists); it rides along as a batch-computed witness, like the
+    exact joins in the estimator family. Shares the batch ANALYZE's
+    source-agnostic oracle tail verbatim, so the driver hash pins
+    streaming maintenance == batch rebuild end to end.
+
+    Scale shape: state is |columns| × 64 register-bucket rows + their
+    fold cells — fixed-size whatever the event rate; the post-drain
+    rollup touches only that frame."""
+    from pyspark.sql import functions as F
+
+    from ..operators.pipeline import (
+        _HLL_WMOD,
+        _hll_estimate,
+        analyze_hash_col,
+        analyze_stack,
+        canon_int_col,
+        hll_rank_col,
+    )
+    from ..tables import traffic_history
+
+    def canon(df: DataFrame) -> dict:
+        return {
+            "camera_id": df["camera_id"],
+            "ts": F.date_format(df["ts"], "yyyy-MM-dd HH:mm:ss"),
+            "new_count": canon_int_col(df["new_count"]),
+            "new_cars": canon_int_col(df["new_cars"]),
+        }
+
+    stage, base_dir = _staged(spark, sf_dir)
+    rows = simulate.read_stream(spark, stage)
+    stack = analyze_stack(rows, canon(rows)).select(
+        "col", "val", analyze_hash_col()
+    )
+    state = (
+        stack.select(
+            "col",
+            "val",
+            F.coalesce(
+                F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)), F.lit(-1)
+            ).alias("bucket"),
+            hll_rank_col(F.col("h")).cast("int").alias("rank"),
+        )
+        .groupBy("col", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("val").isNull().cast("long")).cast("long").alias("nnull"),
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+            F.max("rank").alias("reg"),
+        )
+    )
+    out = windows.run_to_memory(
+        spark,
+        state,
+        f"q_stream_analyze_{uuid.uuid4().hex[:8]}",
+        f"{base_dir}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)  # drained; scratch not needed
+    prof = out.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum("nnull").cast("long").alias("n_null"),
+        F.min("mn").alias("min_val"),
+        F.max("mx").alias("max_val"),
+    )
+    est = _hll_estimate(
+        out.filter(F.col("bucket") >= 0).select(
+            F.col("col").alias("grp"), "bucket", "reg"
+        )
+    ).select(F.col("grp").alias("col"), F.col("hll_users").alias("ndv_hll"))
+    # the one non-streamable statistic, computed batch-side as witness
+    h = traffic_history(spark, sf_dir)
+    ndv = (
+        analyze_stack(h, canon(h))
+        .groupBy("col")
+        .agg(F.countDistinct("val").cast("long").alias("ndv_exact"))
+    )
+    return (
+        prof.join(ndv, "col")
+        .join(est, "col")
+        .select(
+            F.col("col").alias("col_name"),
+            "n_rows",
+            "n_null",
+            "ndv_exact",
+            F.col("ndv_hll").cast("long").alias("ndv_hll"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("col_name")
+    )

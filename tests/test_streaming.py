@@ -1091,3 +1091,68 @@ def test_stream_join_size_grid_chunking_invariant_and_matches_batch(spark, sf_di
     }
     one, three = drained(1), drained(3)
     assert batch and one == batch and three == batch
+
+
+def test_stream_analyze_state_chunking_invariant(spark, sf_dir):
+    """Every statistic in the (col, bucket)-grain ANALYZE state is a
+    commutative fold (counts add, canonical min/max fold, register
+    ranks max), so the drained state must be identical at any
+    micro-batch chunking — the property licensing q_stream_analyze's
+    reuse of the batch oracle tail."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from big_data_traffict_prediction_spark.operators.pipeline import (
+        _HLL_WMOD,
+        analyze_hash_col,
+        analyze_stack,
+        canon_int_col,
+        hll_rank_col,
+    )
+    from big_data_traffict_prediction_spark.streaming import simulate, windows
+
+    def state_of(rows):
+        canon = {
+            "camera_id": rows["camera_id"],
+            "new_count": canon_int_col(rows["new_count"]),
+        }
+        stack = analyze_stack(rows, canon).select("col", "val", analyze_hash_col())
+        return (
+            stack.select(
+                "col",
+                "val",
+                F.coalesce(
+                    F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)), F.lit(-1)
+                ).alias("bucket"),
+                hll_rank_col(F.col("h")).cast("int").alias("rank"),
+            )
+            .groupBy("col", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx"),
+                F.max("rank").alias("reg"),
+            )
+        )
+
+    def drained(n_chunks):
+        base = tempfile.mkdtemp(prefix=f"aninv_{n_chunks}_")
+        stage = simulate.stage_stream_dir(
+            spark, sf_dir, f"{base}/stage", n_chunks=n_chunks
+        )
+        out = windows.run_to_memory(
+            spark,
+            state_of(simulate.read_stream(spark, stage)),
+            f"aninv_{n_chunks}_{uuid.uuid4().hex[:8]}",
+            f"{base}/ckpt",
+            output_mode="complete",
+        )
+        got = {(r.col, r.bucket, r.cnt, r.mn, r.mx, r.reg) for r in out.collect()}
+        shutil.rmtree(base, ignore_errors=True)
+        return got
+
+    one, three = drained(1), drained(3)
+    assert one and one == three
