@@ -206,6 +206,7 @@ EXTENDED = [
     "q_bloom_skipping_eval",
     "q_ann_ivf_pq_fixed",
     "q_stream_analyze",
+    "q_selectivity_equality",
 ]
 
 

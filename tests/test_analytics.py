@@ -1041,3 +1041,29 @@ def test_bloom_skipping_matrix(spark, oracle_sf_dir):
         rows[("range", "minmax")].scan_ppm
         <= rows[("range", "bloom")].scan_ppm
     )
+
+
+def test_equality_selectivity_mcv_wins_on_planted_hot_key(spark, oracle_sf_dir):
+    """On the near-uniform fleet the MCV list is a wash (honest tie);
+    on a planted 512x hot key it is load-bearing: uniform misses the
+    hot key by ~the whole table while MCV stores it exactly."""
+    from big_data_traffict_prediction_spark.operators.scans import (
+        equality_selectivity_profile,
+        q_selectivity_equality,
+    )
+
+    real = q_selectivity_equality(spark, oracle_sf_dir).first()
+    assert real.n_rows > 0 and real.ndv > real.mcv_k
+    assert real.mae_mcv_ppm <= real.mae_uniform_ppm  # never worse
+    # 1000 tail keys x 10 rows + one hot key x 5120 rows
+    planted = spark.range(0, 1001).select(
+        F.col("id").cast("string").alias("camera_id"),
+        F.when(F.col("id") == 0, F.lit(5120)).otherwise(F.lit(10)).alias("c"),
+    )
+    p = equality_selectivity_profile(planted).first()
+    # uniform: est = n/ndv ~ 15 for every key -> hot-key error ~ 5105
+    assert p.max_err_uniform > 5_000
+    # MCV stores the hot key exactly; worst remaining error is the
+    # tail rounding (couple of rows)
+    assert p.max_err_mcv < 10
+    assert p.mae_mcv_ppm * 10 < p.mae_uniform_ppm
