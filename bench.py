@@ -207,6 +207,7 @@ EXTENDED = [
     "q_ann_ivf_pq_fixed",
     "q_stream_analyze",
     "q_selectivity_equality",
+    "q_t_closeness",
 ]
 
 

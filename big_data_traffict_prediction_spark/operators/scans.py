@@ -1585,3 +1585,161 @@ def q_selectivity_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     return equality_selectivity_profile(per_key)
+
+
+# t-closeness: a QI group whose sensitive-value distribution sits
+# farther than t (in total variation distance) from the global
+# distribution leaks, even when it passes k-anonymity and l-diversity.
+T_CLOSE_PPM = 500_000  # t = 0.5
+T_CLOSE_TOP = 20
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS qi_hour,
+         CAST(FLOOR(value / 50) AS BIGINT) AS qi_value_band,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+gv AS (
+  SELECT event_type, qi_hour, qi_value_band, user_id,
+         CAST(COUNT(*) AS BIGINT) AS c_gv
+  FROM qi GROUP BY 1, 2, 3, 4
+),
+v AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_v FROM qi GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_v) AS BIGINT) AS n FROM v),
+tvd AS (
+  SELECT gv.event_type, gv.qi_hour, gv.qi_value_band,
+         CAST(SUM(gv.c_gv) AS BIGINT) AS group_size,
+         CAST(SUM(ABS(gv.c_gv * t.n - v.c_v * gs.group_size)
+                  - v.c_v * gs.group_size) + gs.group_size * t.n AS BIGINT)
+           AS tvd_num
+  FROM gv
+  JOIN v USING (user_id)
+  JOIN (SELECT event_type, qi_hour, qi_value_band,
+               CAST(SUM(c_gv) AS BIGINT) AS group_size
+        FROM gv GROUP BY 1, 2, 3) gs
+    USING (event_type, qi_hour, qi_value_band),
+  tot t
+  GROUP BY 1, 2, 3, gs.group_size, t.n
+),
+scored AS (
+  SELECT event_type, qi_hour, qi_value_band, group_size,
+         CAST(tvd_num * 1000000 // (2 * group_size * t.n) AS BIGINT)
+           AS tvd_ppm
+  FROM tvd, tot t
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COALESCE(SUM(CASE WHEN tvd_ppm > {T_CLOSE_PPM} THEN 1 END), 0)
+           AS BIGINT) AS groups_at_risk
+  FROM scored
+)
+SELECT s.event_type, s.qi_hour, s.qi_value_band, s.group_size, s.tvd_ppm,
+       s.tvd_ppm > {T_CLOSE_PPM} AS exceeds_t,
+       st.n_groups, st.groups_at_risk
+FROM scored s, stats st
+ORDER BY s.tvd_ppm DESC, s.event_type, s.qi_hour, s.qi_value_band
+LIMIT {T_CLOSE_TOP}
+""",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distribution-disclosure rung that
+    completes this repo's anonymity triad (Li et al. 2007, after
+    q_k_anonymity's group-size check and q_l_diversity's distinct-value
+    check): a QI group can pass both and still leak when its sensitive
+    distribution is SKEWED relative to the corpus (e.g. a group whose
+    rows almost all belong to one user cohort). Reports the T_CLOSE_TOP
+    farthest groups by total variation distance in exact integer ppm,
+    the exceeds-t flag, and corpus-level exposure scalars.
+
+    The TVD is computed in a closed form over PRESENT (group, value)
+    pairs only: Σ_v |c_gv·N − c_v·n_g| over all v splits into the
+    present pairs minus their absent-mass double count plus n_g·N (the
+    absent values' total contribution — since Σ_v c_v = N), so the
+    aggregation never materializes the QI-domain × sensitive-domain
+    product that the textbook per-(group, value) formula implies. All
+    arithmetic is exact int64 (the ppm division last), so both engines
+    hash-match.
+
+    Scale shape: two map-side-combined aggregations (present pairs,
+    global value counts), one broadcast-scalar total, one grouped fold
+    over the present-pair frame — work ∝ distinct (QI-tuple, value)
+    pairs actually in the data, never the domain product; top-N plans
+    as TakeOrderedAndProject."""
+    from ..tables import load_table
+
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    qi = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("qi_hour"),
+            F.floor(F.col("value") / 50).cast("long").alias("qi_value_band"),
+            "user_id",
+        )
+    )
+    gv = qi.groupBy("event_type", "qi_hour", "qi_value_band", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    ).localCheckpoint(eager=False)  # feeds v-join AND the group sizes
+    v = gv.groupBy("user_id").agg(F.sum("c_gv").cast("long").alias("c_v"))
+    tot = v.agg(F.sum("c_v").cast("long").alias("n"))
+    gs = gv.groupBy("event_type", "qi_hour", "qi_value_band").agg(
+        F.sum("c_gv").cast("long").alias("group_size")
+    )
+    term = (
+        F.abs(F.col("c_gv") * F.col("n") - F.col("c_v") * F.col("group_size"))
+        - F.col("c_v") * F.col("group_size")
+    )
+    tvd = (
+        gv.join(v, "user_id")
+        .join(gs, ["event_type", "qi_hour", "qi_value_band"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "qi_hour", "qi_value_band", "group_size", "n")
+        .agg(
+            (F.sum(term) + F.max(F.col("group_size") * F.col("n")))
+            .cast("long")
+            .alias("tvd_num")
+        )
+    )
+    scored = tvd.select(
+        "event_type",
+        "qi_hour",
+        "qi_value_band",
+        "group_size",
+        div(
+            F.col("tvd_num") * F.lit(1_000_000),
+            F.lit(2) * F.col("group_size") * F.col("n"),
+        )
+        .cast("long")
+        .alias("tvd_ppm"),
+    ).localCheckpoint(eager=False)  # feeds stats AND the top-N
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("tvd_ppm") > T_CLOSE_PPM, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("groups_at_risk"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "qi_hour",
+            "qi_value_band",
+            "group_size",
+            "tvd_ppm",
+            (F.col("tvd_ppm") > T_CLOSE_PPM).alias("exceeds_t"),
+            "n_groups",
+            "groups_at_risk",
+        )
+        .orderBy(
+            F.desc("tvd_ppm"), "event_type", "qi_hour", "qi_value_band"
+        )
+        .limit(T_CLOSE_TOP)
+    )

@@ -1067,3 +1067,29 @@ def test_equality_selectivity_mcv_wins_on_planted_hot_key(spark, oracle_sf_dir):
     # tail rounding (couple of rows)
     assert p.max_err_mcv < 10
     assert p.mae_mcv_ppm * 10 < p.mae_uniform_ppm
+
+
+def test_t_closeness_hand_planted_distributions(spark, tmp_path):
+    """hour-8 group: all rows from user 2 (global share 1/3) →
+    TVD = (2/3 + 2/3)/2 = 2/3 → 666666 ppm, exceeds t=0.5; hour-9
+    group: all user 1 (global share 2/3) → TVD = 1/3 → 333333 ppm,
+    inside t. Integer closed form checked exactly."""
+    from datetime import datetime
+
+    from big_data_traffict_prediction_spark.operators.scans import q_t_closeness
+
+    rows, eid = [], 0
+    for _ in range(4):
+        rows.append((eid, datetime(2024, 3, 1, 8, eid % 60), 2, "click", 1.0, "{}"))
+        eid += 1
+    for _ in range(8):
+        rows.append((eid, datetime(2024, 3, 1, 9, eid % 60), 1, "click", 1.0, "{}"))
+        eid += 1
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = {r.qi_hour: r for r in q_t_closeness(spark, path).collect()}
+    assert set(out) == {8, 9}
+    assert out[8].tvd_ppm == 666_666 and out[8].exceeds_t
+    assert out[9].tvd_ppm == 333_333 and not out[9].exceeds_t
+    assert out[8].n_groups == 2 and out[8].groups_at_risk == 1
+    assert out[8].group_size == 4 and out[9].group_size == 8
