@@ -208,6 +208,7 @@ EXTENDED = [
     "q_stream_analyze",
     "q_selectivity_equality",
     "q_t_closeness",
+    "q_embedding_kmeans",
 ]
 
 

@@ -2094,3 +2094,179 @@ from ..registry import _REGISTRY as _SIM_REG  # noqa: E402
 _SIM_REG["q_ann_recall_eval"] = _dc_replace(
     _SIM_REG["q_ann_recall_eval"], oracle=_ann_recall_oracle()
 )
+
+
+# ------------------------------------------------ fixed-point k-means
+
+KM_K = 8  # clusters (strided seeds, same bootstrap as the IVF cells)
+
+
+def _km_d2_sql(a: str, b: str) -> str:
+    t = f"({a}[i] - {b}[i])"
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {t} * {t})) AS BIGINT)"
+    )
+
+
+def _km_seed_centers(fp: DataFrame) -> DataFrame:
+    """ONE row holding the KM_K strided-seed centers of a (vec_id, fpv)
+    frame — k-means++ step-0, same bootstrap as the IVF cells."""
+    params = fp.agg(
+        F.greatest(F.floor((F.max("vec_id") + 1) / KM_K), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    return (
+        fp.crossJoin(F.broadcast(params))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * KM_K)
+        )
+        .select(
+            F.floor(F.col("vec_id") / F.col("stride")).cast("int").alias("cell"),
+            "fpv",
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "fpv"))).alias("cs"))
+    )
+
+
+def _km_assign(fp: DataFrame, centers_row: DataFrame) -> DataFrame:
+    """(vec_id, fpv, cell, d2): each vector assigned to its min-d²
+    center by a per-row HOF argmin over the broadcast center array —
+    zero shuffle, the corpus never moves."""
+    scores = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _pqf_d2(F.col("fpv"), c["fpv"]).alias("d"),
+            c["cell"].alias("p"),
+        ),
+    )
+    best = F.array_min(scores)
+    return fp.crossJoin(F.broadcast(centers_row)).select(
+        "vec_id", "fpv", best["p"].alias("cell"), best["d"].alias("d2")
+    )
+
+
+def _km_update_centers(assigned: DataFrame) -> DataFrame:
+    """ONE row of per-cluster exact fixed-point mean centers (the Lloyd
+    update): posexplode to (cell, pos) partials — a K×64-row exchange
+    regardless of corpus size — then floor-divide and reassemble."""
+    comp = (
+        assigned.select("cell", F.posexplode("fpv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("m"))
+    )
+    return (
+        comp.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("fpv")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "fpv"))).alias("cs"))
+    )
+
+
+@register(
+    "q_embedding_kmeans",
+    oracle=f"""
+WITH {_VECS_CTE},
+fp AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {PQF_SCALE}.0) AS BIGINT)) AS fpv
+  FROM vecs
+),
+params AS (
+  SELECT GREATEST((MAX(vec_id) + 1) // {KM_K}, 1) AS stride FROM fp
+),
+c0 AS (
+  SELECT CAST(v.vec_id // p.stride AS INT) AS cell, v.fpv
+  FROM fp v, params p
+  WHERE v.vec_id % p.stride = 0 AND v.vec_id < p.stride * {KM_K}
+),
+a0 AS (
+  SELECT f.vec_id,
+         MIN({{'d': {_km_d2_sql('f.fpv', 'c.fpv')}, 'p': c.cell}}) AS mc
+  FROM fp f, c0 c GROUP BY 1
+),
+ex AS (
+  SELECT a.mc.p AS cell,
+         generate_subscripts(f.fpv, 1) AS pos,
+         unnest(f.fpv) AS x
+  FROM a0 a JOIN fp f USING (vec_id)
+),
+comp AS (
+  SELECT cell, pos,
+         CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM ex GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(m ORDER BY pos) AS fpv FROM comp GROUP BY 1),
+a1 AS (
+  SELECT f.vec_id,
+         MIN({{'d': {_km_d2_sql('f.fpv', 'c.fpv')}, 'p': c.cell}}) AS mc
+  FROM fp f, c1 c GROUP BY 1
+),
+n0 AS (SELECT mc.p AS cluster, CAST(COUNT(*) AS BIGINT) AS n_seed
+       FROM a0 GROUP BY 1),
+n1 AS (
+  SELECT mc.p AS cluster, CAST(COUNT(*) AS BIGINT) AS n_refined,
+         CAST(SUM(mc.d) AS BIGINT) AS sd
+  FROM a1 GROUP BY 1
+)
+SELECT n1.cluster,
+       CAST(COALESCE(n0.n_seed, 0) AS BIGINT) AS n_seed,
+       n1.n_refined,
+       CAST(n1.sd // n1.n_refined AS BIGINT) AS mean_d2
+FROM n1 LEFT JOIN n0 USING (cluster)
+ORDER BY n1.cluster
+""",
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means over the embedding corpus — the clustering
+    pass behind data-mixture curation, IVF training, and SemDeDup-style
+    semantic bucketing, run as real Lloyd iteration made exactly
+    reproducible: strided-seed centers (the same k-means++ step-0
+    bootstrap as q_ann_ivf), one assignment pass, one exact-integer
+    centroid update (the q_embedding_centroids fixed-point mean), one
+    re-assignment — every distance an exact int64 d², so both engines
+    replicate the full two-round trajectory bit for bit and the driver
+    hash pins it end to end (MLlib's float k-means stays the
+    non-oracleable production alternative, same trade as
+    q_ann_pq/q_ann_pq_fixed). Output is the per-cluster movement
+    story: seed-assignment size, refined size, and mean d² inertia
+    after the update — the numbers a curator reads to pick k.
+
+    Scale shape: each assignment is a per-row HOF argmin over the
+    broadcast K-center array (zero shuffle — the corpus never moves);
+    the centroid update is the posexplode (cell, pos) partial-agg
+    pattern whose exchange is K×64 rows regardless of corpus size;
+    per-round work is one corpus scan — the canonical distributed
+    Lloyd shape. Int64 bound: per-vector d² ≤ 64·(range·10⁶)², so
+    cluster sums stay far inside int64 at any tested SF."""
+    fp = _vecs(spark, sf_dir).select(
+        "vec_id", _pqf_fpv(F.col("embedding")).alias("fpv")
+    )
+    a0 = _km_assign(fp, _km_seed_centers(fp))
+    a1 = _km_assign(fp, _km_update_centers(a0))
+    n0 = a0.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seed")
+    )
+    n1 = a1.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_refined"),
+        F.sum("d2").cast("long").alias("sd"),
+    )
+    return (
+        n1.join(F.broadcast(n0), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n_seed"), F.lit(0)).cast("long").alias("n_seed"),
+            "n_refined",
+            F.call_function("div", F.col("sd"), F.col("n_refined"))
+            .cast("long")
+            .alias("mean_d2"),
+        )
+        .orderBy("cluster")
+    )

@@ -793,3 +793,56 @@ def test_ann_ivf_pq_composition_restricts_and_recalls(spark, sf_dir):
     assert recall >= ivf_recall - 0.05, (
         f"PQ stage cost {ivf_recall - recall:.3f} recall inside probes"
     )
+
+
+def test_kmeans_lloyd_update_reduces_inertia(spark, sf_dir):
+    """The definitional k-means guarantee, pinned on the exact integer
+    trajectory: J(assign0, seeds) >= J(assign0, updated) >= J(assign1,
+    updated) — centroid update and reassignment each weakly reduce
+    total inertia. Plus conservation: every vector stays assigned."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        _km_assign,
+        _km_seed_centers,
+        _km_update_centers,
+        _pqf_fpv,
+        _vecs,
+        q_embedding_kmeans,
+    )
+
+    fp = _vecs(spark, sf_dir).select(
+        "vec_id", _pqf_fpv(F.col("embedding")).alias("fpv")
+    )
+    n = fp.count()
+    a0 = _km_assign(fp, _km_seed_centers(fp)).localCheckpoint(eager=True)
+    c1 = _km_update_centers(a0)
+    j0 = a0.agg(F.sum("d2")).first()[0]
+    # J(assign0, c1): same assignment, updated centers
+    mid = (
+        a0.select("vec_id", "fpv", "cell")
+        .crossJoin(F.broadcast(c1))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("fpv"),
+                    F.filter(F.col("cs"), lambda c: c["cell"] == F.col("cell"))[0][
+                        "fpv"
+                    ],
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2")
+        )
+    )
+    j_mid = mid.agg(F.sum("d2")).first()[0]
+    a1 = _km_assign(fp, c1)
+    j1 = a1.agg(F.sum("d2")).first()[0]
+    # fixed-point centroid truncation can cost at most 64·n per cluster
+    # term vs the real mean — negligible against these magnitudes, and
+    # the inequality chain holds outright on this data
+    assert j0 >= j_mid >= j1, (j0, j_mid, j1)
+    out = q_embedding_kmeans(spark, sf_dir).collect()
+    assert sum(r.n_seed for r in out) == n == sum(r.n_refined for r in out)
+    assert all(r.mean_d2 >= 0 for r in out)
