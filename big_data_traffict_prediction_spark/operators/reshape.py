@@ -615,6 +615,7 @@ def q_bloom_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("true_pairs"))
     )
     cams = lay.filter(F.col("layout") == "bucket").select("cam").distinct()
+    # bounded: a 2-row literal index-kind dimension, never data-sized
     idx = cams.sparkSession.createDataFrame(
         [("minmax",), ("bloom",)], ["idx"]
     )
