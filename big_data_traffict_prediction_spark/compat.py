@@ -221,6 +221,15 @@ def global_rank(df, order_cols, partitions: int = 16, sum_col: str | None = None
     return out.drop("_pid", "_off")
 
 
+def idiv(a: Column, b: Column) -> Column:
+    """Exact int64 integral division (Spark's ``div`` function):
+    truncation toward zero, matching DuckDB's ``//`` on BIGINT — the
+    shared cross-engine form for estimator/ratio denominators. Equals
+    floor for the non-negative operands these ratios use; for possibly
+    negative numerators both engines still agree (both truncate)."""
+    return F.call_function("div", a, b)
+
+
 def exact_ppm(numer: Column, denom: Column, scale: int = 1_000_000) -> Column:
     """Exact parts-per-million: ``(numer * 1e6) div denom`` in LONG
     integer arithmetic, matching the oracles' exact ``//``.

@@ -1076,7 +1076,7 @@ def _pqf_d2(a: Column, b: Column) -> Column:
 
 
 def _pqf_d2_sql(a: str, b: str, m: str) -> str:
-    t = f"({a}[{m} * 8 + i] - {b}[{m} * 8 + i])"
+    t = f"({a}[{m} * {_PQF_SUB_D} + i] - {b}[{m} * {_PQF_SUB_D} + i])"
     return (
         f"CAST(list_sum(list_transform(generate_series(1, {_PQF_SUB_D}), "
         f"i -> {t} * {t})) AS BIGINT)"
@@ -1134,10 +1134,17 @@ def _pqf_lut() -> Column:
 
 def _pqf_adc() -> Column:
     """Static PQ_SUBSPACES-term ADC distance: element_at the per-query
-    `lut` by the candidate's `codes` ordinals."""
+    `lut` by the candidate's `codes` ordinals. The per-subspace block
+    stride is DERIVED from the lut length (|codebook| entries per
+    block), not assumed to be PQ_CODES — a sparse vec_id space yields
+    a smaller codebook, and a fixed stride would silently read the
+    wrong block while the ordinal-join oracle stayed correct."""
+    stride = (F.size(F.col("lut")) / F.lit(PQ_SUBSPACES)).cast("int")
     adc = None
     for m in range(PQ_SUBSPACES):
-        term = F.element_at("lut", F.col("codes")[m] + F.lit(m * PQ_CODES) + F.lit(1))
+        term = F.element_at(
+            "lut", F.col("codes")[m] + stride * F.lit(m) + F.lit(1)
+        )
         adc = term if adc is None else adc + term
     return adc
 

@@ -516,12 +516,21 @@ def stored_zone_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).encode()
     ).hexdigest()[:16]
-    store_root = os.environ.get("SPARK_GRAFT_CC_STORE") or os.path.join(
+    override = os.environ.get("SPARK_GRAFT_CC_STORE")
+    store_root = override or os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stored_{os.getuid()}" if hasattr(os, "getuid")
         else "spark_graft_stored",
     )
-    _ensure_private_dir(store_root)
+    if override:
+        # an operator-chosen root (shared/cluster mount) must NOT go
+        # through the private-tempdir hardening: uid-mapped mounts
+        # (NFS root-squash, fuse) report foreign owners, and a forced
+        # chmod 0o700 would strip the group access executors need —
+        # whoever sets the override owns its permission model
+        os.makedirs(store_root, exist_ok=True)
+    else:
+        _ensure_private_dir(store_root)
     # the source tag rides in the name so the GC below can scope to
     # THIS source's superseded keys (and for human debuggability —
     # the full key already hashes the source path)

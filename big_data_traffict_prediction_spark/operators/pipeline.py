@@ -1847,7 +1847,7 @@ def q_analyze_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("sum_exact_cents"),
         F.countDistinct("user_id").cast("long").alias("ndv_exact"),
     )
-    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    from ..compat import idiv as div
     est = smp.crossJoin(F.broadcast(ex)).select(
         "sample_rows",
         div(F.col("sample_rows") * F.lit(SMP_MOD), F.lit(SMP_PERMILLE))

@@ -639,7 +639,7 @@ def q_bloom_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("scanned_pairs"))
     )
     tot = cams.agg(F.count(F.lit(1)).cast("long").alias("n_cameras"))
-    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    from ..compat import idiv as div
     return (
         scan.join(F.broadcast(tp), "layout")
         .crossJoin(F.broadcast(tot))

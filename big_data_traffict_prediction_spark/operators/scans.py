@@ -1232,9 +1232,12 @@ _ZSK_CELLS_SQL = _zsk_cells_sql()
 
 
 # Third conjunct for the correlation rung: the traffic-class whitelist
-# (tables.CAR_EVENT_TYPES), a categorical attribute whose marginal an
-# ANALYZE frequency table stores exactly.
-SEL_TYPES = ("click", "view")
+# (tables.CAR_EVENT_TYPES — aliased, not re-declared, so the two can't
+# drift), a categorical attribute whose marginal an ANALYZE frequency
+# table stores exactly.
+from ..tables import CAR_EVENT_TYPES as SEL_TYPES  # noqa: E402
+
+_SEL_TYPES_SQL = ", ".join(repr(t) for t in SEL_TYPES)
 
 
 def conj_sel_estimates(spark: SparkSession, h: DataFrame) -> DataFrame:
@@ -1377,7 +1380,7 @@ def conj_sel_estimates(spark: SparkSession, h: DataFrame) -> DataFrame:
                epoch_us(ts) // 1000000 // 3600 >= {SEL_T1 // 3600}
                  AND epoch_us(ts) // 1000000 // 3600 < {SEL_T2 // 3600}
                  AS in_time,
-               event_type IN ('click','view') AS is_type
+               event_type IN ({_SEL_TYPES_SQL}) AS is_type
         FROM traffic)
 ),
 {_HIST_CTES},
@@ -1480,7 +1483,7 @@ def equality_selectivity_profile(per_key: DataFrame, k: int = EQ_MCV_K) -> DataF
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("mass"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    from ..compat import idiv as div
     marked = (
         pk.join(
             F.broadcast(mcv.select("camera_id", F.lit(True).alias("in_mcv"))),
@@ -1627,8 +1630,12 @@ tvd AS (
   GROUP BY 1, 2, 3, gs.group_size, t.n
 ),
 scored AS (
+  -- halve by the group denominator BEFORE the ppm scale: tvd_num is
+  -- bounded by 2·group_size·N, so tvd_num*1e6 would overflow int64
+  -- once group_size·N passes ~4.6e12; the pre-division keeps the
+  -- intermediate <= N and the scale safe to N ~ 9e12 rows
   SELECT event_type, qi_hour, qi_value_band, group_size,
-         CAST(tvd_num * 1000000 // (2 * group_size * t.n) AS BIGINT)
+         CAST((tvd_num // (2 * group_size)) * 1000000 // t.n AS BIGINT)
            AS tvd_ppm
   FROM tvd, tot t
 ),
@@ -1662,8 +1669,10 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent values' total contribution — since Σ_v c_v = N), so the
     aggregation never materializes the QI-domain × sensitive-domain
     product that the textbook per-(group, value) formula implies. All
-    arithmetic is exact int64 (the ppm division last), so both engines
-    hash-match.
+    arithmetic is int64 with the divisions last and mirrored exactly,
+    so both engines hash-match; int64 bound: the halve-then-scale ppm
+    keeps intermediates ≤ N·10⁶, safe to N ~ 9×10¹² rows (the naive
+    tvd_num·10⁶ form overflows at group_size·N ~ 4.6×10¹²).
 
     Scale shape: two map-side-combined aggregations (present pairs,
     global value counts), one broadcast-scalar total, one grouped fold
@@ -1672,7 +1681,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     as TakeOrderedAndProject."""
     from ..tables import load_table
 
-    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    from ..compat import idiv as div
     qi = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -1706,14 +1715,20 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tvd_num")
         )
     )
+    # halve by the group denominator BEFORE the ppm scale (mirrors the
+    # oracle): tvd_num <= 2·group_size·N, so the pre-division bounds
+    # the scaled intermediate by N·1e6 — safe to N ~ 9e12 rows, where
+    # the naive tvd_num·1e6 overflows at group_size·N ~ 4.6e12. Costs
+    # at most 1 ulp of the halved numerator (≤ 1e6/N ppm).
     scored = tvd.select(
         "event_type",
         "qi_hour",
         "qi_value_band",
         "group_size",
         div(
-            F.col("tvd_num") * F.lit(1_000_000),
-            F.lit(2) * F.col("group_size") * F.col("n"),
+            div(F.col("tvd_num"), F.lit(2) * F.col("group_size"))
+            * F.lit(1_000_000),
+            F.col("n"),
         )
         .cast("long")
         .alias("tvd_ppm"),

@@ -983,7 +983,7 @@ def join_order_rank(lf: DataFrame, of: DataFrame, pf: DataFrame) -> DataFrame:
     x2 = l.join(p, l["l_partkey"] == p["p_partkey"]).agg(
         F.count(F.lit(1)).cast("long").alias("exact_lp")
     )
-    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    from ..compat import idiv as div
     row = (
         ls.crossJoin(F.broadcast(os_))
         .crossJoin(F.broadcast(ps))

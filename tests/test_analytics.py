@@ -985,8 +985,8 @@ def test_join_order_agrees_on_real_data(spark, oracle_sf_dir):
 
 def test_analyze_sample_calibration_grades(spark, oracle_sf_dir):
     """The three sampled statistics have three honesty grades: linear
-    stats (count, fixed-point sum) land within a few percent at a 2%
-    sample; NDV from a sample is the documented hard case — Chao1 must
+    stats (count, fixed-point sum) land within a few percent at the
+    10% sample; NDV from a sample is the documented hard case — Chao1 must
     at least beat naive linear scaling (d_obs/q) and never fall below
     what the sample directly witnessed."""
     from big_data_traffict_prediction_spark.operators.pipeline import (
