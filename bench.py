@@ -209,6 +209,7 @@ EXTENDED = [
     "q_selectivity_equality",
     "q_t_closeness",
     "q_embedding_kmeans",
+    "q_mcv_merge",
 ]
 
 

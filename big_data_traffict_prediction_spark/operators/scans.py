@@ -1523,9 +1523,11 @@ def equality_selectivity_profile(per_key: DataFrame, k: int = EQ_MCV_K) -> DataF
     )
 
 
-@register(
-    "q_selectivity_equality",
-    oracle=with_traffic(f"""
+# Shared by the full-build profile and its incremental-maintenance
+# twin (q_mcv_merge): merged per-key counts equal the rebuilt ones
+# exactly, so BOTH hash-check against this one text — the
+# incremental-equals-rebuild theorem for the equality-stats family.
+_EQ_SEL_ORACLE = with_traffic(f"""
 , pk AS (
   SELECT camera_id, CAST(COUNT(*) AS BIGINT) AS c FROM traffic GROUP BY 1
 ),
@@ -1557,8 +1559,10 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
        CAST(SUM(ABS(em - c)) * 1000000 // MAX(n) AS BIGINT) AS mae_mcv_ppm,
        CAST(MAX(ABS(em - c)) AS BIGINT) AS max_err_mcv
 FROM est
-"""),
-)
+""")
+
+
+@register("q_selectivity_equality", oracle=_EQ_SEL_ORACLE)
 def q_selectivity_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQUALITY-predicate selectivity — the rung the range-predicate
     ladder (zone uniform → histogram → zone sketch) cannot cover:
@@ -1758,3 +1762,50 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(T_CLOSE_TOP)
     )
+
+
+# Incremental equality-stats maintenance: rows in the delta id-slot
+# play a late-arriving ingest batch (same fixture shape as the zone
+# map's ZM_DELTA split — scattered across many existing keys, so the
+# merge exercises real count combines).
+EQ_DELTA_MOD = 20
+EQ_DELTA_SLOT = 7
+
+
+@register("q_mcv_merge", oracle=_EQ_SEL_ORACLE)
+def q_mcv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EQUALITY-stats refresh — the maintenance leg that
+    completes the q_selectivity_equality family the way
+    q_histogram_merge completed the histogram's: the MCV list itself
+    doesn't merge (top-K of a union is not the union of top-Ks), but
+    its SUFFICIENT STATISTIC — the per-key count frame — does (counts
+    ADD), so a late ingest batch folds into the stored counts via one
+    co-partitioned full-outer join and the MCV list + workload error
+    profile re-derive from the merged frame. The oracle is the FULL
+    REBUILD (q_selectivity_equality's own text), so the driver hash
+    check IS the incremental-equals-rebuild theorem for this family.
+
+    Scale shape: both groupBys hash-partition on camera_id, so the
+    full-outer merge adds no exchange beyond the two key-domain-sized
+    aggregation outputs (at 100 TB the base side is ANALYZE's STORED
+    per-key frame, read not recomputed — only the delta batch scans);
+    the profile then runs on the merged key-domain frame exactly as
+    the full build does."""
+    h = traffic_history(spark, sf_dir)
+    base = (
+        h.filter(F.col("id") % EQ_DELTA_MOD != EQ_DELTA_SLOT)
+        .groupBy("camera_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    delta = (
+        h.filter(F.col("id") % EQ_DELTA_MOD == EQ_DELTA_SLOT)
+        .groupBy("camera_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    )
+    merged = base.join(delta, "camera_id", "full_outer").select(
+        "camera_id",
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.coalesce(F.col("cd"), F.lit(0)))
+        .cast("long")
+        .alias("c"),
+    )
+    return equality_selectivity_profile(merged)

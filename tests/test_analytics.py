@@ -1093,3 +1093,18 @@ def test_t_closeness_hand_planted_distributions(spark, tmp_path):
     assert out[9].tvd_ppm == 333_333 and not out[9].exceeds_t
     assert out[8].n_groups == 2 and out[8].groups_at_risk == 1
     assert out[8].group_size == 4 and out[9].group_size == 8
+
+
+def test_mcv_merge_equals_rebuild(spark, sf_dir):
+    """Per-key counts are the mergeable sufficient statistic of the
+    equality-stats family: the incremental merge must reproduce the
+    full rebuild's entire error profile tuple for tuple."""
+    from big_data_traffict_prediction_spark.operators.scans import (
+        q_mcv_merge,
+        q_selectivity_equality,
+    )
+
+    merged = q_mcv_merge(spark, sf_dir).collect()
+    rebuilt = q_selectivity_equality(spark, sf_dir).collect()
+    assert len(merged) == len(rebuilt) == 1
+    assert merged[0].asDict() == rebuilt[0].asDict()
