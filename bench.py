@@ -210,6 +210,7 @@ EXTENDED = [
     "q_t_closeness",
     "q_embedding_kmeans",
     "q_mcv_merge",
+    "q_sample_histogram",
 ]
 
 

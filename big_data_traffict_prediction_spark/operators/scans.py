@@ -709,37 +709,46 @@ def q_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stats that q_selectivity_estimate's ~2-3x skew error motivates.
 HIST_BUCKETS = 32
 
-# Value-frequency + cumulative-rank CTEs shared by both histogram
-# queries (the Spark twin is hist_buckets_from_vf below).
-_HIST_CTES = f"""
-vf AS (
+# Value-frequency + cumulative-rank CTEs shared by the histogram
+# queries (the Spark twin is hist_buckets_from_vf below). The
+# generator parameterizes the CTE-name suffix and an extra scan
+# predicate so the SAMPLED-histogram twin can build a second,
+# independently-named pipeline in the same oracle; defaults emit the
+# text the settled histogram oracles were registered with, byte for
+# byte (fingerprint-checked).
+def _hist_ctes_sql(sfx: str = "", extra_where: str = "") -> str:
+    return f"""
+vf{sfx} AS (
   SELECT new_count AS v, CAST(COUNT(*) AS BIGINT) AS f
-  FROM traffic WHERE new_count IS NOT NULL GROUP BY 1
+  FROM traffic WHERE new_count IS NOT NULL{extra_where} GROUP BY 1
 ),
-cum AS (
+cum{sfx} AS (
   SELECT v, f,
          SUM(f) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                       AND CURRENT ROW) AS c_hi
-  FROM vf
+  FROM vf{sfx}
 ),
-tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM vf),
-bk AS (
+tot{sfx} AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM vf{sfx}),
+bk{sfx} AS (
   SELECT CAST(range AS BIGINT) AS bucket,
          range * n // {HIST_BUCKETS} AS r_lo,
          (range + 1) * n // {HIST_BUCKETS} AS r_hi
-  FROM range({HIST_BUCKETS}), tot
+  FROM range({HIST_BUCKETS}), tot{sfx}
 ),
-hist AS (
+hist{sfx} AS (
   SELECT b.bucket,
          CAST(MIN(c.v) AS BIGINT) AS lo,
          CAST(MAX(c.v) AS BIGINT) AS hi,
          CAST(SUM(LEAST(c.c_hi, b.r_hi) - GREATEST(c.c_hi - c.f, b.r_lo))
               AS BIGINT) AS n_rows,
          CAST(COUNT(*) AS BIGINT) AS ndv
-  FROM cum c JOIN bk b ON c.c_hi - c.f < b.r_hi AND c.c_hi > b.r_lo
+  FROM cum{sfx} c JOIN bk{sfx} b ON c.c_hi - c.f < b.r_hi AND c.c_hi > b.r_lo
   GROUP BY 1
 )
 """.strip()
+
+
+_HIST_CTES = _hist_ctes_sql()
 
 
 def hist_value_freq(h: DataFrame) -> DataFrame:
@@ -1034,6 +1043,181 @@ def q_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_hist",
         err_ppm("est_uniform").alias("err_uniform_ppm"),
         err_ppm("est_hist").alias("err_hist_ppm"),
+    )
+
+
+# Sampled-histogram build: deterministic 10% row sample by id hash
+# (own prefix so it decorrelates from every other sampling query).
+SH_MOD = 1000
+SH_PERMILLE = 100
+
+_SH_PRED_SQL = (
+    f" AND CAST(('0x' || substr(md5('shs#' || CAST(id AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {SH_MOD} < {SH_PERMILLE}"
+)
+
+
+@register(
+    "q_sample_histogram",
+    oracle=with_traffic(f"""
+, {_SEL_ZM_SQL},
+{_SEL_RNG_SQL},
+zs AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(SUM(CASE WHEN in_range THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_in_window,
+         CAST(SUM(CASE WHEN in_range THEN n_match ELSE 0 END) AS BIGINT)
+           AS exact_rows
+  FROM rng
+),
+{_hist_ctes_sql()},
+hm AS (
+  SELECT CAST(SUM(CASE WHEN ov > 0 THEN n_rows * ov // (hi - lo + 1)
+                  ELSE 0 END) AS BIGINT) AS hist_match_all
+  FROM (SELECT *,
+               GREATEST(0, LEAST({SEL_C2}, hi) - GREATEST({SEL_C1}, lo) + 1)
+                 AS ov
+        FROM hist)
+),
+{_hist_ctes_sql("_s", _SH_PRED_SQL)},
+hm_s AS (
+  SELECT CAST(SUM(CASE WHEN ov > 0 THEN n_rows * ov // (hi - lo + 1)
+                  ELSE 0 END) AS BIGINT) AS s_match,
+         CAST((SELECT n FROM tot_s) AS BIGINT) AS sample_rows
+  FROM (SELECT *,
+               GREATEST(0, LEAST({SEL_C2}, hi) - GREATEST({SEL_C1}, lo) + 1)
+                 AS ov
+        FROM hist_s)
+),
+est AS (
+  SELECT zs.total_rows, zs.rows_in_window, zs.exact_rows,
+         CAST(zs.rows_in_window * hm.hist_match_all // zs.total_rows
+              AS BIGINT) AS est_hist,
+         CAST(zs.rows_in_window * (hm_s.s_match * {SH_MOD} // {SH_PERMILLE})
+              // zs.total_rows AS BIGINT) AS est_sample_hist,
+         hm_s.sample_rows
+  FROM zs, hm, hm_s
+)
+SELECT total_rows, rows_in_window, exact_rows, est_hist, est_sample_hist,
+       CAST(ABS(est_hist - exact_rows) * 1000000
+            // GREATEST(exact_rows, 1) AS BIGINT) AS err_hist_ppm,
+       CAST(ABS(est_sample_hist - exact_rows) * 1000000
+            // GREATEST(exact_rows, 1) AS BIGINT) AS err_sample_ppm,
+       sample_rows
+FROM est
+"""),
+)
+def q_sample_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram FROM A SAMPLE — the link between the sampled-ANALYZE
+    leg (q_analyze_sample: at 100 TB the stats pass reads a sample)
+    and the histogram rung (q_selectivity_histogram: equi-depth
+    buckets beat zone-uniform ~9×): build the SAME equi-depth
+    histogram from a deterministic 10% row sample, scale its bucket
+    masses by 1/q, and answer the SAME predicate next to the
+    full-scan histogram and the exact witness — one row showing what
+    estimation accuracy the 10× cheaper stats pass gives up. This is
+    exactly how PostgreSQL builds its histograms (default_statistics
+    pages are sampled, not scanned), so the err_sample_ppm column is
+    the real-world number; the ladder discipline: every estimator
+    reports its error next to a witness.
+
+    Scale shape: identical to q_selectivity_histogram except the vf
+    aggregation scans a hash-threshold 10% of the fact (predicate
+    pushed to the scan); everything downstream of both vf reductions
+    is value-domain-sized. Bucket boundaries from the sample differ
+    from the full build's (rank quantiles of the sample), which is
+    the whole point — the estimator carries its construction error
+    honestly."""
+    in_range = sel_in_range()
+    zs = sel_zone_map(spark, sf_dir).agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum(F.when(in_range, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_window"),
+        F.sum(F.when(in_range, F.col("n_match")).otherwise(0))
+        .cast("long")
+        .alias("exact_rows"),
+    )
+    from ..compat import idiv as div
+    from ..functions.text import hash60
+
+    h = traffic_history(spark, sf_dir)
+    sample = h.filter(
+        F.pmod(
+            hash60(F.concat(F.lit("shs#"), F.col("id").cast("string"))),
+            F.lit(SH_MOD),
+        )
+        < SH_PERMILLE
+    )
+
+    def match_all(hb: DataFrame, alias: str) -> DataFrame:
+        ov = F.greatest(
+            F.lit(0),
+            F.least(F.lit(SEL_C2), F.col("hi"))
+            - F.greatest(F.lit(SEL_C1), F.col("lo"))
+            + 1,
+        )
+        return hb.agg(
+            F.sum(
+                F.when(
+                    ov > 0,
+                    div(F.col("n_rows") * ov, F.col("hi") - F.col("lo") + 1),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    hm = match_all(
+        hist_buckets_from_vf(spark, hist_value_freq(h)), "hist_match_all"
+    )
+    vf_s = hist_value_freq(sample).localCheckpoint(eager=False)  # hm_s + size
+    hm_s = match_all(hist_buckets_from_vf(spark, vf_s), "s_match").crossJoin(
+        F.broadcast(vf_s.agg(F.sum("f").cast("long").alias("sample_rows")))
+    )
+    est = (
+        zs.crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(hm_s))
+        .select(
+            "total_rows",
+            "rows_in_window",
+            "exact_rows",
+            div(
+                F.col("rows_in_window") * F.col("hist_match_all"),
+                F.col("total_rows"),
+            )
+            .cast("long")
+            .alias("est_hist"),
+            div(
+                F.col("rows_in_window")
+                * div(F.col("s_match") * F.lit(SH_MOD), F.lit(SH_PERMILLE)),
+                F.col("total_rows"),
+            )
+            .cast("long")
+            .alias("est_sample_hist"),
+            "sample_rows",
+        )
+    )
+
+    def err_ppm(col: str, tag: str):
+        return (
+            div(
+                F.abs(F.col(col) - F.col("exact_rows")) * F.lit(1_000_000),
+                F.greatest(F.col("exact_rows"), F.lit(1)),
+            )
+            .cast("long")
+            .alias(tag)
+        )
+
+    return est.select(
+        "total_rows",
+        "rows_in_window",
+        "exact_rows",
+        "est_hist",
+        "est_sample_hist",
+        err_ppm("est_hist", "err_hist_ppm"),
+        err_ppm("est_sample_hist", "err_sample_ppm"),
+        "sample_rows",
     )
 
 
