@@ -211,6 +211,7 @@ EXTENDED = [
     "q_embedding_kmeans",
     "q_mcv_merge",
     "q_sample_histogram",
+    "q_stream_mcv",
 ]
 
 

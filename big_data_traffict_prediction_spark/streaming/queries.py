@@ -1341,3 +1341,44 @@ def q_stream_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+from ..operators.scans import _EQ_SEL_ORACLE  # noqa: E402  (shared text)
+
+
+@register("q_stream_mcv", oracle=_EQ_SEL_ORACLE)
+def q_stream_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING equality-stats maintenance — the third leg of the
+    MCV family (build q_selectivity_equality, incremental q_mcv_merge,
+    now streaming): the per-key count frame — the family's mergeable
+    sufficient statistic — accumulates as complete-mode aggregation
+    state while detection files land (counts are additive, so the
+    drained frame is chunking-invariant), and the MCV list + workload
+    error profile derive post-drain. Hash-checks against the SAME
+    full-rebuild oracle as both batch legs: streaming maintenance ==
+    rebuild, completing the build/incremental/streaming triple that
+    the histogram, zone-map and join-grid statistics already have.
+
+    Scale shape: state is one count per distinct key (key-domain-
+    sized, the same artifact ANALYZE persists); the post-drain
+    profile is a top-K plus one broadcast-marked pass over that
+    frame — the fact never re-scans."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scans import equality_selectivity_profile
+
+    stage, base = _staged(spark, sf_dir)
+    per_key = (
+        simulate.read_stream(spark, stage)
+        .groupBy("camera_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = windows.run_to_memory(
+        spark,
+        per_key,
+        f"q_stream_mcv_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
+    return equality_selectivity_profile(out)
