@@ -313,6 +313,36 @@ def _calibration_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _calibration_probe_parallel(threads: int = 8) -> float:
+    """The same md5 work run on `threads` concurrent threads (md5
+    releases the GIL), wall-clock seconds — the MULTI-thread host
+    witness the single-thread probe cannot provide: co-tenant CPU
+    steal was observed inflating Spark 1.4-11x while calib_sec AND
+    load average stayed at their idle values (r13). On an unloaded
+    box this reads ≈ calib_sec (threads run in parallel); under
+    steal it inflates roughly like the query times do, so the ratio
+    calib_par_sec / calib_sec in the artifact separates "host was
+    busy" from "the engine regressed"."""
+    import hashlib
+    import threading
+
+    buf = b"\x5a" * (1 << 20)
+
+    def work() -> None:
+        h = hashlib.md5()
+        for _ in range(256):
+            h.update(buf)
+        h.digest()
+
+    ts = [threading.Thread(target=work) for _ in range(threads)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _load_factor(timings_min: dict, committed: dict | None) -> float | None:
     """This run's min-of-sweeps headline total ÷ the committed idle
     record's, over the shared query names — >1.1 reads as ambient
@@ -347,6 +377,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     warm_runs = int(os.environ.get("SPARK_BENCH_WARMUP", "1"))
     calib_sec = _calibration_probe()
+    calib_par_sec = _calibration_probe_parallel()
     spark = get_spark()
 
     queries = registry.all_queries()
@@ -434,6 +465,7 @@ def main() -> None:
         "value_min": round(sum(timings_min.values()), 3),
         "load_factor": load_factor,
         "calib_sec": calib_sec,
+        "calib_par_sec": calib_par_sec,
         "queries_min": timings_min,
         "queries_cold": cold,
         "queries_extended": extended,
@@ -461,6 +493,7 @@ def main() -> None:
                 "stat": stat,
                 "load_factor": load_factor,
                 "calib_sec": calib_sec,
+                "calib_par_sec": calib_par_sec,
                 "queries": timings,
                 "sf": sf,
             }
