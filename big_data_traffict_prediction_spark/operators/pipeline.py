@@ -1535,12 +1535,20 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed domain; the double measure goes through the exact
     fixed-point image first — no float rendering in any hashed cell).
 
-    Scale shape: the column stack explodes each row into |columns|
-    (col, val) pairs — the standard ANALYZE trade: one scan, ~|cols|×
-    shuffle volume, all aggregates map-side partial; the HLL register
-    frame is |cols|·64 rows. Per-column sketches persist and merge by
-    register max as partitions are appended, so the nightly stats
-    refresh is incremental exactly like q_zone_map_merge."""
+    Scale shape (r13 single-pass rewrite): the column stack explodes
+    each row into |columns| (col, val) pairs — the standard ANALYZE
+    trade — then ONE map-side-combined aggregation reduces the stack
+    to its value-frequency sufficient statistic (col, distinct val,
+    count): every kept statistic is a function of that frame (n_rows =
+    Σcount, null count, exact NDV = row count, min/max, and the HLL
+    hash — a function of val alone — evaluates on ~NDV distinct rows
+    instead of every stacked row). The previous dual-branch plan
+    scanned + exploded the table twice (once per statistic family) and
+    sort-aggregated the full stack for countDistinct; this shape is
+    one scan, one data-sized exchange, and a register-grain rollup.
+    Per-column sketches persist and merge by register max as
+    partitions are appended, so the nightly stats refresh is
+    incremental exactly like q_zone_map_merge."""
     e = load_table(spark, sf_dir, "events")
     canon = {
         "event_id": canon_int_col(F.col("event_id")),
@@ -1551,24 +1559,43 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props": F.col("props"),
     }
     base = analyze_stack(e, canon)
-    prof = base.groupBy("col").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col("val").isNull().cast("long")).cast("long").alias("n_null"),
-        F.countDistinct("val").cast("long").alias("ndv_exact"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
+    vf = base.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    # NULL val → NULL hash → bucket −1 (its own register-frame row, so
+    # null counts ride the same rollup; regs below excludes it)
+    hashed = vf.select("col", "val", "c", analyze_hash_col()).select(
+        "col",
+        "val",
+        "c",
+        F.coalesce(
+            F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)), F.lit(-1)
+        ).alias("bucket"),
+        hll_rank_col(F.col("h")).cast("int").alias("rank"),
     )
-    hb = base.filter(F.col("val").isNotNull()).select(
-        F.col("col").alias("grp"), analyze_hash_col()
-    )
-    regs = (
-        hb.select(
-            "grp",
-            F.call_function("div", F.col("h"), F.lit(_HLL_WMOD)).alias("bucket"),
-            hll_rank_col(F.col("h")).cast("int").alias("rank"),
+    g2 = (
+        hashed.groupBy("col", "bucket")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(
+                F.when(F.col("val").isNull(), F.col("c")).otherwise(F.lit(0))
+            ).alias("nn"),
+            F.count("val").alias("ndv_b"),
+            F.min("val").alias("minv"),
+            F.max("val").alias("maxv"),
+            F.max("rank").alias("reg"),
         )
-        .groupBy("grp", "bucket")
-        .agg(F.max("rank").alias("reg"))
+        # |cols|·(HLL_M+1) rows, referenced by prof AND regs — eager
+        # checkpoint so the scan/stack/dedup pipeline runs once
+        .localCheckpoint(eager=True)
+    )
+    prof = g2.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("nn").cast("long").alias("n_null"),
+        F.sum("ndv_b").cast("long").alias("ndv_exact"),
+        F.min("minv").alias("min_val"),
+        F.max("maxv").alias("max_val"),
+    )
+    regs = g2.filter(F.col("bucket") >= 0).select(
+        F.col("col").alias("grp"), "bucket", "reg"
     )
     est = _hll_estimate(regs).select(
         F.col("grp").alias("col"), F.col("hll_users").alias("ndv_hll")
