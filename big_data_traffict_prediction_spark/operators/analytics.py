@@ -443,6 +443,13 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_set("l_partkey")), 1, AFFINITY_MAX_BASKET
             ).alias("ms")
         )
+        # three consumers (n_orders, item, pair) — eager checkpoint so
+        # the fact scan + collect_set shuffle run ONCE, not once per
+        # branch (the plan previously carried three ObjectHashAggregate
+        # + Exchange copies of the basket build; wall-time at sf0.1 is
+        # flat because the branches overlapped across cores, but at
+        # scale this is 3 fact shuffles -> 1)
+        .localCheckpoint(eager=True)
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     item = (
