@@ -1095,6 +1095,69 @@ def _pqf_codebook_row(fp: DataFrame) -> DataFrame:
     )
 
 
+def _pqf_codebook_np(fp: DataFrame) -> list:
+    """Driver-side fixed-point codebook, list position = code ordinal
+    (vec_id order — identical to _pqf_codebook_row's sort_array).
+    BOUNDED collect: at most PQ_CODES (=64) rows by construction, the
+    same bounded-model-state discipline as q_ann_pq's PQ_TRAIN_CAP
+    sample — the codebook IS model state, and faiss holds it driver-
+    side the same way."""
+    rows = (
+        fp.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("j"), "fpv")
+        .orderBy("j")
+        .collect()
+    )
+    return [list(r.fpv) for r in rows]
+
+
+def _pqf_encode_op(bC):
+    """Arrow-batched encode kernel over a broadcast codebook (r13
+    optimization, guide §4.2): per subspace, the argmin of exact int64
+    d² against every codebook row. Bit-identical to the HOF form
+    (_pqf_codes): the squares are bounded by SUB_D·(2·PQF_SCALE)² ≈
+    3.2e13 ≪ 2^63 so numpy int64 arithmetic is exact, and np.argmin's
+    first-minimum tie rule IS array_min's lowest-ordinal rule. The HOF
+    form paid ~1 ms/row of interpreted lambda evaluation (HOFs do not
+    take part in whole-stage codegen) plus a ~1 s plan/codegen fixed
+    cost for the 8-subspace expression tree; the kernel is ~12× on the
+    encode stage at sf0.1. Empty codebook degenerates to all-NULL
+    codes, exactly like array_min over an empty array."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        C = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if C is None:
+                C = np.asarray(bC.value, dtype=np.int64)
+            out = pdf.drop(columns=["fpv"])
+            if C.size == 0:
+                out["codes"] = [[None] * PQ_SUBSPACES] * len(pdf)
+                yield out
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["fpv"]])
+            codes = np.empty((len(pdf), PQ_SUBSPACES), dtype=np.int32)
+            for m in range(PQ_SUBSPACES):
+                lo, hi = m * _PQF_SUB_D, (m + 1) * _PQF_SUB_D
+                d = X[:, None, lo:hi] - C[None, :, lo:hi]
+                codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
+            out["codes"] = list(codes)
+            yield out
+
+    return op
+
+
+def _pqf_encode(spark: SparkSession, fp: DataFrame, df: DataFrame, schema: str) -> DataFrame:
+    """Encode `df` (any columns + `fpv`; fpv is consumed, the rest pass
+    through) against the bounded codebook collected from `fp`;
+    `schema` is the passthrough schema plus `codes array<int>`."""
+    bC = spark.sparkContext.broadcast(_pqf_codebook_np(fp))
+    return df.mapInPandas(_pqf_encode_op(bC), schema=schema)
+
+
 def _pqf_code(m: int) -> Column:
     """Subspace-m code (codebook ordinal) of the row's `fpv` against
     the broadcast `cb` column: HOF argmin of exact integer d², ties to
@@ -1227,30 +1290,40 @@ def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     break to the lowest ordinal in both engines (lexicographic
     struct-min — Spark array_min == DuckDB MIN({{'d',...,'p'...}})).
 
-    Spark shape, all JVM (no Python kernel anywhere): the codebook is
-    ONE collected-free broadcast row (sort_array ∘ collect_list over a
-    64-row filter); ENCODING is per-candidate HOF argmin over that
-    array inside codegen (zero shuffle — candidates never move);
-    per-query ADC lookup tables are built the same in-row way over the
-    bounded query batch; SCORING is the same static 8-term element_at
-    sum as q_ann_pq; the shortlist and exact re-rank reuse the
-    brute-force cosine machinery. At 100 TB the candidate side is a
-    scan of stored codes (6 bits × 8 per vector), queries broadcast,
-    and the only shuffle is the per-query top-k window over
-    queries × PQ_SHORTLIST survivor rows."""
-    fp = _vecs(spark, sf_dir).select(
-        "vec_id", "label", "embedding", "norm_fp",
-        _pqf_fpv(F.col("embedding")).alias("fpv"),
+    Spark shape: the codebook is bounded MODEL STATE (≤ PQ_CODES = 64
+    rows) collected once and broadcast — the same discipline as
+    q_ann_pq's PQ_TRAIN_CAP training sample; candidate ENCODING is one
+    Arrow-batched exact-int64 kernel over the candidate scan (zero
+    shuffle — candidates never move; the r13 optimization round
+    replaced the per-candidate HOF argmin, whose interpreted lambda
+    evaluation cost ~1 ms/row outside whole-stage codegen, with the
+    vectorized kernel at identical bits — see _pqf_encode_op);
+    per-query ADC lookup tables stay in-row JVM HOFs over the bounded
+    query batch; SCORING is the same static 8-term element_at sum as
+    q_ann_pq; the shortlist and exact re-rank reuse the brute-force
+    cosine machinery. At 100 TB the candidate side is a scan of stored
+    codes (6 bits × 8 per vector), queries broadcast, and the only
+    shuffle is the per-query top-k window over queries × PQ_SHORTLIST
+    survivor rows."""
+    fp = (
+        _vecs(spark, sf_dir)
+        .select(
+            "vec_id", "label", "embedding", "norm_fp",
+            _pqf_fpv(F.col("embedding")).alias("fpv"),
+        )
+        # four consumers (codebook collect, encode, LUTs, exact
+        # re-rank) — materialize the scan + fixed-point image once
+        .localCheckpoint(eager=True)
     )
-    cb_row = _pqf_codebook_row(fp)
-    coded = fp.crossJoin(F.broadcast(cb_row)).select(
-        "vec_id",
-        "label",
-        _pqf_codes().alias("codes"),
+    coded = _pqf_encode(
+        spark,
+        fp,
+        fp.select("vec_id", "label", "fpv"),
+        "vec_id long, label int, codes array<int>",
     )
     luts = (
         fp.filter(F.col("vec_id") < QUERY_LIMIT)
-        .crossJoin(F.broadcast(cb_row))
+        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
         .select(F.col("vec_id").alias("query_id"), _pqf_lut().alias("lut"))
     )
     scored = (
@@ -1423,30 +1496,40 @@ def q_ann_ivf_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays within the shortlist's reach because the exact re-rank
     repairs ADC quantization error inside the probed universe.
 
-    Spark shape, all JVM: both quantizers ride broadcast one-row
-    frames (centers, codebook); assignment + encoding are per-row
-    HOFs inside codegen (candidates never shuffle); the probe is a
-    cell-id equi-join of the broadcast query batch against the coded
-    posting lists; the only data-sized shuffle is the per-query
-    shortlist window over probed survivors."""
+    Spark shape: the coarse quantizer rides a broadcast one-row frame
+    (centers) and assignment is a per-row HOF; the PQ codebook is the
+    bounded broadcast model state of q_ann_pq_fixed, and encoding is
+    the same Arrow-batched exact-int64 kernel (candidates never
+    shuffle; the r13 optimization round swapped the interpreted HOF
+    argmin for the kernel at identical bits and checkpointed the
+    twice-referenced scored frame); the probe is a cell-id equi-join
+    of the broadcast query batch against the coded posting lists; the
+    only data-sized shuffle is the per-query shortlist window over
+    probed survivors."""
     vecs = _vecs(spark, sf_dir)
-    fp = vecs.select(
-        "vec_id", "label", "embedding", "norm_fp",
-        _pqf_fpv(F.col("embedding")).alias("fpv"),
+    fp = (
+        vecs.select(
+            "vec_id", "label", "embedding", "norm_fp",
+            _pqf_fpv(F.col("embedding")).alias("fpv"),
+        )
+        .localCheckpoint(eager=True)
     )
-    scored = fp.crossJoin(F.broadcast(_ivf_centers_row(vecs))).withColumn(
-        "scores", _ivf_scores()
+    # two consumers (coded, probe_luts) of the center-scored frame —
+    # materialize so the per-row center scoring runs once
+    scored = (
+        fp.crossJoin(F.broadcast(_ivf_centers_row(fp)))
+        .withColumn("scores", _ivf_scores())
+        .localCheckpoint(eager=True)
     )
-    cb_row = _pqf_codebook_row(fp)
-    coded = scored.crossJoin(F.broadcast(cb_row)).select(
-        "vec_id",
-        "label",
-        _ivf_cell().alias("cell"),
-        _pqf_codes().alias("codes"),
+    coded = _pqf_encode(
+        spark,
+        fp,
+        scored.select("vec_id", "label", _ivf_cell().alias("cell"), "fpv"),
+        "vec_id long, label int, cell int, codes array<int>",
     )
     probe_luts = (
         scored.filter(F.col("vec_id") < QUERY_LIMIT)
-        .crossJoin(F.broadcast(cb_row))
+        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(_ivf_probe_cells()).alias("cell"),
