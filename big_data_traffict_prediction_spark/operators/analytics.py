@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import constant_key, exact_ppm, global_prefix_min, global_rank
@@ -1883,63 +1883,82 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain bound is a one-row broadcast scalar."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pos = (
+    # The collision check is set membership against the CUSTOMER's own
+    # positives — so instead of materializing the distinct positive set
+    # and left-joining NEG_K× exploded candidates back onto it (two
+    # data-sized exchanges + a checkpoint: the r13-opt "before" plan
+    # shuffled K·|pos| candidate rows into a SortMergeJoin), fold the
+    # positives into one basket per customer (collect_set dedups AND
+    # groups in the same hash aggregation — the q_part_affinity shape)
+    # and test all NEG_K slots in-row with array_contains. Basket size
+    # is bounded by a customer's distinct parts (scale-free, ~40 at any
+    # SF — the same per-entity bound q_part_affinity documents), so the
+    # membership scan is O(K·|basket|) per positive at every scale and
+    # the only data-sized exchange left is the customer groupBy.
+    baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
-        .distinct()
-        .localCheckpoint(eager=True)  # referenced by cand AND the semi-join
+        .groupBy("custkey")
+        .agg(F.collect_set("partkey").alias("pks"))
     )
     np_row = li.agg(F.max("l_partkey").alias("n_parts"))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("neg#"),
-                    F.col("custkey").cast("string"),
-                    F.lit("#"),
-                    F.col("partkey").cast("string"),
-                    F.lit("#"),
-                    F.col("slot").cast("string"),
-                )
+
+    def hit(slot: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg#"),
+                        F.col("custkey").cast("string"),
+                        F.lit("#"),
+                        F.col("partkey").cast("string"),
+                        F.lit(f"#{slot}"),
+                    )
+                ),
+                1,
+                10,
             ),
-            1,
+            16,
             10,
-        ),
-        16,
-        10,
-    ).cast("long")
-    cand = (
-        pos.select(
-            "custkey",
-            "partkey",
-            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("slot"),
+        ).cast("long")
+        return F.array_contains(
+            F.col("pks"), h % F.col("n_parts") + 1
+        ).cast("long")
+
+    # per-slot totals as NEG_K static sum columns of ONE global
+    # aggregate (map-side partial → a single reduced row), then the
+    # NEG_K output rows inflate from that row in-plan
+    totals = (
+        baskets.select(
+            "custkey", "pks", F.explode("pks").alias("partkey")
         )
         .crossJoin(F.broadcast(np_row))
-        .select("custkey", "slot", (h % F.col("n_parts") + 1).alias("neg_part"))
-    )
-    # ONE pass: a left join with a hit flag counts candidates AND
-    # collisions in the same aggregation (a semi-join branch plus a
-    # separate totals branch would evaluate the candidate pipeline
-    # twice — the q_dedup_clusters double-reference lesson)
-    flagged = cand.join(
-        pos.select(
-            "custkey", F.col("partkey").alias("neg_part"), F.lit(1).alias("hit")
-        ),
-        ["custkey", "neg_part"],
-        "left",
-    )
-    return (
-        flagged.groupBy("slot")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_collisions"),
+            *[F.sum(hit(s)).cast("long").alias(f"h{s}") for s in range(NEG_K)],
         )
+    )
+    slot_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("long").alias("slot"),
+                    F.col(f"h{s}").alias("n_collisions"),
+                )
+                for s in range(NEG_K)
+            ]
+        )
+    )
+    return (
+        totals.select("n_candidates", slot_rows.alias("s"))
         .select(
-            F.col("slot").cast("long").alias("slot"),
+            F.col("s.slot").alias("slot"),
             "n_candidates",
-            "n_collisions",
+            F.col("s.n_collisions").alias("n_collisions"),
             F.call_function(
-                "div", F.col("n_collisions") * F.lit(1_000_000), F.col("n_candidates")
+                "div",
+                F.col("s.n_collisions") * F.lit(1_000_000),
+                F.col("n_candidates"),
             ).alias("collision_ppm"),
         )
         .orderBy("slot")

@@ -806,13 +806,22 @@ def test_negative_samples_collision_check_is_hash_join(spark, sf_dir):
         q_negative_samples,
     )
 
-    # the accidental-positive flag joins candidates against positives
-    # on (customer, part) — an EQUI join; the only nested loop allowed
-    # is the one-row n_parts scalar broadcast (TPC-H q11/q15 pattern)
+    # the accidental-positive flag tests candidates against the
+    # customer's own positives IN-ROW (collect_set basket +
+    # array_contains — r13-opt rewrite): no candidate/positive join at
+    # all, so the only nested loop allowed is the one-row n_parts
+    # scalar broadcast (TPC-H q11/q15 pattern), and the only
+    # data-sized exchange is the customer-basket groupBy (the other
+    # two shuffles reduce one-row aggregates)
     df = q_negative_samples(spark, sf_dir)
+    plan = explain.formatted_plan(df)
     assert explain.nested_loop_join_count(df) <= 1, (
-        "candidate/positive join degenerated to a nested loop"
+        "candidate/positive check degenerated to a nested loop"
     )
+    assert "SortMergeJoin" not in plan, (
+        "candidate/positive check regressed to a data-sized join"
+    )
+    assert explain.shuffle_count(df) <= 3, plan
 
 
 def test_k_anonymity_is_one_fact_aggregation(spark, sf_dir):
