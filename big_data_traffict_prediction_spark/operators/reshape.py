@@ -592,29 +592,36 @@ def q_bloom_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.call_function("div", (F.col("_rk") - 1) * n, F.col("_n")).alias("f"),
         "cam",
     )
-    lay = (
-        base.select(F.lit("bucket").alias("layout"), F.col("bf").alias("f"), "cam")
-        .unionByName(rg)
-        .localCheckpoint(eager=False)  # feeds files, true-pairs AND cams
-    )
+    lay = base.select(
+        F.lit("bucket").alias("layout"), F.col("bf").alias("f"), "cam"
+    ).unionByName(rg)
+    # ONE data-sized pass (r13-opt): min/max/bit_or are insensitive to
+    # duplicate (f, cam) rows, true_pairs counts exactly the distinct
+    # (layout, f, cam) tuples, and the probe's camera set is the
+    # bucket layout's distinct cams (f = hash(cam) % n is a function
+    # of cam, so distinct (f, cam) there IS distinct cam) — so the
+    # distinct-tuple frame `g` (≈ 2x|fleet| rows) is the shared
+    # sufficient statistic. The previous plan scanned `lay` three
+    # times (files agg, true-pairs distinct, cams distinct).
+    g = lay.distinct().localCheckpoint(eager=False)  # feeds files AND cams
     bloom_bit = F.pmod(
         hash60(F.concat(F.lit("zm#"), F.col("cam").cast("string"))),
         F.lit(ZM_BLOOM_BITS),
     ).cast("int")
-    files = lay.groupBy("layout", "f").agg(
+    files = g.groupBy("layout", "f").agg(
         F.min("cam").alias("mn"),
         F.max("cam").alias("mx"),
         F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), bloom_bit))
         .cast("long")
         .alias("bloom"),
+        F.count(F.lit(1)).alias("n_cams_f"),
     )
-    tp = (
-        lay.select("layout", "f", "cam")
-        .distinct()
-        .groupBy("layout")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_pairs"))
+    # per-layout true pairs roll up from the 2xCLUSTER_FILES files
+    # frame — file-count-sized, never a second fact pass
+    tp = files.groupBy("layout").agg(
+        F.sum("n_cams_f").cast("long").alias("true_pairs")
     )
-    cams = lay.filter(F.col("layout") == "bucket").select("cam").distinct()
+    cams = g.filter(F.col("layout") == "bucket").select("cam")
     # bounded: a 2-row literal index-kind dimension, never data-sized
     idx = cams.sparkSession.createDataFrame(
         [("minmax",), ("bloom",)], ["idx"]

@@ -1320,12 +1320,20 @@ def q_stream_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("col").alias("grp"), "bucket", "reg"
         )
     ).select(F.col("grp").alias("col"), F.col("hll_users").alias("ndv_hll"))
-    # the one non-streamable statistic, computed batch-side as witness
+    # the one non-streamable statistic, computed batch-side as witness.
+    # Two-level hash aggregation (value-frequency grain, then count the
+    # distinct rows) instead of countDistinct: the single-distinct plan
+    # sort-aggregates the full |columns|x|rows| string stack, while the
+    # vf shape is two map-side-combined hash aggs — the same rewrite
+    # that carried q_analyze_table (r13-opt; measured ~1.4x here).
+    # count("val") skips the NULL-value group, matching countDistinct.
     h = traffic_history(spark, sf_dir)
     ndv = (
         analyze_stack(h, canon(h))
+        .groupBy("col", "val")
+        .agg(F.lit(1))
         .groupBy("col")
-        .agg(F.countDistinct("val").cast("long").alias("ndv_exact"))
+        .agg(F.count("val").cast("long").alias("ndv_exact"))
     )
     return (
         prof.join(ndv, "col")
