@@ -34,13 +34,24 @@ WATERMARK = "30 minutes"
 # batch-parallelism knob. A batch-oriented session default (Spark's
 # 200, or input-sized on a cluster) multiplies per-micro-batch task
 # scheduling + state-store open/commit overhead with no benefit on the
-# bounded replays here (measured: the stream-stream joins run 3-5×
-# faster at 32 than at 200 on the same input). Results are
-# partitioning-invariant — pinned by the chunking-invariance test and
-# every q_stream_* oracle. On a real cluster, size this to
-# (distinct keys × state bytes) / executor memory, set BEFORE first
-# start; it cannot change across restarts of the same checkpoint.
-STREAM_MAX_STATE_PARTITIONS = 32
+# bounded replays here (measured r11: the stream-stream joins run
+# 3-5× faster at 32 than at 200 on the same input; measured r13-opt:
+# the fixed per-drain cost keeps scaling DOWN with the partition
+# count — tumbling-counts drain 3.2-3.9 s at 32 vs 1.76-1.85 s at 8
+# vs 1.79 s at 4 on the same staged input, and every heavier stream
+# query moves the same direction — because each micro-batch pays one
+# state-store open/commit + task per partition regardless of data).
+# 8 is the right STATE size for these drains (KB-scale aggregate /
+# sketch state per partition; ~60k input rows per task per batch,
+# inside the guide's per-task band) while keeping the batch work
+# parallel. Results are partitioning-invariant — pinned by the
+# chunking-invariance test and every q_stream_* oracle. On a real
+# cluster, size this to (distinct keys × state bytes) / executor
+# memory — SPARK_STREAM_STATE_PARTITIONS overrides — set BEFORE
+# first start; it cannot change across restarts of one checkpoint.
+STREAM_MAX_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_STREAM_STATE_PARTITIONS", "8")
+)
 
 
 @contextmanager
