@@ -22,6 +22,8 @@ model-based). Everything here is pure DataFrame ops — no UDFs.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -947,6 +949,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_MAX_ITERS = 20
 
+# Target edges per shuffle partition inside the CC rounds — the
+# input-size-adaptive partitioning knob (see connected_components
+# docstring). 500k × ~16 B/edge ≈ 8 MB of shuffle per partition; on a
+# production session the cap is bounded above by the session's own
+# shuffle-partition setting.
+CC_EDGES_PER_PARTITION = int(
+    _os.environ.get("SPARK_CC_EDGES_PER_PARTITION", "500000")
+)
+
 
 def connected_components(sym: DataFrame) -> DataFrame:
     """Min-label connected components with pointer-doubling shortcuts
@@ -970,7 +981,39 @@ def connected_components(sym: DataFrame) -> DataFrame:
     flat. Exhausting CLUSTER_MAX_ITERS without convergence raises
     rather than returning silently-wrong partial labels (see
     SCALE.md §dedup-clustering; unreachable for any graph with
-    diameter < 2^CLUSTER_MAX_ITERS)."""
+    diameter < 2^CLUSTER_MAX_ITERS).
+
+    Shuffle partitions for the loop are sized to the EDGE COUNT, not
+    the session's core-count default: every round schedules ~2 join
+    jobs whose per-partition state-less fixed cost (task scheduling,
+    shuffle block bookkeeping) dominates when the near-dup edge frame
+    is orders of magnitude smaller than the corpus — the same
+    size-the-partitions-to-the-data rule as the streaming state
+    stores. Callers pass a checkpointed ``sym`` (all three call sites
+    do), so the sizing count() is a cheap in-memory scan; the target
+    rows/partition is env-tunable (``SPARK_CC_EDGES_PER_PARTITION``)
+    and the cap never EXCEEDS the session value, so a cluster session
+    sized for petabyte shuffles keeps its parallelism. Labels are
+    bounded by edges (only endpoint vertices are labeled), so one knob
+    serves both frames."""
+    spark = sym.sparkSession
+    n_edges = sym.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        session_parts = int(old_parts)
+    except (TypeError, ValueError):  # e.g. "auto" on some builds
+        session_parts = sym.rdd.getNumPartitions() or 1
+    loop_parts = max(1, min(session_parts, -(-n_edges // CC_EDGES_PER_PARTITION)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _cc_loop(sym)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(sym: DataFrame) -> DataFrame:
+    """The pointer-doubling rounds of ``connected_components`` (runs
+    under its edge-sized shuffle-partition cap)."""
     labels = (
         sym.select(F.col("d1").alias("doc_id"))
         .distinct()
