@@ -479,7 +479,9 @@ def _hash40(c):
     return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("long")
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, mh: array<long>[NUM_HASHES]) — mh[s] = min over
     shingles of (h1 + s*h2) mod MINHASH_P, the classic double-hashing
     construction (one md5 pair per shingle instead of NUM_HASHES md5s
@@ -489,8 +491,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Computed entirely per-row with higher-order functions (transform +
     array_min): no seed cross-join, no 16× row blow-up, no shuffle —
-    at 100 TB the signature stage is a pure map over the scan."""
-    sh = shingle_arrays(spark, sf_dir)
+    at 100 TB the signature stage is a pure map over the scan.
+
+    ``sh`` lets a caller that ALSO consumes the shingle arrays (the
+    LSH verify step) pass one materialized frame instead of paying the
+    tokenize+shingle pass once per consumer."""
+    if sh is None:
+        sh = shingle_arrays(spark, sf_dir)
     hpairs = F.transform(
         "shingles",
         lambda x: F.struct(
@@ -598,9 +605,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→16 minhashes→4 bands; only band-collision pairs are
     candidates, then exact Jaccard verifies each candidate. Candidate
     volume scales with true near-dups, not n². Same hash on both
-    engines → fully oracle-checked (rare for LSH)."""
-    sh = shingle_arrays(spark, sf_dir)
-    bands = lsh_band_keys(minhash_signatures(spark, sf_dir))
+    engines → fully oracle-checked (rare for LSH).
+
+    The shingle-array frame feeds three consumers (the signature map
+    and both verify sides): one eager localCheckpoint runs the
+    tokenize+shingle pass once. Safe against the pinned-partitioning
+    trap documented on threshold_jaccard_pairs' ranked frame: the
+    checkpoint materializes the pre-AQE repartition(defaultParallelism)
+    layout, not an AQE-coalesced one (measured 0.85 → 0.65 s at
+    sf0.1)."""
+    sh = shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
+    bands = lsh_band_keys(minhash_signatures(spark, sf_dir, sh=sh))
     # Group-and-expand instead of a band self-join: the join would
     # recompute the 16-hash signature pipeline on both branches (plus
     # once more per branch in the pushed isnotnull join-key filters).
