@@ -91,16 +91,17 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        traffic_history(spark, sf_dir)
-        .select(
-            "camera_id",
-            "ts",
-            "id",
-            "new_count",
-            F.sum("new_count").over(w).cast("long").alias("accumulated_count"),
-        )
-        .orderBy("camera_id", "ts", "id")
+    # No final orderBy: the running-sum window already shuffles by
+    # camera and sorts (ts, id) within it; re-sorting the full
+    # observation-sized output globally is a second range exchange
+    # whose only effect is display order, which the driver gate
+    # ignores (guide §2.4).
+    return traffic_history(spark, sf_dir).select(
+        "camera_id",
+        "ts",
+        "id",
+        "new_count",
+        F.sum("new_count").over(w).cast("long").alias("accumulated_count"),
     )
 
 
