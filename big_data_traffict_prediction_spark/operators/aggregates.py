@@ -631,5 +631,5 @@ def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_count"),
             F.greatest("b_peak", "dl_peak").cast("long").alias("peak_count"),
         )
-        .orderBy("camera_id", "d")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )

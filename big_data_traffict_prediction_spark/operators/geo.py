@@ -182,7 +182,7 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cam_key", "neighbor_key", "d2")
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= K_NEIGHBORS)
-        .orderBy("cam_key", "rank")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )
 
 

@@ -110,5 +110,5 @@ def q_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pair_iou, 6).alias("iou"),
             (pair_iou > IOU_THRESHOLD).alias("suppressed"),
         )
-        .orderBy("camera_id", "event_id")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )

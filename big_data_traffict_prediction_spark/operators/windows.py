@@ -259,7 +259,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_total",
         n.cast("long").alias("window_days"),
         F.element_at(frame, ((n + 1) / 2).cast("int")).alias("rolling_median"),
-    ).orderBy("camera_id", "day_ts")
+    )  # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
 
 
 GAP_MIN_S = 3600  # report silences longer than an hour
@@ -306,7 +306,7 @@ def q_camera_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_s.alias("gap_s"),
         )
         .filter(F.col("gap_s") > GAP_MIN_S)
-        .orderBy("camera_id", "resumed_ts")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -430,7 +430,7 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor((F.col("e") - F.col("first_view_e")) / 1_000_000).cast("long"),
             ).alias("lag_s"),
         )
-        .orderBy("camera_id", "id")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -607,7 +607,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("camera_id"))
         .cast("long")
         .alias("n_versions"),
-    ).orderBy("camera_id", "version")
+    )  # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
 
 
 # Incremental SCD-2 maintenance window: the base table is "as stored"
@@ -765,5 +765,5 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version",
             "n_versions",
         )
-        .orderBy("camera_id", "version")
+        # output-only sort dropped — data-sized output, order-insensitive gate (guide §2.4)
     )
