@@ -1139,15 +1139,24 @@ def _pqf_encode_op(bC):
                 yield out
                 continue
             X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["fpv"]])
-            codes = np.empty((len(pdf), PQ_SUBSPACES), dtype=np.int32)
-            for m in range(PQ_SUBSPACES):
-                lo, hi = m * _PQF_SUB_D, (m + 1) * _PQF_SUB_D
-                d = X[:, None, lo:hi] - C[None, :, lo:hi]
-                codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
-            out["codes"] = list(codes)
+            out["codes"] = list(_pqf_codes_np(X, C).astype(np.int32))
             yield out
 
     return op
+
+
+def _pqf_codes_np(X, C):
+    """(n, PQ_SUBSPACES) code matrix — the exact-int64 argmin shared by
+    the encode and fused-scoring kernels (np.argmin's first-minimum tie
+    rule == array_min's lowest-ordinal rule)."""
+    import numpy as np
+
+    codes = np.empty((X.shape[0], PQ_SUBSPACES), dtype=np.int64)
+    for m in range(PQ_SUBSPACES):
+        lo, hi = m * _PQF_SUB_D, (m + 1) * _PQF_SUB_D
+        d = X[:, None, lo:hi] - C[None, :, lo:hi]
+        codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
+    return codes
 
 
 def _pqf_encode(spark: SparkSession, fp: DataFrame, df: DataFrame, schema: str) -> DataFrame:
@@ -1156,6 +1165,110 @@ def _pqf_encode(spark: SparkSession, fp: DataFrame, df: DataFrame, schema: str) 
     `schema` is the passthrough schema plus `codes array<int>`."""
     bC = spark.sparkContext.broadcast(_pqf_codebook_np(fp))
     return df.mapInPandas(_pqf_encode_op(bC), schema=schema)
+
+
+_PQF_SCORE_SCHEMA = "query_id long, neighbor_id long, neighbor_label int, adc_dist long"
+
+
+def _pqf_score_op(bC, bQ, has_cell: bool):
+    """Fused encode + ADC scoring kernel (guide §4.2 — one Arrow pass
+    instead of encode kernel → broadcast-LUT crossJoin → static HOF
+    sum). ``bQ.value`` is the bounded query list
+    [(query_id, query_fpv, probe_cells_or_None)]; each task builds the
+    per-query LUTs once from the broadcast codebook (exact int64:
+    every d² is ≤ SUB_D·(2·PQF_SCALE)² ≈ 3.2e13 and an ADC sum of
+    PQ_SUBSPACES of them stays ≪ 2^63) and emits the (query,
+    candidate) ADC rows for candidates in the query's probe set (all
+    candidates when probes is None). Bit-identical to the HOF twin
+    (_pqf_codes + _pqf_lut + _pqf_adc — kept as the executable spec,
+    pinned by tests/test_llm_ops.py): same codes (shared argmin
+    helper), same lut entries, same integer sums, same self-pair
+    exclusion, and the empty-codebook degenerate case yields NULL
+    adc_dist exactly like element_at over an empty lut. The HOF form
+    cost ~2.5 s/run of Catalyst/codegen FIXED cost at any data size
+    (512 nested aggregate lambdas in _pqf_lut alone); the kernel's
+    plan is one MapInPandas node."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        C = Q = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if C is None:
+                C = np.asarray(bC.value, dtype=np.int64)
+                if C.size:
+                    C = C.reshape(len(bC.value), -1)
+                Q = []
+                for qid, qfpv, probes in bQ.value:
+                    lut = None
+                    if C.size:
+                        q = np.asarray(qfpv, dtype=np.int64)
+                        lut = np.stack(
+                            [
+                                (
+                                    (
+                                        q[None, m * _PQF_SUB_D:(m + 1) * _PQF_SUB_D]
+                                        - C[:, m * _PQF_SUB_D:(m + 1) * _PQF_SUB_D]
+                                    )
+                                    ** 2
+                                ).sum(axis=1)
+                                for m in range(PQ_SUBSPACES)
+                            ]
+                        )
+                    pr = None if probes is None else np.asarray(probes, dtype=np.int64)
+                    Q.append((qid, lut, pr))
+            vid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            cell = pdf["cell"].to_numpy() if has_cell else None
+            codes = None
+            if C.size:
+                X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["fpv"]])
+                codes = _pqf_codes_np(X, C)
+            sub = np.arange(PQ_SUBSPACES)
+            outs = []
+            for qid, lut, probes in Q:
+                mask = vid != qid
+                if probes is not None:
+                    mask &= np.isin(cell, probes)
+                n = int(mask.sum())
+                if not n:
+                    continue
+                adc = (
+                    pd.array([None] * n, dtype="Int64")
+                    if lut is None
+                    else lut[sub[None, :], codes[mask]].sum(axis=1)
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(n, qid, dtype=np.int64),
+                            "neighbor_id": vid[mask],
+                            "neighbor_label": lab[mask],
+                            "adc_dist": adc,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return op
+
+
+def _pqf_score(
+    spark: SparkSession, fp: DataFrame, cand: DataFrame, qrows: list
+) -> DataFrame:
+    """ADC-score `cand` (vec_id, label[, cell], fpv) against the
+    bounded codebook from `fp` for the bounded query list `qrows`
+    ([(query_id, fpv, probe_cells_or_None)], ≤ QUERY_LIMIT entries —
+    the same bounded-model-state collect discipline as the codebook)."""
+    bC = spark.sparkContext.broadcast(_pqf_codebook_np(fp))
+    bQ = spark.sparkContext.broadcast(qrows)
+    return cand.mapInPandas(
+        _pqf_score_op(bC, bQ, has_cell="cell" in cand.columns),
+        schema=_PQF_SCORE_SCHEMA,
+    )
 
 
 def _pqf_code(m: int) -> Column:
@@ -1315,27 +1428,21 @@ def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-rank) — materialize the scan + fixed-point image once
         .localCheckpoint(eager=True)
     )
-    coded = _pqf_encode(
-        spark,
-        fp,
-        fp.select("vec_id", "label", "fpv"),
-        "vec_id long, label int, codes array<int>",
-    )
-    luts = (
-        fp.filter(F.col("vec_id") < QUERY_LIMIT)
-        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
-        .select(F.col("vec_id").alias("query_id"), _pqf_lut().alias("lut"))
-    )
-    scored = (
-        coded.crossJoin(F.broadcast(luts))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
-            _pqf_adc().alias("adc_dist"),
-        )
-    )
+    # Fused encode + ADC kernel over the candidate scan (r13 opt round,
+    # stage 2): the previous shape — encode kernel, then a broadcast
+    # LUT crossJoin whose _pqf_lut column is 512 nested aggregate
+    # lambdas, then the static _pqf_adc sum — was ~90% per-execution
+    # Catalyst/codegen FIXED cost (measured flat 3.3-3.6 s from sf0.01
+    # to sf0.1). Queries are a bounded collect (vec_id < QUERY_LIMIT,
+    # same discipline as the codebook); the HOF twin is kept below as
+    # the executable spec, bit-identity pinned by test.
+    qrows = [
+        (r.vec_id, list(r.fpv), None)
+        for r in fp.filter(F.col("vec_id") < QUERY_LIMIT)
+        .select("vec_id", "fpv")
+        .collect()
+    ]
+    scored = _pqf_score(spark, fp, fp.select("vec_id", "label", "fpv"), qrows)
     return _pqf_shortlist_rerank(scored, fp)
 
 
@@ -1521,32 +1628,20 @@ def q_ann_ivf_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scores", _ivf_scores())
         .localCheckpoint(eager=True)
     )
-    coded = _pqf_encode(
-        spark,
-        fp,
-        scored.select("vec_id", "label", _ivf_cell().alias("cell"), "fpv"),
-        "vec_id long, label int, cell int, codes array<int>",
-    )
-    probe_luts = (
-        scored.filter(F.col("vec_id") < QUERY_LIMIT)
-        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(_ivf_probe_cells()).alias("cell"),
-            _pqf_lut().alias("lut"),
-        )
-    )
-    pairs = (
-        F.broadcast(probe_luts)
-        .join(coded, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
-            _pqf_adc().alias("adc_dist"),
-        )
-    )
+    # Fused encode + probe-filtered ADC kernel (r13 opt round, stage
+    # 2 — same rationale as q_ann_pq_fixed): per-query probe cells ride
+    # the bounded query collect instead of a broadcast LUT join whose
+    # _pqf_lut column dominated the run as Catalyst/codegen fixed cost.
+    # Cell assignment stays a JVM HOF over the checkpointed
+    # center-scored frame (it runs once and its tree is small).
+    qrows = [
+        (r.vec_id, list(r.fpv), list(r.probes))
+        for r in scored.filter(F.col("vec_id") < QUERY_LIMIT)
+        .select("vec_id", "fpv", _ivf_probe_cells().alias("probes"))
+        .collect()
+    ]
+    cand = scored.select("vec_id", "label", _ivf_cell().alias("cell"), "fpv")
+    pairs = _pqf_score(spark, fp, cand, qrows)
     return _pqf_shortlist_rerank(pairs, fp)
 
 

@@ -846,3 +846,122 @@ def test_kmeans_lloyd_update_reduces_inertia(spark, sf_dir):
     out = q_embedding_kmeans(spark, sf_dir).collect()
     assert sum(r.n_seed for r in out) == n == sum(r.n_refined for r in out)
     assert all(r.mean_d2 >= 0 for r in out)
+
+
+def test_pqf_score_kernel_matches_hof_twin(spark, sf_dir):
+    """The fused encode+ADC kernel (_pqf_score, r13 opt round) must be
+    bit-identical to the HOF executable spec it replaced: codes via
+    _pqf_codes, per-query LUTs via _pqf_lut, ADC via _pqf_adc. Full
+    frame equality on (query_id, neighbor_id, neighbor_label,
+    adc_dist) for BOTH the plain and the probe-filtered (IVF) shapes —
+    the lowest-ordinal argmin tie rule, the lut block stride and the
+    self-pair exclusion are all load-bearing here."""
+    from pyspark.sql import functions as F
+
+    from big_data_traffict_prediction_spark.functions.similarity import (
+        QUERY_LIMIT,
+        _ivf_cell,
+        _ivf_centers_row,
+        _ivf_probe_cells,
+        _ivf_scores,
+        _pqf_adc,
+        _pqf_codebook_row,
+        _pqf_codes,
+        _pqf_fpv,
+        _pqf_lut,
+        _pqf_score,
+        _vecs,
+    )
+
+    fp = (
+        _vecs(spark, sf_dir)
+        .select(
+            "vec_id", "label", "embedding", "norm_fp",
+            _pqf_fpv(F.col("embedding")).alias("fpv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def canon(df):
+        return (
+            df.orderBy("query_id", "neighbor_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    # --- plain (q_ann_pq_fixed shape) --------------------------------
+    hof_coded = fp.crossJoin(F.broadcast(_pqf_codebook_row(fp))).select(
+        "vec_id", "label", _pqf_codes().alias("codes")
+    )
+    hof_luts = (
+        fp.filter(F.col("vec_id") < QUERY_LIMIT)
+        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
+        .select(F.col("vec_id").alias("query_id"), _pqf_lut().alias("lut"))
+    )
+    hof = (
+        hof_coded.crossJoin(F.broadcast(hof_luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _pqf_adc().alias("adc_dist"),
+        )
+    )
+    qrows = [
+        (r.vec_id, list(r.fpv), None)
+        for r in fp.filter(F.col("vec_id") < QUERY_LIMIT)
+        .select("vec_id", "fpv")
+        .collect()
+    ]
+    kernel = _pqf_score(spark, fp, fp.select("vec_id", "label", "fpv"), qrows)
+    a, b = canon(hof), canon(kernel)
+    assert len(a) > 0
+    assert a.equals(b), "plain ADC kernel diverged from HOF spec"
+
+    # --- probe-filtered (q_ann_ivf_pq_fixed shape) -------------------
+    scored = (
+        fp.crossJoin(F.broadcast(_ivf_centers_row(fp)))
+        .withColumn("scores", _ivf_scores())
+        .localCheckpoint(eager=True)
+    )
+    hof_coded_c = (
+        scored.select("vec_id", "label", _ivf_cell().alias("cell"), "fpv")
+        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
+        .select("vec_id", "label", "cell", _pqf_codes().alias("codes"))
+    )
+    hof_probe_luts = (
+        scored.filter(F.col("vec_id") < QUERY_LIMIT)
+        .crossJoin(F.broadcast(_pqf_codebook_row(fp)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_ivf_probe_cells()).alias("cell"),
+            _pqf_lut().alias("lut"),
+        )
+    )
+    hof_ivf = (
+        F.broadcast(hof_probe_luts)
+        .join(hof_coded_c, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _pqf_adc().alias("adc_dist"),
+        )
+    )
+    qrows_p = [
+        (r.vec_id, list(r.fpv), list(r.probes))
+        for r in scored.filter(F.col("vec_id") < QUERY_LIMIT)
+        .select("vec_id", "fpv", _ivf_probe_cells().alias("probes"))
+        .collect()
+    ]
+    kernel_ivf = _pqf_score(
+        spark,
+        fp,
+        scored.select("vec_id", "label", _ivf_cell().alias("cell"), "fpv"),
+        qrows_p,
+    )
+    a, b = canon(hof_ivf), canon(kernel_ivf)
+    assert len(a) > 0
+    assert a.equals(b), "probe-filtered ADC kernel diverged from HOF spec"
