@@ -963,11 +963,19 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-IN → broadcast anti-join, COUNT(DISTINCT) grouped aggregate
     (Spark plans it as a two-level expand+agg — partial per
     (group, supplier) then final), descending count with full
-    tie-break."""
+    tie-break.
+
+    No pre-``distinct()`` on the pair derivation (r13 opt round):
+    COUNT(DISTINCT ps_suppkey) downstream is duplicate-insensitive and
+    both joins are row-level broadcast probes, so the explicit
+    distinct's full pair-sized exchange+aggregate bought nothing — the
+    countDistinct's own partial (map-side) distinct does the dedup in
+    the one remaining shuffle. 1.5-2.0 → 1.2-1.3 s at sf0.1; output
+    identical at all SFs."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).distinct()
+    )
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != Q16_EXCLUDE_BRAND)
         & ~F.col("p_type").startswith(Q16_EXCLUDE_TYPE_PREFIX)
