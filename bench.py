@@ -343,6 +343,51 @@ def _calibration_probe_parallel(threads: int = 8) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _steal_probe(seconds: float = 4.0) -> float | None:
+    """Hypervisor CPU-steal percentage measured from /proc/stat while
+    saturating EVERY vCPU with the md5 work — the signal both calib
+    probes miss: co-tenant steal only materializes when the guest
+    actually asks for all its cores (observed r13-opt: calib_sec AND
+    the 8-thread calib_par at their idle values while 32-way Spark ran
+    1.5-5x slow; a 32-process burst read 12%+ steal at that moment).
+    Returns None where /proc/stat is unavailable (non-Linux)."""
+    import hashlib
+    import multiprocessing
+    import threading
+
+    try:
+        with open("/proc/stat") as fh:
+            s0 = fh.readline().split()[1:]
+    except OSError:
+        return None
+    buf = b"\x5a" * (1 << 20)
+    stop = time.perf_counter() + seconds
+
+    def work() -> None:
+        h = hashlib.md5()
+        while time.perf_counter() < stop:
+            for _ in range(32):
+                h.update(buf)
+        h.digest()
+
+    n = multiprocessing.cpu_count()
+    ts = [threading.Thread(target=work) for _ in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    try:
+        with open("/proc/stat") as fh:
+            s1 = fh.readline().split()[1:]
+    except OSError:
+        return None
+    d = [int(b) - int(a) for a, b in zip(s0, s1)]
+    tot = sum(d)
+    if tot <= 0 or len(d) < 8:
+        return None
+    return round(100.0 * d[7] / tot, 1)
+
+
 def _load_factor(timings_min: dict, committed: dict | None) -> float | None:
     """This run's min-of-sweeps headline total ÷ the committed idle
     record's, over the shared query names — >1.1 reads as ambient
@@ -378,6 +423,7 @@ def main() -> None:
     warm_runs = int(os.environ.get("SPARK_BENCH_WARMUP", "1"))
     calib_sec = _calibration_probe()
     calib_par_sec = _calibration_probe_parallel()
+    steal_pct = _steal_probe()
     spark = get_spark()
 
     queries = registry.all_queries()
@@ -466,6 +512,7 @@ def main() -> None:
         "load_factor": load_factor,
         "calib_sec": calib_sec,
         "calib_par_sec": calib_par_sec,
+        "steal_pct": steal_pct,
         "queries_min": timings_min,
         "queries_cold": cold,
         "queries_extended": extended,
@@ -494,6 +541,7 @@ def main() -> None:
                 "load_factor": load_factor,
                 "calib_sec": calib_sec,
                 "calib_par_sec": calib_par_sec,
+                "steal_pct": steal_pct,
                 "queries": timings,
                 "sf": sf,
             }
