@@ -1759,7 +1759,12 @@ def q_rolling_origin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_day",
         )
     )
-    dr = daily.join(F.broadcast(days.select("d", "rk")), "d")
+    # dr feeds three consumers (train window, actuals, persistence):
+    # one eager checkpoint runs the fact shuffle + rank join once
+    # instead of once per consumer (r13 opt round; entity-sized frame)
+    dr = daily.join(F.broadcast(days.select("d", "rk")), "d").localCheckpoint(
+        eager=True
+    )
     train = (
         F.broadcast(origins)
         .join(
