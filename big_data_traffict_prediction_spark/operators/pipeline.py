@@ -1076,9 +1076,19 @@ def q_set_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what you'd persist per segment and intersect combinatorially
     at query time — 2 KB of state per audience."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    ha = _kmv_sketch(e, OVERLAP_A)
-    hb = _kmv_sketch(e, OVERLAP_B)
-    u = ha.union(hb).distinct().orderBy("h").limit(OVERLAP_K)
+    # The sketches and their merge are ≤ OVERLAP_K rows but were
+    # re-planned by every downstream reference (the un-materialized
+    # form re-scanned the fact table 8× for this half alone — r13 opt
+    # round); eager k-row checkpoints run each sketch build once.
+    ha = _kmv_sketch(e, OVERLAP_A).localCheckpoint(eager=True)
+    hb = _kmv_sketch(e, OVERLAP_B).localCheckpoint(eager=True)
+    u = (
+        ha.union(hb)
+        .distinct()
+        .orderBy("h")
+        .limit(OVERLAP_K)
+        .localCheckpoint(eager=True)
+    )
     stats = (
         u.join(ha.select(F.col("h").alias("h")), "h", "left_semi")
         .join(hb, "h", "left_semi")
@@ -1102,29 +1112,27 @@ def q_set_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.call_function("div", F.col("n_both") * F.lit(1_000_000), F.col("n_u"))
         .alias("jaccard_est_ppm"),
     )
-    xa = (
-        e.filter(F.col("event_type") == OVERLAP_A).select("user_id").distinct()
-    )
-    xb = (
-        e.filter(F.col("event_type") == OVERLAP_B).select("user_id").distinct()
-    )
-    exact = (
-        xa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-        .crossJoin(F.broadcast(xb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))))
-        .crossJoin(
-            F.broadcast(
-                xa.join(xb, "user_id").agg(
-                    F.count(F.lit(1)).cast("long").alias("inter_exact")
-                )
-            )
+    # Exact witness in ONE fact pass (r13 opt round): the four counts
+    # (|A|, |B|, |A∩B|, |A∪B|) are all functions of the per-user
+    # membership flags, so one groupBy(user_id) with two bool flags
+    # replaces two distincts + an equi-join + a union-distinct (4 fact
+    # scans and 4 shuffles → 1 scan, 1 map-side-combined shuffle).
+    # Equivalence: the type filter keeps exactly the A∪B users, so
+    # count(*) of the flag frame IS |A∪B|, sum(a) is |A| (a user's
+    # max-flag = membership), and sum(a·b) is |A∩B|.
+    flags = (
+        e.filter(F.col("event_type").isin(OVERLAP_A, OVERLAP_B))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == OVERLAP_A).cast("int")).alias("a"),
+            F.max((F.col("event_type") == OVERLAP_B).cast("int")).alias("b"),
         )
-        .crossJoin(
-            F.broadcast(
-                xa.union(xb)
-                .distinct()
-                .agg(F.count(F.lit(1)).cast("long").alias("union_exact"))
-            )
-        )
+    )
+    exact = flags.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("inter_exact"),
+        F.count(F.lit(1)).cast("long").alias("union_exact"),
     )
     return est.crossJoin(F.broadcast(exact)).select(
         "n_a",
