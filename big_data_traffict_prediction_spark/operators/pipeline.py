@@ -542,6 +542,71 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
+def funnel_counts(e: DataFrame) -> DataFrame:
+    """Per-stage funnel user counts over an events frame — the
+    one-pass form of the chained time-conditioned joins (r13 opt
+    round: the join chain re-planned each stage's predecessors, 6
+    fact scans + 3 join shuffle families for three counts; this is 1
+    scan + 1 user-keyed window family + 1 aggregation).
+
+    Running-min windows reproduce the join semantics exactly:
+    - t1r = min view ts so far; a click qualifies iff ts > t1r —
+      equivalent to ts > t1 (the GLOBAL first view): the global first
+      view sorts before any strictly-later click, and an equal-ts view
+      fails the strict > either way.
+    - t2r = min qualifying-click ts so far; a purchase qualifies iff
+      ts > t2r, same argument one stage up.
+    - The join chain silently drops NULL user_ids past stage 1 (NULL
+      never equi-joins) while the view count keeps the NULL group —
+      mirrored by the isNotNull() in the qualifying conditions only.
+    Tie/NULL/out-of-order semantics are pinned by
+    tests/test_analytics.py::test_funnel_one_pass_matches_join_semantics."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nn = F.col("user_id").isNotNull()
+    s1 = e.select("user_id", "ts", "event_type").withColumn(
+        "t1r", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "qc",
+        F.when(
+            (F.col("event_type") == "click") & nn & (F.col("ts") > F.col("t1r")),
+            F.col("ts"),
+        ),
+    )
+    s3 = s2.withColumn("t2r", F.min("qc").over(w))
+    per_user = s3.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("a1"),
+        F.max(F.col("qc").isNotNull().cast("int")).alias("a2"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & nn
+                & (F.col("ts") > F.col("t2r"))
+            ).cast("int")
+        ).alias("a3"),
+    )
+    tot = per_user.agg(
+        F.sum("a1").alias("n1"), F.sum("a2").alias("n2"), F.sum("a3").alias("n3")
+    )
+    return (
+        tot.select(
+            F.expr(
+                "stack(3, 'view', CAST(1 AS BIGINT), n1,"
+                " 'click', CAST(2 AS BIGINT), n2,"
+                " 'purchase', CAST(3 AS BIGINT), n3) AS (stage, stage_no, n_users)"
+            )
+        )
+        .select("stage", "stage_no", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("stage_no")
+    )
+
+
 @register(
     "q_funnel_sequence",
     oracle="""
@@ -568,36 +633,11 @@ SELECT stage, stage_no, n_users FROM (
 def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel: users whose earliest 'view' is followed by a
     later 'click', followed by a later 'purchase' — the event-sequence
-    pattern (MATCH_RECOGNIZE territory) composed from chained
-    time-conditioned joins. Each stage is one grouped min + one
-    equi-join with a range residual, all keyed on user_id — one
-    partitioning family end to end; per-stage outputs are one row per
-    surviving user."""
-    e = load_table(spark, sf_dir, "events")
-
-    def first_after(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
-        stage = e.filter(F.col("event_type") == event_type)
-        if prev is None:
-            return stage.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-        return (
-            stage.join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_ts))
-        )
-
-    v = first_after("view", None, "", "t1")
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-    counts = [
-        v.agg(F.lit("view").alias("stage"), F.lit(1).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
-        c.agg(F.lit("click").alias("stage"), F.lit(2).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
-        p.agg(F.lit("purchase").alias("stage"), F.lit(3).cast("long").alias("stage_no"), F.count(F.lit(1)).alias("n_users")),
-    ]
-    out = counts[0]
-    for x in counts[1:]:
-        out = out.unionByName(x)
-    return out.orderBy("stage_no")
+    pattern (MATCH_RECOGNIZE territory). One fact pass: user-keyed
+    running-min windows mark each row's stage qualification and a
+    single aggregation counts survivors (see funnel_counts for the
+    equivalence argument vs the chained-join form the oracle keeps)."""
+    return funnel_counts(load_table(spark, sf_dir, "events"))
 
 
 from ..functions.curation import (  # noqa: E402  (shared stage logic)

@@ -1125,3 +1125,49 @@ def test_sample_histogram_stays_in_histogram_class(spark, oracle_sf_dir):
     assert r.err_sample_ppm < 400_000, f"sampled err {r.err_sample_ppm} ppm"
     # the deterministic 10% hash sample lands near its nominal rate
     assert 0.08 * r.total_rows <= r.sample_rows <= 0.12 * r.total_rows
+
+
+def test_funnel_one_pass_matches_join_semantics(spark):
+    """Planted fixture for the one-pass funnel rewrite (r13 opt round):
+    the running-min window form must reproduce the chained-join
+    semantics on every edge the production fixture never exercises —
+    a click BEFORE any view (doesn't count), a click tied with the
+    first view's timestamp (strict >, doesn't count), a purchase
+    before the first qualifying click (doesn't count), and NULL
+    user_ids (counted in stage 1's GROUP BY, dropped by the stage-2/3
+    equi-joins)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from big_data_traffict_prediction_spark.operators.pipeline import funnel_counts
+
+    def r(uid, sec, etype):
+        return (uid, dt.datetime(2024, 1, 1, 0, 0, sec), etype)
+
+    rows = [
+        # u1: full funnel
+        r(1, 1, "view"), r(1, 2, "click"), r(1, 3, "purchase"),
+        # u2: click before view + click tied with first view → stage 1 only
+        r(2, 1, "click"), r(2, 2, "view"), r(2, 2, "click"), r(2, 5, "purchase_x"),
+        # u3: purchase BEFORE its qualifying click → stages 1-2 only
+        r(3, 1, "view"), r(3, 5, "click"), r(3, 4, "purchase"),
+        # NULL user: view counts (GROUP BY keeps the NULL group),
+        # click does not (equi-join drops NULLs)
+        (None, dt.datetime(2024, 1, 1, 0, 0, 1), "view"),
+        (None, dt.datetime(2024, 1, 1, 0, 0, 2), "click"),
+        # u5: purchase only → no stage
+        r(5, 1, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("event_type", T.StringType(), False),
+            ]
+        ),
+    )
+    got = {x.stage: x.n_users for x in funnel_counts(e).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}, got
