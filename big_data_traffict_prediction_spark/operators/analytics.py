@@ -1344,7 +1344,15 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating division is floor).
     """
     h = traffic_history(spark, sf_dir)
-    dc = h.select(F.to_date("ts").alias("d"), "camera_id").distinct()
+    # dc feeds three consumers (day totals + both sides of the shifted
+    # self-join): one eager checkpoint runs the fact scan + distinct
+    # once instead of once per consumer (r13 opt round; entity-sized
+    # (day, camera) frame)
+    dc = (
+        h.select(F.to_date("ts").alias("d"), "camera_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     daily = dc.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     b = dc.select(F.date_sub("d", 1).alias("d"), F.col("camera_id"))
     inter = (

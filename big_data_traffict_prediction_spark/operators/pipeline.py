@@ -361,11 +361,19 @@ allregs AS (
   UNION ALL
   SELECT '__all__' AS grp, bucket, MAX(reg) AS reg FROM regs GROUP BY 2
 ),
-est AS (
+est0 AS (
   SELECT grp,
          {HLL_NUMER} // (1000 * (CAST(SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS BIGINT)
-             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS hll_users
+             + ({HLL_M} - COUNT(*)) * {1 << HLL_MAX_RANK})) AS raw,
+         {HLL_M} - COUNT(*) AS v
   FROM allregs GROUP BY 1
+),
+est AS (
+  -- the SAME range dispatch the Spark side F.expr()s
+  -- (_hll_final_sql): the raw-only form silently diverged from the
+  -- engine in the linear-counting range (caught at sf0.001 this
+  -- round; sf0.01+ sits in the raw range so earlier draws agreed)
+  SELECT grp, {_hll_final_sql("raw", "v")} AS hll_users FROM est0
 ),
 exact AS (
   SELECT event_type AS grp, COUNT(DISTINCT user_id) AS exact_users
@@ -393,7 +401,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     err_ppm pins the estimator against the exact distinct (≈ ±13%
     typical at m=64) so the oracle checks calibration, not just code."""
     e = load_table(spark, sf_dir, "events")
-    regs = _hll_registers(e, F.col("event_type"))
+    # register frame is (types × 64) rows but fed two consumers (the
+    # per-type estimates and the register-wise merge): eager checkpoint
+    # runs the fact pass once (r13 opt round)
+    regs = _hll_registers(e, F.col("event_type")).localCheckpoint(eager=True)
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("reg").alias("reg"))
@@ -401,19 +412,26 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = _hll_estimate(regs.unionByName(merged))
     base = e.filter(F.col("user_id").isNotNull())
-    exact = base.groupBy(
-        F.col("event_type").alias("grp")
-    ).agg(F.countDistinct("user_id").alias("exact_users"))
-    exact_all = base.agg(
-        F.countDistinct("user_id").alias("exact_users")
-    ).select(F.lit("__all__").alias("grp"), "exact_users")
+    # per-type exact AND the '__all__' exact in ONE fact pass: rollup
+    # gives the per-type groups plus the grand total; grouping() maps
+    # the total row (not a NULL type value) to '__all__' (r13 opt
+    # round — was two separate countDistinct scans)
+    exact = base.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.grouping("event_type").alias("_g"),
+    ).select(
+        F.when(F.col("_g") == 1, F.lit("__all__"))
+        .otherwise(F.col("event_type"))
+        .alias("grp"),
+        "exact_users",
+    )
     err = F.call_function(
         "div",
         F.abs(F.col("hll_users") - F.col("exact_users")) * F.lit(1_000_000),
         F.col("exact_users"),
     )
     return (
-        est.join(exact.unionByName(exact_all), "grp")
+        est.join(exact, "grp")
         .select("grp", "hll_users", "exact_users", err.alias("err_ppm"))
         .orderBy("grp")
     )
