@@ -54,6 +54,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
+    if len(spark_pdf) == 0:
+        # equal columns + both empty = match; pandas' sort_values
+        # raises "argmax of an empty sequence" on some empty frames
+        # (hit by q_bucket_series_30m at sf0.001, where the trailing
+        # 30-minute window holds no rows)
+        return
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     if not a.equals(b):
         diff_cols = [c for c in a.columns if not a[c].equals(b[c])]
