@@ -415,8 +415,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins as a broadcast literal."""
     d = load_table(spark, sf_dir, "documents")
     tok = _tokenized_docs(spark, sf_dir)
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df derives FROM tf (one row per (doc, term) ⇒ count per term IS
+    # the distinct-doc frequency): one tokenize+explode pass instead of
+    # two, and the df aggregation runs over the much smaller tf frame —
+    # which the checkpoint materializes once for its two consumers
+    # (r13 opt round).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -750,10 +759,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_table(spark, sf_dir, "documents").select(
         F.split(norm_col(), " ").alias("toks")
     )
+    # uni feeds three consumers (totals + both join sides) and big two
+    # (totals + scoring): eager checkpoints of the vocabulary-sized
+    # count frames run each tokenize+explode+count pass once instead of
+    # once per consumer — 5 document scans → 2 (r13 opt round).
     uni = (
         t.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     big = (
         t.filter(F.size("toks") >= 2)
@@ -768,6 +782,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("n").alias("n_tok")).crossJoin(
         big.agg(F.sum("n_ab").alias("n_big"))
