@@ -1084,6 +1084,9 @@ def q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the aggregate's partitioning — no second fact scan, no
     global sort.
     """
+    # h feeds three consumers (query profile, its norm, candidate
+    # scoring): one eager checkpoint runs the fact aggregate once
+    # (r13 opt round; entity-sized (camera, day, hour) frame)
     h = (
         traffic_history(spark, sf_dir)
         .groupBy(
@@ -1092,6 +1095,7 @@ def q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").cast("long").alias("hour"),
         )
         .agg(F.sum("new_count").cast("long").alias("v"))
+        .localCheckpoint(eager=True)
     )
     is_ref = (F.col("camera_id") == SIMILAR_REF_CAMERA) & (F.col("d") == SIMILAR_REF_DAY)
     qvec = h.filter(is_ref).select("hour", F.col("v").alias("qv"))

@@ -1273,7 +1273,10 @@ def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hash, same floor estimator, same LC dispatch — so the whole
     rollup hash-matches DuckDB."""
     e = load_table(spark, sf_dir, "events")
-    regs = _hll_registers(e, F.to_date("ts"))
+    # (days × 64)-row register frame, two consumers (day spine + the
+    # window merge): eager checkpoint runs the fact pass once (r13 opt
+    # round)
+    regs = _hll_registers(e, F.to_date("ts")).localCheckpoint(eager=True)
     days = regs.select(F.col("grp").alias("day")).distinct()
     win = (
         F.broadcast(days)
