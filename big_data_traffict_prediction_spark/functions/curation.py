@@ -590,11 +590,14 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored to an exact integer so the cross-engine comparison is
     bit-stable."""
     d = load_table(spark, sf_dir, "documents")
+    # t feeds the per-source aggregate AND the selection join: one
+    # eager checkpoint runs the normalize+tokenize pass once (r13 opt
+    # round; doc-grain frame, same rule as q_training_manifest)
     t = d.select(
         "doc_id",
         "source",
         F.size(F.split(norm_col(), " ")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     s = t.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
     r = mixture_rates(s)
     return (

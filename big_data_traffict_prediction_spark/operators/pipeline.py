@@ -1000,6 +1000,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        # (K+1)-row frame, two consumers (τ and the sample): eager
+        # checkpoint runs the TakeOrdered corpus pass once (r13 opt)
+        .localCheckpoint(eager=True)
     )
     tau = top.agg(
         F.coalesce(
