@@ -123,6 +123,9 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kp1 = K_NEIGHBORS + 1
     # 1. distinct points, each with its (K+1)-smallest camera keys and
     # every camera at the point (re-expanded in step 5).
+    # pts feeds three consumers (probe, build, members): one eager
+    # checkpoint runs the dim scan + point aggregate once (r13 opt
+    # round; point-grain frame)
     pts = g.groupBy("lat", "lng").agg(
         F.sort_array(F.collect_list("cam_key")).alias("keys_all")
     ).select(
@@ -132,7 +135,7 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("keys_all", 1, kp1).alias("keys_top"),
         F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
         F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
-    )
+    ).localCheckpoint(eager=True)
     # 2. point-level radius join: probe points explode to their 3×3
     # cell neighborhood, equi-join the cell-keyed build side. The
     # p=q (d2=0) pair stays in — same-point cameras ARE candidates.
