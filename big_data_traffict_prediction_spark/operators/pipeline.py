@@ -913,6 +913,47 @@ PRIORITY_K = 200
 PRIORITY_SCALE = 1 << 40  # matches the 40-bit hash range
 
 
+def _priority_top(spark: SparkSession, sf_dir: str):
+    """LAZY top-(K+1) priority selection (q_weighted_sample's
+    selection stage): plans as TakeOrderedAndProject — per-partition
+    heaps + a (K+1)-row merge, never a global corpus sort (the plan
+    assert targets this frame)."""
+    from pyspark.sql import Window
+
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.call_function(
+            "div",
+            F.col("n_chars") * F.lit(PRIORITY_SCALE),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1,
+        ).alias("priority"),
+    )
+    return (
+        keyed.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                # bounded: K+1 rows total, never data-sized — the
+                # single partition is correct by design (constant_key)
+                Window.partitionBy(constant_key(F.col("doc_id"))).orderBy(
+                    F.desc("priority"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+
+
 @register(
     "q_weighted_sample",
     oracle=f"""
@@ -967,43 +1008,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row frame; the exact total is one map-side-combined aggregate.
     The 100 TB use: build a training mixture where P(doc) ∝ tokens
     without ever materializing per-doc inclusion draws."""
-    from pyspark.sql import Window
-
-    keyed = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("n_chars").alias("weight"),
-        F.call_function(
-            "div",
-            F.col("n_chars") * F.lit(PRIORITY_SCALE),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))),
-                    1,
-                    10,
-                ),
-                16,
-                10,
-            ).cast("long")
-            + 1,
-        ).alias("priority"),
-    )
-    top = (
-        keyed.orderBy(F.desc("priority"), F.asc("doc_id"))
-        .limit(PRIORITY_K + 1)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                # bounded: K+1 rows total, never data-sized — the
-                # single partition is correct by design (constant_key)
-                Window.partitionBy(constant_key(F.col("doc_id"))).orderBy(
-                    F.desc("priority"), F.asc("doc_id")
-                )
-            ),
-        )
-        # (K+1)-row frame, two consumers (τ and the sample): eager
-        # checkpoint runs the TakeOrdered corpus pass once (r13 opt)
-        .localCheckpoint(eager=True)
-    )
+    # (K+1)-row frame, two consumers (τ and the sample): eager
+    # checkpoint runs the TakeOrdered corpus pass once (r13 opt; the
+    # lazy builder stays separate so the TakeOrderedAndProject plan
+    # shape remains assertable — tests/test_plans.py)
+    top = _priority_top(spark, sf_dir).localCheckpoint(eager=True)
     tau = top.agg(
         F.coalesce(
             F.max(F.when(F.col("rk") == PRIORITY_K + 1, F.col("priority"))),

@@ -791,14 +791,21 @@ def test_srp_lsh_corpus_never_shuffles_for_the_probe(spark, sf_dir):
 
 def test_weighted_sample_selection_is_take_ordered(spark, sf_dir):
     from big_data_traffict_prediction_spark.operators.pipeline import (
+        _priority_top,
         q_weighted_sample,
     )
 
     # the top-(K+1) priority selection must plan as per-partition
-    # heaps + a K-row merge, never a global sort of the corpus
-    df = q_weighted_sample(spark, sf_dir)
-    plan = explain.formatted_plan(df)
+    # heaps + a K-row merge, never a global sort of the corpus — the
+    # query materializes this stage once (r13 opt round), so the
+    # assert targets the lazy selection builder, and the query's own
+    # plan must show the single materialization (ExistingRDD), not a
+    # re-derived corpus pass per consumer
+    plan = explain.formatted_plan(_priority_top(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+    qplan = explain.formatted_plan(q_weighted_sample(spark, sf_dir))
+    assert "Scan ExistingRDD" in qplan
+    assert "TakeOrderedAndProject" not in qplan
 
 
 def test_negative_samples_collision_check_is_hash_join(spark, sf_dir):
