@@ -59,6 +59,26 @@ def camera_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neighbor_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY distinct-point frame of q_camera_neighbors (step 1): each
+    point with its sorted camera keys, (K+1)-smallest prefix and grid
+    cell — the plan assert targets this builder's pruned dim scan."""
+    kp1 = K_NEIGHBORS + 1
+    return (
+        camera_geo(spark, sf_dir)
+        .groupBy("lat", "lng")
+        .agg(F.sort_array(F.collect_list("cam_key")).alias("keys_all"))
+        .select(
+            "lat",
+            "lng",
+            "keys_all",
+            F.slice("keys_all", 1, kp1).alias("keys_top"),
+            F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
+            F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
+        )
+    )
+
+
 @register(
     "q_camera_neighbors",
     oracle=f"""
@@ -119,23 +139,14 @@ def q_camera_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius join — never worse than cameras × local density, never
     cameras².
     """
-    g = camera_geo(spark, sf_dir)
     kp1 = K_NEIGHBORS + 1
     # 1. distinct points, each with its (K+1)-smallest camera keys and
     # every camera at the point (re-expanded in step 5).
     # pts feeds three consumers (probe, build, members): one eager
     # checkpoint runs the dim scan + point aggregate once (r13 opt
-    # round; point-grain frame)
-    pts = g.groupBy("lat", "lng").agg(
-        F.sort_array(F.collect_list("cam_key")).alias("keys_all")
-    ).select(
-        "lat",
-        "lng",
-        "keys_all",
-        F.slice("keys_all", 1, kp1).alias("keys_top"),
-        F.floor(F.col("lat") / CELL_DEG).cast("long").alias("ci"),
-        F.floor(F.col("lng") / CELL_DEG).cast("long").alias("cj"),
-    ).localCheckpoint(eager=True)
+    # round; point-grain frame). The lazy builder is separate so the
+    # pruned-scan plan shape stays assertable (tests/test_plans.py).
+    pts = _neighbor_points(spark, sf_dir).localCheckpoint(eager=True)
     # 2. point-level radius join: probe points explode to their 3×3
     # cell neighborhood, equi-join the cell-keyed build side. The
     # p=q (d2=0) pair stays in — same-point cameras ARE candidates.

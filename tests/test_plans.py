@@ -523,11 +523,18 @@ def test_geo_neighbors_is_cell_equi_join_never_nested_loop(spark, sf_dir):
     # sf0.1 before this plan)
     df = q_camera_neighbors(spark, sf_dir)
     assert explain.nested_loop_join_count(df) == 0, "pair step regressed to a theta join"
-    a = explain.audit(df)
+    # the point frame is materialized once (r13 opt round), so the
+    # pruned-scan assert targets its lazy builder; the query plan
+    # itself must show the single materialization, not re-derived
+    # dim scans per consumer
+    from big_data_traffict_prediction_spark.operators.geo import _neighbor_points
+
+    a = explain.audit(_neighbor_points(spark, sf_dir))
     cols = a["read_schema"]
     assert "c_custkey" in cols and "c_comment" not in cols, (
         f"geo dim scan must prune to the key column; reads {cols}"
     )
+    assert "Scan ExistingRDD" in explain.formatted_plan(df)
 
 
 def test_reservoir_sample_is_take_ordered(spark, sf_dir):
