@@ -388,6 +388,30 @@ def _steal_probe(seconds: float = 4.0) -> float | None:
     return round(100.0 * d[7] / tot, 1)
 
 
+def _membw_probe() -> float | None:
+    """Single-process STREAM-triad memory bandwidth in GB/s (numpy add
+    over 64 MB arrays — far beyond any cache). The third host witness:
+    co-tenant MEMORY-BANDWIDTH contention degrades multi-core Spark
+    while md5 calib (cache-resident) and /proc steal both read idle —
+    the residual invisible mode observed this round (Spark at 1.5-1.8×
+    the record with steal at 1-3% and calib at its idle value).
+    Returns None when numpy is unavailable."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    n = 64 * 1024 * 1024 // 8
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.empty(n)
+    np.add(a, b, out=c)  # warm the pages
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.add(a, b, out=c)
+    dt = time.perf_counter() - t0
+    return round((3 * 8 * n * 4) / dt / 1e9, 1)
+
+
 def _load_factor(timings_min: dict, committed: dict | None) -> float | None:
     """This run's min-of-sweeps headline total ÷ the committed idle
     record's, over the shared query names — >1.1 reads as ambient
@@ -424,6 +448,7 @@ def main() -> None:
     calib_sec = _calibration_probe()
     calib_par_sec = _calibration_probe_parallel()
     steal_pct = _steal_probe()
+    membw_gbps = _membw_probe()
     spark = get_spark()
 
     queries = registry.all_queries()
@@ -513,6 +538,7 @@ def main() -> None:
         "calib_sec": calib_sec,
         "calib_par_sec": calib_par_sec,
         "steal_pct": steal_pct,
+        "membw_gbps": membw_gbps,
         "queries_min": timings_min,
         "queries_cold": cold,
         "queries_extended": extended,
@@ -542,6 +568,7 @@ def main() -> None:
                 "calib_sec": calib_sec,
                 "calib_par_sec": calib_par_sec,
                 "steal_pct": steal_pct,
+                "membw_gbps": membw_gbps,
                 "queries": timings,
                 "sf": sf,
             }
