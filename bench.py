@@ -382,8 +382,13 @@ def _steal_probe(seconds: float = 4.0) -> float | None:
     except OSError:
         return None
     d = [int(b) - int(a) for a, b in zip(s0, s1)]
-    tot = sum(d)
-    if tot <= 0 or len(d) < 8:
+    if len(d) < 8:
+        return None
+    # fields: user nice system idle iowait irq softirq steal guest
+    # gnice — guest/gnice are already folded into user/nice by the
+    # kernel, so summing all 10 would double-count them
+    tot = sum(d[:8])
+    if tot <= 0:
         return None
     return round(100.0 * d[7] / tot, 1)
 

@@ -1010,7 +1010,13 @@ def connected_components(sym: DataFrame) -> DataFrame:
     and the cap never EXCEEDS the session value, so a cluster session
     sized for petabyte shuffles keeps its parallelism. Labels are
     bounded by edges (only endpoint vertices are labeled), so one knob
-    serves both frames."""
+    serves both frames.
+
+    The conf set/restore is session-global for the loop's duration —
+    the same sequential-driver assumption as the streaming
+    ``stream_state_partitions`` helper; a driver that plans OTHER
+    data-sized queries concurrently on this session would see the
+    reduced partition count."""
     spark = sym.sparkSession
     n_edges = sym.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

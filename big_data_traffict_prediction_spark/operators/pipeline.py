@@ -587,6 +587,10 @@ def funnel_counts(e: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     nn = F.col("user_id").isNotNull()
+    # non-stage event types cannot affect any count (the windows read
+    # only view/click, the flags only the three stages) — filter them
+    # before the user-keyed window shuffle
+    e = e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
     s1 = e.select("user_id", "ts", "event_type").withColumn(
         "t1r", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
@@ -609,8 +613,12 @@ def funnel_counts(e: DataFrame) -> DataFrame:
             ).cast("int")
         ).alias("a3"),
     )
+    # coalesce: SUM over an empty per_user frame is NULL where the
+    # chained-join form (and the oracle's COUNT) yields 0
     tot = per_user.agg(
-        F.sum("a1").alias("n1"), F.sum("a2").alias("n2"), F.sum("a3").alias("n3")
+        F.coalesce(F.sum("a1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("a2"), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum("a3"), F.lit(0)).alias("n3"),
     )
     return (
         tot.select(
@@ -1198,10 +1206,14 @@ def q_set_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("event_type") == OVERLAP_B).cast("int")).alias("b"),
         )
     )
+    # coalesce: SUM over an empty flag frame is NULL where the replaced
+    # COUNT-based form (and the oracle) yields 0
     exact = flags.agg(
-        F.sum("a").cast("long").alias("n_a"),
-        F.sum("b").cast("long").alias("n_b"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("inter_exact"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+        .cast("long")
+        .alias("inter_exact"),
         F.count(F.lit(1)).cast("long").alias("union_exact"),
     )
     return est.crossJoin(F.broadcast(exact)).select(
