@@ -608,13 +608,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines → fully oracle-checked (rare for LSH).
 
     The shingle-array frame feeds three consumers (the signature map
-    and both verify sides): one eager localCheckpoint runs the
+    and both verify sides): one LAZY localCheckpoint runs the
     tokenize+shingle pass once. Safe against the pinned-partitioning
     trap documented on threshold_jaccard_pairs' ranked frame: the
     checkpoint materializes the pre-AQE repartition(defaultParallelism)
-    layout, not an AQE-coalesced one (measured 0.85 → 0.65 s at
-    sf0.1)."""
-    sh = shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
+    layout, not an AQE-coalesced one. Lazy, not eager (r14): the r13
+    eager barrier cost a full extra stop on a cold JVM (driver PERF
+    read it 15% slower) while a lazy mark gets the same single-pass
+    plan — the checkpoint RDD is one object, so the three consuming
+    subtrees share its stages within the one action — without the
+    up-front materialization job (r14 interleaved A/B: lazy ≤ eager
+    in every round, medians 1.37 vs 1.46 s under matched ambient)."""
+    sh = shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
     bands = lsh_band_keys(minhash_signatures(spark, sf_dir, sh=sh))
     # Group-and-expand instead of a band self-join: the join would
     # recompute the 16-hash signature pipeline on both branches (plus
