@@ -2247,25 +2247,37 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a (queries × K)-row equi-join + count — negligible next
     to either side. At 100 TB the baseline runs on a sampled query
     set (QUERY_LIMIT here), which is exactly how production recall
-    monitoring works."""
+    monitoring works.
+
+    One pass per pipeline (r14, guide §1.2/§2.4): n_exact and n_hits
+    come from ONE aggregation over bf left-broadcast-joined to the
+    (queries × K)-row IVF set — the r13 shape referenced bf twice
+    (hits join + n_exact groupBy), so the whole brute-force cogroup
+    kernel ran twice per execution (no ReusedExchange fired; verified
+    in the executed plan). A checkpoint of bf measured 20-30% SLOWER
+    locally (materialization barrier vs overlapped copies — the
+    q_part_affinity lesson), but the join-then-aggregate rewrite is
+    strictly less work: kernel passes 2 → 1 with no barrier, local
+    A/B ~10% faster in every interleaved round. Equivalence: ivf's
+    (query_id, neighbor_id) is unique, so the left join keeps every
+    bf row exactly once — count(*) is n_exact, matched rows are
+    n_hits. The broadcast side is bounded by QUERY_LIMIT × TOP_K."""
     bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        bf.join(ivf, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
-        bf.groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .join(hits, "query_id", "left")
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
         .select(
             "query_id",
             "n_exact",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            exact_ppm(F.coalesce("n_hits", F.lit(0)), F.lit(TOP_K)).alias(
-                "recall_ppm"
-            ),
+            "n_hits",
+            exact_ppm(F.col("n_hits"), F.lit(TOP_K)).alias("recall_ppm"),
         )
         .orderBy("query_id")
     )
