@@ -56,6 +56,27 @@ def detections_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Staged row counts, keyed by absolute stage dir — the state-sizing
+# input for windows.stream_state_partitions: the number of input rows
+# upper-bounds the distinct state keys a bounded drain can create, so
+# the drain's state-store partition count can be derived from it
+# instead of a constant (guide §2.2: partition count sized to data,
+# never a core-count or fixed default). read_stream records the count
+# of the dir it reads as "most recently defined stream" — every drain
+# in this package (and the tests) defines its stream immediately
+# before draining it, so the lookup is unambiguous in practice; an
+# unstaged dir (None) falls back to the legacy constant.
+_STAGED_ROWS: dict[str, int] = {}
+_LAST_READ_ROWS: int | None = None
+
+
+def last_read_rows() -> int | None:
+    """Row count of the staged dir behind the most recent
+    ``read_stream`` call, or None if that dir was never staged by
+    ``stage_stream_dir`` in this process."""
+    return _LAST_READ_ROWS
+
+
 def stage_stream_dir(
     spark: SparkSession, sf_dir: str, stage_dir: str, n_chunks: int = 5
 ) -> str:
@@ -89,12 +110,15 @@ def stage_stream_dir(
             .write.mode("overwrite")
             .parquet(os.path.join(stage_dir, f"chunk_{i:04d}"))
         )
+    _STAGED_ROWS[os.path.abspath(stage_dir)] = total
     return stage_dir
 
 
 def read_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
     """One micro-batch per staged chunk (maxFilesPerTrigger=1 counts
     files; each chunk dir holds one part-file)."""
+    global _LAST_READ_ROWS
+    _LAST_READ_ROWS = _STAGED_ROWS.get(os.path.abspath(stage_dir))
     return (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -41,28 +41,61 @@ WATERMARK = "30 minutes"
 # vs 1.79 s at 4 on the same staged input, and every heavier stream
 # query moves the same direction — because each micro-batch pays one
 # state-store open/commit + task per partition regardless of data).
-# 8 is the right STATE size for these drains (KB-scale aggregate /
-# sketch state per partition; ~60k input rows per task per batch,
-# inside the guide's per-task band) while keeping the batch work
-# parallel. Results are partitioning-invariant — pinned by the
-# chunking-invariance test and every q_stream_* oracle. On a real
-# cluster, size this to (distinct keys × state bytes) / executor
-# memory — SPARK_STREAM_STATE_PARTITIONS overrides — set BEFORE
-# first start; it cannot change across restarts of one checkpoint.
-STREAM_MAX_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_STREAM_STATE_PARTITIONS", "8")
-)
+# Since r14 the partition count is DERIVED from the drain's input
+# volume (the comment's own production formula, implemented): input
+# rows upper-bound the distinct state keys, and each of these drains
+# keeps O(bytes-per-key) window/sketch state, so
+#   partitions = ceil(input_rows / STREAM_ROWS_PER_PARTITION)
+# clamped to [1, session parallelism]. STREAM_ROWS_PER_PARTITION is
+# the rows-per-key × keys-per-partition product for KB-scale state —
+# on a real cluster set it to executor_memory_per_partition /
+# state_bytes_per_key × keys_per_row (env below). Results are
+# partitioning-invariant — pinned by the chunking-invariance test and
+# every q_stream_* oracle. The count is fixed at the FIRST micro-batch
+# for the checkpoint's lifetime; streams whose input volume is unknown
+# (not staged by simulate.stage_stream_dir) fall back to the legacy
+# constant below, so a restarted checkpoint of such a stream keeps a
+# stable count. SPARK_STREAM_STATE_PARTITIONS still overrides
+# everything (clamped by the session value, as before).
+_STREAM_STATE_PARTITIONS_ENV = os.environ.get("SPARK_STREAM_STATE_PARTITIONS")
+try:
+    STREAM_MAX_STATE_PARTITIONS = max(1, int(_STREAM_STATE_PARTITIONS_ENV or "8"))
+except ValueError:  # malformed env value: fall back, don't crash import
+    _STREAM_STATE_PARTITIONS_ENV = None
+    STREAM_MAX_STATE_PARTITIONS = 8
+try:
+    STREAM_ROWS_PER_PARTITION = max(
+        1, int(os.environ.get("SPARK_STREAM_ROWS_PER_PARTITION") or "50000")
+    )
+except ValueError:
+    STREAM_ROWS_PER_PARTITION = 50000
 
 
 @contextmanager
-def stream_state_partitions(spark: SparkSession):
+def stream_state_partitions(spark: SparkSession, n_rows: int | None = None):
     """Cap shuffle partitions for the duration of one stream
-    start→drain, restoring the session value after."""
+    start→drain, restoring the session value after.
+
+    ``n_rows`` is the drain's staged input row count; when omitted it
+    is looked up from the most recent ``simulate.read_stream`` call
+    (every drain defines its stream immediately before draining).
+    Unknown volume → the legacy constant cap."""
+    from . import simulate
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    if _STREAM_STATE_PARTITIONS_ENV is not None:
+        target = STREAM_MAX_STATE_PARTITIONS
+    else:
+        if n_rows is None:
+            n_rows = simulate.last_read_rows()
+        if n_rows is None:
+            target = STREAM_MAX_STATE_PARTITIONS
+        else:
+            target = -(-int(n_rows) // STREAM_ROWS_PER_PARTITION)
     try:
-        cap = min(int(old), STREAM_MAX_STATE_PARTITIONS)
+        cap = max(1, min(int(old), target))
     except (TypeError, ValueError):  # e.g. "auto" on some builds
-        cap = STREAM_MAX_STATE_PARTITIONS
+        cap = max(1, target)
     spark.conf.set("spark.sql.shuffle.partitions", str(cap))
     try:
         yield
