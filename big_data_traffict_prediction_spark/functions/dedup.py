@@ -220,12 +220,38 @@ def threshold_jaccard_pairs(
     per-pair `array_intersect` on the full shingle arrays — work ∝
     candidates. Three shuffles total (freq agg, per-doc window, prefix
     equi-join), all on keys whose cardinality grows linearly with the
-    corpus."""
+    corpus.
+
+    The candidate stage runs on int64 ``xxhash64(shingle)`` keys
+    (r14, guide §2.3/§3 — shuffle narrow keys, not payloads): the
+    freq aggregation, the rank window and the prefix self-join all
+    move 8-byte longs instead of ~24-byte shingle strings. Still
+    EXACT: order every doc's (distinct) shingles by
+    (df(xxhash64(s)), xxhash64(s)) — the classic theorem only needs
+    SOME total order shared by all docs, and the per-doc row_number
+    tie-break is arbitrary only between rows carrying the IDENTICAL
+    hash, so the kept per-doc HASH set is tie-break-invariant. Under
+    any consistent completion of that order the string prefixes of a
+    true pair share a shingle s*, hence both kept hash sets contain
+    xxhash64(s*) and the join on h emits the pair. Hash collisions
+    across docs only ADD candidates, which the exact string-array
+    verification below removes; n stays the doc's shingle-set size,
+    exactly the theorem's n. Local A/B: candidate stage 1.52 vs
+    1.55 s at sf0.1 (neutral — the freq side broadcasts at this SF);
+    the narrow-key shuffle is the 100 TB win where the joins go
+    sort-merge. (Hashing INSIDE the shingle HOF instead of after the
+    explode re-triggers the InferFiltersFromGenerate push-down trap
+    and flips the freq join's build side — measured 2-5× slower.)"""
     from pyspark.sql import Window
 
     arrs = shingle_arrays(spark, sf_dir)
-    sh = shingles(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # hash AFTER the explode (shingles() dodges the
+    # InferFiltersFromGenerate trap; hashing inside the shingle HOF
+    # re-triggers it and measured 5× slower — r14 A/B)
+    sh = shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     by_doc = Window.partitionBy("doc_id")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     # The prefix index feeds both sides of the candidate self-join and
@@ -235,22 +261,16 @@ def threshold_jaccard_pairs(
     # Recompute-over-materialize is the right Spark trade for a cheap
     # linear pipeline feeding a wide join.
     ranked = (
-        sh.join(freq, "shingle")
+        sh.join(freq, "h")
         .withColumn("n", F.count(F.lit(1)).over(by_doc))
-        .withColumn(
-            "rk", F.row_number().over(by_doc.orderBy("df", "shingle"))
-        )
+        .withColumn("rk", F.row_number().over(by_doc.orderBy("df", "h")))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle", "n")
+        .select("doc_id", "h", "n")
     )
-    a = ranked.select(
-        F.col("doc_id").alias("d1"), "shingle", F.col("n").alias("na")
-    )
-    b = ranked.select(
-        F.col("doc_id").alias("d2"), "shingle", F.col("n").alias("nb")
-    )
+    a = ranked.select(F.col("doc_id").alias("d1"), "h", F.col("n").alias("na"))
+    b = ranked.select(F.col("doc_id").alias("d2"), "h", F.col("n").alias("nb"))
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(
             (F.col("d1") < F.col("d2"))
             & (F.col("na") >= threshold * F.col("nb"))
