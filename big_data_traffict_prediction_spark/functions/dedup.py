@@ -994,9 +994,15 @@ CLUSTER_MAX_ITERS = 20
 # docstring). 500k × ~16 B/edge ≈ 8 MB of shuffle per partition; on a
 # production session the cap is bounded above by the session's own
 # shuffle-partition setting.
-CC_EDGES_PER_PARTITION = int(
-    _os.environ.get("SPARK_CC_EDGES_PER_PARTITION", "500000")
-)
+# Validated at import: a malformed value falls back to the default
+# (never crashes module import) and the floor of 1 keeps the ceil
+# division below well-defined (r13 ADVICE).
+try:
+    CC_EDGES_PER_PARTITION = max(
+        1, int(_os.environ.get("SPARK_CC_EDGES_PER_PARTITION") or "500000")
+    )
+except ValueError:
+    CC_EDGES_PER_PARTITION = 500000
 
 
 def connected_components(sym: DataFrame) -> DataFrame:

@@ -575,8 +575,12 @@ def funnel_counts(e: DataFrame) -> DataFrame:
     - t2r = min qualifying-click ts so far; a purchase qualifies iff
       ts > t2r, same argument one stage up.
     - The join chain silently drops NULL user_ids past stage 1 (NULL
-      never equi-joins) while the view count keeps the NULL group —
-      mirrored by the isNotNull() in the qualifying conditions only.
+      never equi-joins) while the view count keeps the NULL group.
+      NULL-user rows are split out BEFORE the window (r14, r13
+      ADVICE + guide §2.5 — the NULL group is the classic hot window
+      partition: every anonymous event lands in one task): they can
+      only ever contribute a single view-existence flag to stage 1,
+      computed as a map-side-combined aggregate and added back to n1.
     Tie/NULL/out-of-order semantics are pinned by
     tests/test_analytics.py::test_funnel_one_pass_matches_join_semantics."""
     from pyspark.sql import Window
@@ -586,18 +590,24 @@ def funnel_counts(e: DataFrame) -> DataFrame:
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    nn = F.col("user_id").isNotNull()
     # non-stage event types cannot affect any count (the windows read
     # only view/click, the flags only the three stages) — filter them
     # before the user-keyed window shuffle
     e = e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
-    s1 = e.select("user_id", "ts", "event_type").withColumn(
-        "t1r", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    # window pipeline over NON-NULL users only; the previous in-row
+    # isNotNull() guards on qc/a3 are subsumed by the split
+    s1 = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1r",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
     )
     s2 = s1.withColumn(
         "qc",
         F.when(
-            (F.col("event_type") == "click") & nn & (F.col("ts") > F.col("t1r")),
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1r")),
             F.col("ts"),
         ),
     )
@@ -606,19 +616,30 @@ def funnel_counts(e: DataFrame) -> DataFrame:
         F.max((F.col("event_type") == "view").cast("int")).alias("a1"),
         F.max(F.col("qc").isNotNull().cast("int")).alias("a2"),
         F.max(
-            (
-                (F.col("event_type") == "purchase")
-                & nn
-                & (F.col("ts") > F.col("t2r"))
-            ).cast("int")
+            ((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2r"))).cast(
+                "int"
+            )
         ).alias("a3"),
+    )
+    # the NULL group's only possible contribution: +1 to the stage-1
+    # count when any NULL-user view exists (GROUP BY keeps NULL as one
+    # group; stages 2-3 need the equi-join that NULL never passes) —
+    # one global max, collapsed map-side, no hot window partition
+    null_a1 = e.filter(F.col("user_id").isNull()).agg(
+        F.coalesce(
+            F.max((F.col("event_type") == "view").cast("long")), F.lit(0)
+        ).alias("null_a1")
     )
     # coalesce: SUM over an empty per_user frame is NULL where the
     # chained-join form (and the oracle's COUNT) yields 0
-    tot = per_user.agg(
-        F.coalesce(F.sum("a1"), F.lit(0)).alias("n1"),
-        F.coalesce(F.sum("a2"), F.lit(0)).alias("n2"),
-        F.coalesce(F.sum("a3"), F.lit(0)).alias("n3"),
+    tot = (
+        per_user.agg(
+            F.coalesce(F.sum("a1"), F.lit(0)).alias("nn1"),
+            F.coalesce(F.sum("a2"), F.lit(0)).alias("n2"),
+            F.coalesce(F.sum("a3"), F.lit(0)).alias("n3"),
+        )
+        .crossJoin(F.broadcast(null_a1))
+        .select((F.col("nn1") + F.col("null_a1")).alias("n1"), "n2", "n3")
     )
     return (
         tot.select(
