@@ -193,6 +193,42 @@ def _encode_jpeg_progressive(raw: bytes, w: int, h: int) -> bytes:
     return jpeg.encode_progressive(_tile(raw, w * h).reshape(h, w))
 
 
+def _encoder_for(image_codec: str):
+    """Per-row container-encode closure shared by ``encode_media`` and
+    the fused ``encoded_features`` — ONE definition so the codec mix /
+    sizing semantics cannot drift between the two shapes. Validates on
+    the DRIVER: a typo'd codec must fail before the job launches, not
+    as a KeyError from an executor mid-scan."""
+    codecs = {
+        "pgm": _encode_pgm,
+        "jpeg": _encode_jpeg,
+        "png": _encode_png,
+        "jpeg_color": _encode_jpeg_color,
+        "png_palette": _encode_png_palette,
+        "jpeg_progressive": _encode_jpeg_progressive,
+    }
+    mix = list(codecs.values())
+    if image_codec != "mixed" and image_codec not in codecs:
+        raise ValueError(
+            f"unknown image_codec {image_codec!r}; "
+            f"expected one of {sorted(codecs)} or 'mixed'"
+        )
+
+    def encode_one(media_id, raw: bytes, kind: str, w, h) -> bytes:
+        if kind == "image":
+            fn = (
+                mix[(int(media_id) // 3) % len(mix)]
+                if image_codec == "mixed"
+                else codecs[image_codec]
+            )
+            return fn(raw, int(w), int(h))
+        if kind == "audio":
+            return _encode_wav(raw)
+        return _encode_rawv(raw, int(w), int(h))
+
+    return encode_one
+
+
 def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     """Ingest-side container encode (Arrow-batched): wraps each raw
     payload in a real PGM/JPEG / WAV / RAWV container per its kind,
@@ -209,46 +245,21 @@ def encode_media(df: DataFrame, image_codec: str = "pgm") -> DataFrame:
     deterministically by media_id so one fixture exercises every
     decoder, including the color→luma, palette-lookup, and
     progressive-scan paths."""
-    codecs = {
-        "pgm": _encode_pgm,
-        "jpeg": _encode_jpeg,
-        "png": _encode_png,
-        "jpeg_color": _encode_jpeg_color,
-        "png_palette": _encode_png_palette,
-        "jpeg_progressive": _encode_jpeg_progressive,
-    }
-    mix = list(codecs.values())
-    # Validate on the DRIVER: a typo'd codec must fail before the job
-    # launches, not as a KeyError from an executor mid-scan.
-    if image_codec != "mixed" and image_codec not in codecs:
-        raise ValueError(
-            f"unknown image_codec {image_codec!r}; "
-            f"expected one of {sorted(codecs)} or 'mixed'"
-        )
-
-    def pick(media_id: int):
-        if image_codec == "mixed":
-            return mix[(int(media_id) // 3) % len(mix)]
-        return codecs[image_codec]
+    encode_one = _encoder_for(image_codec)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            enc = []
-            for mid, raw, kind, w, h in zip(
-                pdf["media_id"],
-                pdf["payload"],
-                pdf["kind"],
-                pdf["width"],
-                pdf["height"],
-                strict=True,
-            ):
-                raw = bytes(raw)
-                if kind == "image":
-                    enc.append(pick(mid)(raw, int(w), int(h)))
-                elif kind == "audio":
-                    enc.append(_encode_wav(raw))
-                else:
-                    enc.append(_encode_rawv(raw, int(w), int(h)))
+            enc = [
+                encode_one(mid, bytes(raw), kind, w, h)
+                for mid, raw, kind, w, h in zip(
+                    pdf["media_id"],
+                    pdf["payload"],
+                    pdf["kind"],
+                    pdf["width"],
+                    pdf["height"],
+                    strict=True,
+                )
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -447,10 +458,76 @@ def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def encoded_features(
+    df: DataFrame, image_codec: str = "pgm", on_error: str = "raise"
+) -> DataFrame:
+    """Fused ``decode_features(encode_media(df))`` in ONE mapInPandas
+    stage (r14, guide §4 — every chained Python operator pays a full
+    JVM→Python→JVM Arrow crossing of the payload bytes plus a worker
+    stage; the container bytes here exist only BETWEEN the two
+    kernels, so encoding and decoding in the same batch loop removes
+    one round trip of the whole binary corpus). Row-for-row identical
+    to the two-stage composition — both shapes call the same
+    ``_encoder_for`` closure and ``_decode_payload`` kernel — pinned
+    by tests/test_llm_ops.py::test_encoded_features_matches_two_stage.
+
+    The two-stage operators remain the public transcode/decode API
+    (and the shape a real pipeline with PERSISTED containers uses);
+    this fusion is for ephemeral encode→decode chains."""
+    if on_error not in ("raise", "mark"):
+        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
+    encode_one = _encoder_for(image_codec)
+
+    def decode_one(payload: bytes, kind: str) -> dict:
+        if on_error == "raise":
+            return _decode_payload(payload, kind)
+        try:
+            return _decode_payload(payload, kind)
+        except (ValueError, NotImplementedError):
+            return _DECODE_ERROR_ROW
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, pbytes = [], []
+            for mid, raw, kind, w, h in zip(
+                pdf["media_id"],
+                pdf["payload"],
+                pdf["kind"],
+                pdf["width"],
+                pdf["height"],
+                strict=True,
+            ):
+                enc = encode_one(mid, bytes(raw), kind, w, h)
+                pbytes.append(len(enc))
+                metas.append(decode_one(enc, kind))
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": pbytes,
+                }
+            )
+            for col in (
+                "decoded_ok",
+                "width",
+                "height",
+                "n_frames",
+                "n_samples",
+                "level_mean",
+                "level_std",
+                "feature",
+            ):
+                out[col] = [m[col] for m in metas]
+            yield out
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container encode → REAL decode + feature extract over binary
-    payloads via two mapInPandas stages — images cycle through all
+    payloads via ONE fused mapInPandas stage (``encoded_features``;
+    two-stage shape pinned equal by test) — images cycle through all
     six real image codecs (PGM / baseline JPEG / PNG / color JPEG /
     palette PNG / progressive JPEG) so every decode gate is exercised
     end-to-end, audio/video stay WAV/RAWV (all pure numpy + stdlib
@@ -461,8 +538,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (internal consumers keep the array form from
     ``decode_features``): the registered surface is scalar-only so a
     correctness harness that sorts raw cells can canonicalize it."""
-    feats = decode_features(
-        encode_media(media_table(spark, sf_dir, spread=True), image_codec="mixed")
+    feats = encoded_features(
+        media_table(spark, sf_dir, spread=True), image_codec="mixed"
     )
     return feats.withColumn("feature", F.to_json("feature")).orderBy("media_id")
 
@@ -492,10 +569,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (len(payload)//64 + 1 frames, video = doc_id%3==2) — a hash match
     therefore proves the binary encode→decode round trip recovered the
     frame count exactly, a strictly stronger check than rows-only."""
-    feats = decode_features(
-        encode_media(
-            media_table(spark, sf_dir, spread=True).filter(F.col("kind") == "video")
-        )
+    feats = encoded_features(
+        media_table(spark, sf_dir, spread=True).filter(F.col("kind") == "video")
     )
     frame_idx = F.sequence(
         F.lit(0).cast("long"),
@@ -560,7 +635,8 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative). Runs over the fixture + planted replicas
     (`media_with_replicas`), which every pair must trace back to.
 
-    Decode is the one Python (mapInPandas) stage; the hash is a static
+    Encode+decode run as one fused Python stage (``encoded_features``
+    — the container bytes never round-trip through the JVM); the hash is a static
     56-comparison codegen expression and candidate generation is the
     same capped bucket expand as q_dedup_simhash — work ∝ duplicate
     clusters, never all-pairs. Python feature extraction → no SQL
@@ -568,7 +644,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its source."""
     from .dedup import bucket_pair_expand
 
-    feats = decode_features(encode_media(media_with_replicas(spark, sf_dir)))
+    feats = encoded_features(media_with_replicas(spark, sf_dir))
     sig = feats.select("media_id", "kind", _phash_col().alias("phash"))
     return (
         bucket_pair_expand(

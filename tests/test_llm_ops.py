@@ -965,3 +965,33 @@ def test_pqf_score_kernel_matches_hof_twin(spark, sf_dir):
     a, b = canon(hof_ivf), canon(kernel_ivf)
     assert len(a) > 0
     assert a.equals(b), "probe-filtered ADC kernel diverged from HOF spec"
+
+
+def test_encoded_features_matches_two_stage(spark, sf_dir):
+    """The fused encoded_features (one mapInPandas) must be row-for-row
+    identical to decode_features(encode_media(df)) — both the default
+    single-codec shape and the mixed-codec cycle (r14 fusion)."""
+    import pandas as pd
+
+    from big_data_traffict_prediction_spark.functions.multimodal import (
+        decode_features,
+        encode_media,
+        encoded_features,
+        media_table,
+    )
+
+    for codec in ("pgm", "mixed"):
+        df = media_table(spark, sf_dir, spread=True)
+        two = (
+            decode_features(encode_media(df, image_codec=codec))
+            .toPandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+        fused = (
+            encoded_features(df, image_codec=codec)
+            .toPandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(two, fused)
