@@ -398,6 +398,25 @@ _DECODE_ERROR_ROW = {
 }
 
 
+def _decoder_for(on_error: str):
+    """Per-row decode closure shared by ``decode_features`` and the
+    fused ``encoded_features`` — one definition of the on_error
+    validation and the absorbed-exception set, so the two shapes
+    cannot drift (the ``_encoder_for`` rule applied to the decoder)."""
+    if on_error not in ("raise", "mark"):
+        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
+
+    def decode_one(payload: bytes, kind: str) -> dict:
+        if on_error == "raise":
+            return _decode_payload(payload, kind)
+        try:
+            return _decode_payload(payload, kind)
+        except (ValueError, NotImplementedError):
+            return _DECODE_ERROR_ROW
+
+    return decode_one
+
+
 def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """mapInPandas decode/feature-extract: Arrow batches in, one
     feature row per media out. This is the one legitimately-Python
@@ -412,16 +431,7 @@ def decode_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     scale corrupt and exotic blobs are data, not exceptions. Only
     classifiable decode errors are absorbed; genuine bugs still
     propagate."""
-    if on_error not in ("raise", "mark"):
-        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
-
-    def decode_one(payload: bytes, kind: str) -> dict:
-        if on_error == "raise":
-            return _decode_payload(payload, kind)
-        try:
-            return _decode_payload(payload, kind)
-        except (ValueError, NotImplementedError):
-            return _DECODE_ERROR_ROW
+    decode_one = _decoder_for(on_error)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -474,17 +484,8 @@ def encoded_features(
     The two-stage operators remain the public transcode/decode API
     (and the shape a real pipeline with PERSISTED containers uses);
     this fusion is for ephemeral encode→decode chains."""
-    if on_error not in ("raise", "mark"):
-        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
     encode_one = _encoder_for(image_codec)
-
-    def decode_one(payload: bytes, kind: str) -> dict:
-        if on_error == "raise":
-            return _decode_payload(payload, kind)
-        try:
-            return _decode_payload(payload, kind)
-        except (ValueError, NotImplementedError):
-            return _DECODE_ERROR_ROW
+    decode_one = _decoder_for(on_error)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -121,6 +121,7 @@ def q_stream_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.stateful_dedup(simulate.read_stream(spark, stage)),
         f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "id")
@@ -155,6 +156,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windows.tumbling_counts(simulate.read_stream(spark, stage), "1 hour"),
         f"q_stream_tumbling_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("window_start", "camera_id")
@@ -190,6 +192,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windows.sliding_counts(simulate.read_stream(spark, stage)),
         f"q_stream_sliding_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("window_start")
@@ -236,6 +239,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         windows.session_counts(simulate.read_stream(spark, stage)),
         f"q_stream_session_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("session_start", "camera_id")
@@ -275,6 +279,9 @@ def q_stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_dedup_delivery_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        # the stage is read TWICE and unioned: the drain's input (and
+        # its dedup-state key bound) is 2x the staged rows
+        state_rows=2 * (simulate.staged_rows(stage) or 0) or None,
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id")
@@ -339,6 +346,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         f"q_stream_stream_join_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "alert_id", "id")
@@ -433,6 +441,7 @@ def q_stream_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame
         joined,
         f"q_stream_interval_binned_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "alert_id", "id")
@@ -475,6 +484,7 @@ def _outer_join_rows(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         joined,
         f"q_stream_stream_{how}_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out
@@ -582,6 +592,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged,
         f"q_stream_static_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "id")
@@ -636,6 +647,7 @@ def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.congestion_episodes(simulate.read_stream(spark, stage)),
         f"q_stream_episodes_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "episode_start")
@@ -677,6 +689,9 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         f"q_stream_dedup_ww_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        # the stage is read TWICE and unioned: the drain's input (and
+        # its dedup-state key bound) is 2x the staged rows
+        state_rows=2 * (simulate.staged_rows(stage) or 0) or None,
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id")
@@ -706,7 +721,10 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage, base = _staged(spark, sf_dir)
     part_dir = windows.run_rollup_partials(
-        simulate.read_stream(spark, stage), base, f"{base}/ckpt"
+        simulate.read_stream(spark, stage),
+        base,
+        f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     rollup = (
         spark.read.parquet(part_dir)
@@ -834,6 +852,7 @@ def q_stream_hll_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs,
         f"q_stream_hll_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     from pyspark.sql import functions as F
@@ -934,6 +953,7 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_cdc_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     tgt = (
@@ -1041,6 +1061,7 @@ def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_zone_map_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("d", "hr")
@@ -1088,6 +1109,7 @@ def q_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_ddsketch_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     wcum = (
@@ -1164,6 +1186,7 @@ def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_histogram_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return hist_buckets_from_vf(spark, out).orderBy("bucket")
@@ -1209,6 +1232,7 @@ def q_stream_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_join_size_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return cm_sketch_vs_exact(
@@ -1307,6 +1331,7 @@ def q_stream_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_analyze_{uuid.uuid4().hex[:8]}",
         f"{base_dir}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base_dir, ignore_errors=True)  # drained; scratch not needed
     prof = out.groupBy("col").agg(
@@ -1387,6 +1412,7 @@ def q_stream_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_mcv_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
         output_mode="complete",
+        state_rows=simulate.staged_rows(stage),
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return equality_selectivity_profile(out)

@@ -61,20 +61,17 @@ def detections_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upper-bounds the distinct state keys a bounded drain can create, so
 # the drain's state-store partition count can be derived from it
 # instead of a constant (guide §2.2: partition count sized to data,
-# never a core-count or fixed default). read_stream records the count
-# of the dir it reads as "most recently defined stream" — every drain
-# in this package (and the tests) defines its stream immediately
-# before draining it, so the lookup is unambiguous in practice; an
-# unstaged dir (None) falls back to the legacy constant.
+# never a core-count or fixed default). Drain call sites look their
+# stage dir up EXPLICITLY via ``staged_rows`` and pass the count to
+# the drain — no ambient "most recent read" coupling; an unstaged dir
+# (None) falls back to the legacy constant.
 _STAGED_ROWS: dict[str, int] = {}
-_LAST_READ_ROWS: int | None = None
 
 
-def last_read_rows() -> int | None:
-    """Row count of the staged dir behind the most recent
-    ``read_stream`` call, or None if that dir was never staged by
-    ``stage_stream_dir`` in this process."""
-    return _LAST_READ_ROWS
+def staged_rows(stage_dir: str) -> int | None:
+    """Row count staged into ``stage_dir`` by ``stage_stream_dir`` in
+    this process, or None if it was never staged here."""
+    return _STAGED_ROWS.get(os.path.abspath(stage_dir))
 
 
 def stage_stream_dir(
@@ -117,8 +114,6 @@ def stage_stream_dir(
 def read_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
     """One micro-batch per staged chunk (maxFilesPerTrigger=1 counts
     files; each chunk dir holds one part-file)."""
-    global _LAST_READ_ROWS
-    _LAST_READ_ROWS = _STAGED_ROWS.get(os.path.abspath(stage_dir))
     return (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -52,23 +52,28 @@ WATERMARK = "30 minutes"
 # state_bytes_per_key × keys_per_row (env below). Results are
 # partitioning-invariant — pinned by the chunking-invariance test and
 # every q_stream_* oracle. The count is fixed at the FIRST micro-batch
-# for the checkpoint's lifetime; streams whose input volume is unknown
-# (not staged by simulate.stage_stream_dir) fall back to the legacy
-# constant below, so a restarted checkpoint of such a stream keeps a
-# stable count. SPARK_STREAM_STATE_PARTITIONS still overrides
-# everything (clamped by the session value, as before).
-_STREAM_STATE_PARTITIONS_ENV = os.environ.get("SPARK_STREAM_STATE_PARTITIONS")
-try:
-    STREAM_MAX_STATE_PARTITIONS = max(1, int(_STREAM_STATE_PARTITIONS_ENV or "8"))
-except ValueError:  # malformed env value: fall back, don't crash import
-    _STREAM_STATE_PARTITIONS_ENV = None
-    STREAM_MAX_STATE_PARTITIONS = 8
-try:
-    STREAM_ROWS_PER_PARTITION = max(
-        1, int(os.environ.get("SPARK_STREAM_ROWS_PER_PARTITION") or "50000")
-    )
-except ValueError:
-    STREAM_ROWS_PER_PARTITION = 50000
+# for the checkpoint's lifetime; drains whose input volume is unknown
+# (no ``n_rows`` passed) fall back to the legacy constant below, so a
+# restarted checkpoint of such a stream keeps a stable count.
+# A VALID SPARK_STREAM_STATE_PARTITIONS still overrides everything
+# (clamped by the session value, as before); empty/whitespace or
+# malformed values are treated as unset — derivation engages — never
+# as a silent constant pin and never an import crash.
+
+
+def _env_int(name: str) -> int | None:
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return None
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return None
+
+
+_STREAM_STATE_OVERRIDE = _env_int("SPARK_STREAM_STATE_PARTITIONS")
+STREAM_MAX_STATE_PARTITIONS = _STREAM_STATE_OVERRIDE or 8
+STREAM_ROWS_PER_PARTITION = _env_int("SPARK_STREAM_ROWS_PER_PARTITION") or 50000
 
 
 @contextmanager
@@ -76,22 +81,16 @@ def stream_state_partitions(spark: SparkSession, n_rows: int | None = None):
     """Cap shuffle partitions for the duration of one stream
     start→drain, restoring the session value after.
 
-    ``n_rows`` is the drain's staged input row count; when omitted it
-    is looked up from the most recent ``simulate.read_stream`` call
-    (every drain defines its stream immediately before draining).
-    Unknown volume → the legacy constant cap."""
-    from . import simulate
-
+    ``n_rows`` is the drain's total input row count, passed explicitly
+    by the call site (queries look their staged dir up via
+    ``simulate.staged_rows``). None → the legacy constant cap."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    if _STREAM_STATE_PARTITIONS_ENV is not None:
+    if _STREAM_STATE_OVERRIDE is not None:
+        target = _STREAM_STATE_OVERRIDE
+    elif n_rows is None:
         target = STREAM_MAX_STATE_PARTITIONS
     else:
-        if n_rows is None:
-            n_rows = simulate.last_read_rows()
-        if n_rows is None:
-            target = STREAM_MAX_STATE_PARTITIONS
-        else:
-            target = -(-int(n_rows) // STREAM_ROWS_PER_PARTITION)
+        target = -(-int(n_rows) // STREAM_ROWS_PER_PARTITION)
     try:
         cap = max(1, min(int(old), target))
     except (TypeError, ValueError):  # e.g. "auto" on some builds
@@ -155,7 +154,10 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_dual_sink(
-    stream: DataFrame, out_dir: str, checkpoint_dir: str
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_rows: int | None = None,
 ) -> None:
     """St8: one streaming query, two sinks per epoch — fact parquet +
     overwritten latest-stats snapshot.
@@ -194,7 +196,7 @@ def run_dual_sink(
         finally:
             batch.unpersist()
 
-    with stream_state_partitions(stream.sparkSession):
+    with stream_state_partitions(stream.sparkSession, n_rows=state_rows):
         q = (
             stream.writeStream.outputMode("append")
             .foreachBatch(sink)
@@ -205,9 +207,11 @@ def run_dual_sink(
         q.awaitTermination()
 
 
-def run_to_memory(spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append") -> DataFrame:
-    """Drain a bounded stream into an in-memory table and return it."""
-    with stream_state_partitions(spark):
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append", state_rows: int | None = None) -> DataFrame:
+    """Drain a bounded stream into an in-memory table and return it.
+    ``state_rows`` = the stream's total input rows (state-sizing hint,
+    see stream_state_partitions)."""
+    with stream_state_partitions(spark, n_rows=state_rows):
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -239,7 +243,7 @@ def land_rollup_partial(batch: DataFrame, epoch_id: int, part_dir: str) -> None:
     )
 
 
-def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str) -> str:
+def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str, state_rows: int | None = None) -> str:
     """Streaming continuous aggregate (the streaming twin of the batch
     q_hybrid_rollup's cold tier): every epoch reduces its micro-batch
     to per-(camera, day) partial sums and lands them as an epoch_id
@@ -256,7 +260,7 @@ def run_rollup_partials(stream: DataFrame, out_dir: str, checkpoint_dir: str) ->
             return
         land_rollup_partial(batch, epoch_id, part_dir)
 
-    with stream_state_partitions(stream.sparkSession):
+    with stream_state_partitions(stream.sparkSession, n_rows=state_rows):
         q = (
             stream.writeStream.outputMode("append")
             .foreachBatch(sink)
