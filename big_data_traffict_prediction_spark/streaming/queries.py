@@ -121,7 +121,10 @@ def q_stream_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.stateful_dedup(simulate.read_stream(spark, stage)),
         f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
-        state_rows=simulate.staged_rows(stage),
+        # NO state_rows: applyInPandasWithState runs a per-row PYTHON
+        # kernel, so the partition count is a Python-parallelism knob,
+        # not a state-sizing knob — the sized cap (2 at sf0.1) measured
+        # the congestion twin ~3x slower than the constant (r14 A/B)
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "id")
@@ -647,7 +650,7 @@ def q_stream_congestion_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.congestion_episodes(simulate.read_stream(spark, stage)),
         f"q_stream_episodes_{uuid.uuid4().hex[:8]}",
         f"{base}/ckpt",
-        state_rows=simulate.staged_rows(stage),
+        # NO state_rows: per-row Python kernel — see q_stream_iou_dedup
     )
     shutil.rmtree(base, ignore_errors=True)  # drained; scratch not needed
     return out.orderBy("camera_id", "episode_start")
